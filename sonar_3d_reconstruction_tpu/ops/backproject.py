@@ -1,0 +1,281 @@
+"""Fixed-shape tensorized sonar-ping backprojection.
+
+Re-expresses the reference's four nested data-dependent Python loops
+(scripts/3d_mapper.py:387-483, SURVEY.md section 3.2 hot loops 1-4) as one
+static-shape tensor program suitable for XLA/TPU:
+
+  * first hit       -> argmax over a boolean intensity mask with no-hit sentinel
+  * free sampling   -> static grid of ceil(R/step) candidate bins + validity mask
+  * occupied window -> static 50-wide window of bins gathered at first_hit + w
+  * vertical fan    -> static (2*V_max+1)-wide fan with a per-range step mask
+
+All range- and angle-dependent quantities — bearing trig, per-bin ranges, the
+``int()``-truncated fan counts ``max(1, int(spread/(res*4)))`` /
+``max(2, int(spread/(res*1.5)))`` (reference :427, :463) and per-step vertical
+angles — depend only on the static config and image geometry, so they are
+precomputed on the host in float64 (bit-parity with the NumPy reference) and
+baked into the program as constant tables.  The device performs only:
+intensity compare, first-hit argmax, table gathers, three multiplies per point,
+and one batched SE(3) transform.
+
+Emission order inside the flattened candidate axis is (ray, free-then-occupied
+bins, fan step) — irrelevant to the map result because per-frame accumulation
+commutes (sum/count/max), matching reference :542-551.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from sonar_3d_reconstruction_tpu.config import MapperConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class FanTables:
+    """Host-precomputed constant tables for one (config, image geometry) pair.
+
+    Arrays are float64/ int numpy; cast to the compute dtype at trace time.
+    Shapes: R = range bins, F = free candidate bins, VF/VO = fan widths.
+    """
+
+    range_bins: int
+    bearing_bins: int
+
+    # Selected ray columns and their bearing trig (n_rays,)
+    ray_indices: np.ndarray
+    cos_b: np.ndarray
+    sin_b: np.ndarray
+
+    # Free-space candidates (static bin indices 0, step, 2*step, ...)
+    free_idx: np.ndarray        # (F,) int32 absolute bin index
+    free_r: np.ndarray          # (F,) float range in meters
+    free_cos_v: np.ndarray      # (F, VF) fan vertical-angle cosines
+    free_sin_v: np.ndarray      # (F, VF)
+    free_mask: np.ndarray       # (F, VF) bool: range>=min_range AND |step|<=nv(r)
+
+    # Occupied candidates, indexed by ABSOLUTE bin (gathered at first_hit + w).
+    # Row R (one past the end) is an all-invalid sentinel row.
+    occ_r: np.ndarray           # (R+1,)
+    occ_cos_v: np.ndarray       # (R+1, VO)
+    occ_sin_v: np.ndarray       # (R+1, VO)
+    occ_mask: np.ndarray        # (R+1, VO) bool
+
+    @property
+    def n_rays(self) -> int:
+        return int(self.ray_indices.shape[0])
+
+    def candidates_per_ping(self, occupied_window: int = 50) -> int:
+        f = self.free_mask.shape[0] * self.free_mask.shape[1]
+        w = min(occupied_window, self.range_bins)
+        return self.n_rays * (f + w * self.occ_mask.shape[1])
+
+
+def _fan_row(
+    r: float, half_ap: float, res: float, divisor: float, nv_floor: int, v_max: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """One bin's vertical-fan trig row + step-validity mask (float64).
+
+    nv = max(nv_floor, int(r*tan(half_ap) / (res*divisor)))  (reference :427/:463)
+    vertical_angle(step) = step / max(1, nv) * half_ap        (reference :430/:466)
+    """
+    spread = r * math.tan(half_ap)
+    nv = max(nv_floor, int(spread / (res * divisor)))
+    steps = np.arange(-v_max, v_max + 1, dtype=np.float64)
+    vang = (steps / max(1, nv)) * half_ap
+    mask = np.abs(steps) <= nv
+    return np.cos(vang), np.sin(vang), mask
+
+
+def build_fan_tables(
+    cfg: MapperConfig, range_bins: int, bearing_bins: int
+) -> FanTables:
+    """Precompute all static tables for this config + image geometry."""
+    half_ap = cfg.half_aperture_rad
+    res = cfg.voxel_resolution
+    rres = cfg.max_range / range_bins  # reference :404
+
+    # --- bearings: linspace over FOV, subsampled, FOV-gated (reference
+    # :295-299, :527-535). linspace endpoints equal +-half_fov so the gate
+    # passes every subsampled column, but we apply it for exactness.
+    half_fov = cfg.horizontal_fov_rad / 2.0
+    bearings = np.linspace(-half_fov, half_fov, bearing_bins)
+    step = max(1, bearing_bins // cfg.max_rays)
+    sel = np.arange(0, bearing_bins, step)
+    sel = sel[np.abs(bearings[sel]) <= half_fov]
+
+    # --- static fan widths, sized for the largest realizable range.
+    # The largest range of any emitted bin is (range_bins-1)*rres < max_range,
+    # which also means the reference's `range_m > max_range -> break`
+    # (:458-459) can never fire; we size fans by max_range (superset, masked).
+    max_spread = cfg.max_range * math.tan(half_ap)
+    nvf_max = max(1, int(max_spread / (res * 4.0)))
+    nvo_max = max(2, int(max_spread / (res * 1.5)))
+    vf, vo = 2 * nvf_max + 1, 2 * nvo_max + 1
+
+    # --- free-space bins: every `free_sampling_step`-th bin (reference :419-423)
+    free_idx = np.arange(0, range_bins, cfg.free_sampling_step, dtype=np.int32)
+    free_r = free_idx.astype(np.float64) * rres
+    free_cos = np.empty((len(free_idx), vf))
+    free_sin = np.empty((len(free_idx), vf))
+    free_mask = np.empty((len(free_idx), vf), dtype=bool)
+    for i, r in enumerate(free_r):
+        c, s, m = _fan_row(r, half_ap, res, 4.0, 1, nvf_max)
+        free_cos[i], free_sin[i] = c, s
+        free_mask[i] = m & (r >= cfg.min_range)
+
+    # --- occupied rows per absolute bin + sentinel row (reference :449-463)
+    occ_r = np.arange(range_bins + 1, dtype=np.float64) * rres
+    occ_cos = np.zeros((range_bins + 1, vo))
+    occ_sin = np.zeros((range_bins + 1, vo))
+    occ_mask = np.zeros((range_bins + 1, vo), dtype=bool)
+    for i in range(range_bins):
+        r = occ_r[i]
+        c, s, m = _fan_row(r, half_ap, res, 1.5, 2, nvo_max)
+        occ_cos[i], occ_sin[i] = c, s
+        occ_mask[i] = m & (r >= cfg.min_range) & (r <= cfg.max_range)
+    occ_cos[range_bins] = 1.0  # sentinel row: mask stays all-False
+
+    return FanTables(
+        range_bins=range_bins,
+        bearing_bins=bearing_bins,
+        ray_indices=sel.astype(np.int32),
+        cos_b=np.cos(bearings[sel]),
+        sin_b=np.sin(bearings[sel]),
+        free_idx=free_idx,
+        free_r=free_r,
+        free_cos_v=free_cos,
+        free_sin_v=free_sin,
+        free_mask=free_mask,
+        occ_r=occ_r,
+        occ_cos_v=occ_cos,
+        occ_sin_v=occ_sin,
+        occ_mask=occ_mask,
+    )
+
+
+def _local_points(r, cos_v, sin_v, cos_b, sin_b):
+    """Sonar-frame coordinates (+X fwd, +Y right with the reference's negated-y
+    right-hand fix, +Z down; reference :432-436).  Multiplication order matches
+    the reference scalar expression ``r * cos(v) * cos(b)``."""
+    rcv = r * cos_v
+    x = rcv * cos_b
+    y = -(rcv * sin_b)
+    z = r * sin_v
+    return x, y, z
+
+
+def _to_world(x, y, z, T):
+    """Explicit affine transform (reference :439-440 homogeneous matmul)."""
+    R, t = T[:3, :3], T[:3, 3]
+    wx = R[0, 0] * x + R[0, 1] * y + R[0, 2] * z + t[0]
+    wy = R[1, 0] * x + R[1, 1] * y + R[1, 2] * z + t[1]
+    wz = R[2, 0] * x + R[2, 1] * y + R[2, 2] * z + t[2]
+    return jnp.stack([wx, wy, wz], axis=-1)
+
+
+def backproject_ping(
+    polar_image: jnp.ndarray,
+    T_sonar_to_world: jnp.ndarray,
+    tables: FanTables,
+    cfg: MapperConfig,
+    dtype=jnp.float32,
+):
+    """One ping -> flattened candidate emissions (static shape).
+
+    Args:
+      polar_image: (range_bins, bearing_bins); rows are range, columns bearing
+        (reference :508).
+      T_sonar_to_world: (4, 4) in ``dtype``.
+      tables: host-precomputed ``FanTables`` for this geometry.
+
+    Returns dict of flattened arrays over N = n_rays*(F*VF + W*VO) candidates:
+      points  (N, 3) world coordinates
+      log_odds (N,)  per-candidate update value
+      is_occupied (N,) bool
+      valid   (N,) bool
+    """
+    R, B = tables.range_bins, tables.bearing_bins
+    assert polar_image.shape == (R, B), (polar_image.shape, (R, B))
+    W = min(cfg.occupied_window, R)
+
+    cos_b = jnp.asarray(tables.cos_b, dtype)[:, None, None]
+    sin_b = jnp.asarray(tables.sin_b, dtype)[:, None, None]
+
+    # (n_rays, R) intensity profiles, hit mask with strict > (reference :407)
+    profiles = polar_image[:, jnp.asarray(tables.ray_indices)].T
+    hits = profiles > cfg.intensity_threshold
+    any_hit = jnp.any(hits, axis=1)
+    first_hit = jnp.where(any_hit, jnp.argmax(hits, axis=1), R)  # :406-413
+
+    T = T_sonar_to_world.astype(dtype)
+
+    # ---- free-space candidates: (n_rays, F, VF)
+    free_r = jnp.asarray(tables.free_r, dtype)[None, :, None]
+    fx, fy, fz = _local_points(
+        free_r,
+        jnp.asarray(tables.free_cos_v, dtype)[None],
+        jnp.asarray(tables.free_sin_v, dtype)[None],
+        cos_b,
+        sin_b,
+    )
+    free_world = _to_world(fx, fy, fz, T)
+    free_valid = (
+        (jnp.asarray(tables.free_idx)[None, :] < first_hit[:, None])[:, :, None]
+        & jnp.asarray(tables.free_mask)[None]
+    )
+
+    # ---- occupied candidates: window bins first_hit + w, gathered via the
+    # sentinel row R for w past the image (reference :449-459)
+    w_off = jnp.arange(W, dtype=jnp.int32)
+    occ_bin = jnp.minimum(first_hit[:, None] + w_off[None, :], R)  # (n_rays, W)
+    # intensity gate at the absolute bin (strict >, reference :452)
+    bin_hit = jnp.take_along_axis(
+        jnp.concatenate([hits, jnp.zeros((hits.shape[0], 1), bool)], axis=1),
+        occ_bin,
+        axis=1,
+    )
+    occ_r = jnp.asarray(tables.occ_r, dtype)[occ_bin][:, :, None]
+    ox, oy, oz = _local_points(
+        occ_r,
+        jnp.asarray(tables.occ_cos_v, dtype)[occ_bin],
+        jnp.asarray(tables.occ_sin_v, dtype)[occ_bin],
+        cos_b,
+        sin_b,
+    )
+    occ_world = _to_world(ox, oy, oz, T)
+    occ_valid = bin_hit[:, :, None] & jnp.asarray(tables.occ_mask)[occ_bin]
+
+    # ---- z filter (reference :443-444, :478-479): keep pt_world.z >= z_min
+    if cfg.z_filter_enabled:
+        zmin = jnp.asarray(cfg.z_filter_min, dtype)
+        free_valid = free_valid & (free_world[..., 2] >= zmin)
+        occ_valid = occ_valid & (occ_world[..., 2] >= zmin)
+
+    n_free = free_world.shape[0] * free_world.shape[1] * free_world.shape[2]
+    n_occ = occ_world.shape[0] * occ_world.shape[1] * occ_world.shape[2]
+    points = jnp.concatenate(
+        [free_world.reshape(n_free, 3), occ_world.reshape(n_occ, 3)], axis=0
+    )
+    valid = jnp.concatenate(
+        [free_valid.reshape(n_free), occ_valid.reshape(n_occ)], axis=0
+    )
+    is_occ = jnp.concatenate(
+        [jnp.zeros(n_free, bool), jnp.ones(n_occ, bool)], axis=0
+    )
+    log_odds = jnp.where(
+        is_occ,
+        jnp.asarray(cfg.log_odds_occupied, dtype),
+        jnp.asarray(cfg.log_odds_free, dtype),
+    )
+    return {
+        "points": points,
+        "log_odds": log_odds,
+        "is_occupied": is_occ,
+        "valid": valid,
+    }

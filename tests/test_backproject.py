@@ -1,0 +1,133 @@
+"""Backprojection kernel vs the golden oracle: identical candidate emissions."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from sonar_3d_reconstruction_tpu.config import MapperConfig
+from sonar_3d_reconstruction_tpu.geometry import (
+    pose_matrix_from_quaternion,
+    pose_matrix_from_rpy,
+)
+from sonar_3d_reconstruction_tpu.golden import GoldenMapper
+from sonar_3d_reconstruction_tpu.ops.backproject import (
+    backproject_ping,
+    build_fan_tables,
+)
+
+from conftest import synthetic_ping
+
+
+def golden_candidates(cfg: MapperConfig, image, position, quat):
+    """All (point, log_odds, is_occ) emissions of the golden oracle for one ping."""
+    g = GoldenMapper(cfg)
+    T = (
+        pose_matrix_from_quaternion(np.asarray(position), np.asarray(quat))
+        @ g.T_sonar_to_base
+    )
+    out = []
+    range_bins, bearing_bins = image.shape
+    step = max(1, bearing_bins // cfg.max_rays)
+    bearings = np.linspace(
+        -cfg.horizontal_fov_rad / 2, cfg.horizontal_fov_rad / 2, bearing_bins
+    )
+    for b in range(0, bearing_bins, step):
+        if abs(bearings[b]) > cfg.horizontal_fov_rad / 2:
+            continue
+        out.extend(g._emit_ray(bearings[b], image[:, b], T))
+    return out
+
+
+def device_candidates(cfg: MapperConfig, image, position, quat):
+    tables = build_fan_tables(cfg, image.shape[0], image.shape[1])
+    T_mount = pose_matrix_from_rpy(
+        np.asarray(cfg.sonar_position), np.asarray(cfg.sonar_orientation)
+    )
+    T = pose_matrix_from_quaternion(np.asarray(position), np.asarray(quat)) @ T_mount
+    out = backproject_ping(
+        jnp.asarray(image), jnp.asarray(T), tables, cfg, dtype=jnp.float64
+    )
+    valid = np.asarray(out["valid"])
+    return (
+        np.asarray(out["points"])[valid],
+        np.asarray(out["log_odds"])[valid],
+        np.asarray(out["is_occupied"])[valid],
+    )
+
+
+def as_sorted_rows(points, lo, occ):
+    rows = np.concatenate(
+        [points, lo[:, None], occ[:, None].astype(np.float64)], axis=-1
+    )
+    # sort on rounded keys so ulp-level noise cannot flip tie-breaking between
+    # near-identical rows; any rows swapped by a rounding tie are themselves
+    # within the comparison tolerance
+    order = np.lexsort(np.round(rows, 7).T[::-1])
+    return rows[order]
+
+
+def assert_same_emissions(cfg, image, position, quat):
+    gold = golden_candidates(cfg, image, position, quat)
+    g_pts = np.array([p for p, _, _ in gold]).reshape(-1, 3)
+    g_lo = np.array([l for _, l, _ in gold])
+    g_occ = np.array([o for _, _, o in gold])
+    d_pts, d_lo, d_occ = device_candidates(cfg, image, position, quat)
+
+    assert d_pts.shape[0] == g_pts.shape[0], (d_pts.shape, g_pts.shape)
+    a = as_sorted_rows(g_pts, g_lo, g_occ)
+    b = as_sorted_rows(d_pts, d_lo, d_occ)
+    np.testing.assert_allclose(a, b, atol=1e-9)
+
+
+def test_single_ping_identity_pose(small_cfg):
+    image = synthetic_ping(small_cfg.image_height, small_cfg.image_width, seed=7)
+    assert_same_emissions(small_cfg, image, [0, 0, 0], [0, 0, 0, 1])
+
+
+def test_arbitrary_pose(small_cfg):
+    rng = np.random.default_rng(11)
+    image = synthetic_ping(small_cfg.image_height, small_cfg.image_width, seed=8)
+    q = rng.normal(size=4)
+    q /= np.linalg.norm(q)
+    assert_same_emissions(small_cfg, image, rng.uniform(-2, 2, 3), q)
+
+
+def test_no_hit_ray_all_free(small_cfg):
+    image = np.zeros((small_cfg.image_height, small_cfg.image_width), np.uint8)
+    assert_same_emissions(small_cfg, image, [0, 0, 0], [0, 0, 0, 1])
+    _, d_lo, d_occ = device_candidates(small_cfg, image, [0, 0, 0], [0, 0, 0, 1])
+    assert not d_occ.any()
+    assert (d_lo == small_cfg.log_odds_free).all()
+
+
+def test_all_hit_first_bin(small_cfg):
+    # saturated image: first hit at bin 0, occupied window only (min_range gates)
+    image = np.full((small_cfg.image_height, small_cfg.image_width), 255, np.uint8)
+    assert_same_emissions(small_cfg, image, [0, 0, 0], [0, 0, 0, 1])
+
+
+def test_z_filter(small_cfg):
+    cfg = small_cfg.replace(z_filter_enabled=True, z_filter_min=-1.2)
+    image = synthetic_ping(cfg.image_height, cfg.image_width, seed=9)
+    assert_same_emissions(cfg, image, [0, 0, 0.5], [0, 0, 0, 1])
+    pts, _, _ = device_candidates(cfg, image, [0, 0, 0.5], [0, 0, 0, 1])
+    assert (pts[:, 2] >= cfg.z_filter_min).all()
+
+
+def test_bearing_subsampling_cap():
+    # 512 bearings -> step 2 -> 256 rays (reference 3d_mapper.py:527-528)
+    cfg = MapperConfig(image_width=512, image_height=60, max_range=3.0)
+    tables = build_fan_tables(cfg, 60, 512)
+    assert tables.n_rays == 256
+    # odd width not divisible: 300 // 256 = 1 -> every bearing
+    tables = build_fan_tables(cfg, 60, 300)
+    assert tables.n_rays == 300
+
+
+def test_narrow_fov_prod_config():
+    from sonar_3d_reconstruction_tpu.config import PRESETS
+
+    cfg = PRESETS["kiro_tilt60"].replace(image_width=96, image_height=80)
+    image = synthetic_ping(80, 96, seed=12, density=0.05)
+    # prod threshold is 120 so raise blob intensity
+    image = np.where(image > 60, 200, image).astype(np.uint8)
+    assert_same_emissions(cfg, image, [0.3, -0.2, 0.1], [0, 0, 0, 1])
