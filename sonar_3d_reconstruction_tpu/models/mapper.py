@@ -1,0 +1,259 @@
+"""SonarMapper — the stateful flagship API (reference-parity surface).
+
+Drop-in equivalent of the reference ``SonarTo3DMapper``
+(scripts/3d_mapper.py:197-650): ``process_sonar_image(polar_image, position,
+quaternion) -> stats`` and ``get_point_cloud(include_free) -> dict`` with the
+same stats/result fields — implemented as a thin stateful shell over the pure
+jitted device pipeline:
+
+  backproject_ping -> update_{hash,dense}_grid      (one XLA program per ping)
+
+plus the host-side concerns the device cannot own:
+  * fan-table (re)build when the incoming image geometry changes
+    (reference 3d_mapper.py:511-517 rebuilds bearing angles on width change)
+  * hash-table growth: on load-factor trip or probe overflow the host doubles
+    capacity (rehash) and replays the failed ping
+  * frame counters and wall-clock processing statistics
+    (reference 3d_mapper.py:303-311, 569-572)
+
+For maximum throughput on long recorded sequences use
+pipeline.map_ping_sequence (lax.scan over pings) instead of this per-ping API.
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sonar_3d_reconstruction_tpu.config import MapperConfig, config_from_dict
+from sonar_3d_reconstruction_tpu.geometry import (
+    pose_matrix_from_quaternion,
+    pose_matrix_from_rpy,
+)
+from sonar_3d_reconstruction_tpu.grid.dense import (
+    DenseGridSpec,
+    extract_classified,
+    extract_occupied,
+    init_dense_grid,
+    update_dense_grid,
+)
+from sonar_3d_reconstruction_tpu.grid.hash import (
+    extract_classified_hash,
+    extract_occupied_hash,
+    init_hash_grid,
+    rehash,
+    update_hash_grid,
+)
+from sonar_3d_reconstruction_tpu.ops.backproject import (
+    FanTables,
+    backproject_ping,
+    build_fan_tables,
+)
+
+# grow when used slots exceed this fraction of capacity
+_MAX_LOAD = 0.5
+
+
+@partial(jax.jit, static_argnames=("tables", "cfg", "dtype"))
+def _hash_step(state, image, T, *, tables, cfg, dtype):
+    cand = backproject_ping(image, T, tables, cfg, dtype=dtype)
+    return update_hash_grid(state, cand, cfg)
+
+
+@partial(jax.jit, static_argnames=("tables", "spec", "cfg", "dtype"))
+def _dense_step(state, image, T, *, tables, spec, cfg, dtype):
+    cand = backproject_ping(image, T, tables, cfg, dtype=dtype)
+    return update_dense_grid(state, cand, spec, cfg)
+
+
+class SonarMapper:
+    """Stateful sonar-to-3D mapper with a hashed sparse (default) or dense
+    bounded voxel map backend."""
+
+    def __init__(
+        self,
+        config: Optional[Any] = None,
+        *,
+        backend: str = "hash",
+        dense_spec: Optional[DenseGridSpec] = None,
+        initial_capacity: int = 1 << 20,
+        dtype=jnp.float32,
+    ):
+        if config is None:
+            self.cfg = MapperConfig()
+        elif isinstance(config, MapperConfig):
+            self.cfg = config
+        else:  # dict in library-level units (reference 3d_mapper.py:252-254)
+            self.cfg = config_from_dict(config)
+        self.dtype = dtype
+        self.backend = backend
+        if backend == "dense":
+            if dense_spec is None:
+                reach = self.cfg.max_range + 2.0
+                dense_spec = DenseGridSpec.for_world_bounds(
+                    (-reach,) * 3, (reach,) * 3, self.cfg.voxel_resolution
+                )
+            self.dense_spec = dense_spec
+            self.state = init_dense_grid(dense_spec, dtype)
+        elif backend == "hash":
+            self.state = init_hash_grid(initial_capacity, dtype)
+        else:
+            raise ValueError(f"unknown backend {backend!r}")
+
+        self.T_sonar_to_base = pose_matrix_from_rpy(
+            np.asarray(self.cfg.sonar_position, np.float64),
+            np.asarray(self.cfg.sonar_orientation, np.float64),
+        )
+        self._tables: Optional[FanTables] = None
+        self.frame_count = 0
+        self.processed_frame_count = 0
+        self.last_processing_time = 0.0
+        self.total_processing_time = 0.0
+        self._last_stats: Dict[str, int] = {}
+
+    # ------------------------------------------------------------------
+    def _tables_for(self, shape: Tuple[int, int]) -> FanTables:
+        if self._tables is None or (
+            self._tables.range_bins,
+            self._tables.bearing_bins,
+        ) != shape:
+            self._tables = build_fan_tables(self.cfg, shape[0], shape[1])
+        return self._tables
+
+    def _grow(self) -> None:
+        new_cap = self.state.keys.shape[0] * 2
+        self.state = rehash(self.state, new_capacity=new_cap)
+
+    # ------------------------------------------------------------------
+    def process_sonar_image(
+        self, polar_image: np.ndarray, robot_position, robot_orientation
+    ) -> Dict[str, Any]:
+        """One ping -> map update. Mirrors reference process_sonar_image
+        (3d_mapper.py:485-595) including its stats dict fields."""
+        t0 = time.time()
+        self.frame_count += 1
+        self.processed_frame_count += 1
+
+        polar_image = np.asarray(polar_image)
+        tables = self._tables_for(polar_image.shape)
+        T = (
+            pose_matrix_from_quaternion(
+                np.asarray(robot_position, np.float64),
+                np.asarray(robot_orientation, np.float64),
+            )
+            @ self.T_sonar_to_base
+        )
+        image_dev = jnp.asarray(polar_image)
+        T_dev = jnp.asarray(T, self.dtype)
+
+        if self.backend == "dense":
+            self.state, stats = _dense_step(
+                self.state,
+                image_dev,
+                T_dev,
+                tables=tables,
+                spec=self.dense_spec,
+                cfg=self.cfg,
+                dtype=self.dtype,
+            )
+        else:
+            # proactive growth, then replay-on-overflow as a backstop
+            while True:
+                cap = self.state.keys.shape[0]
+                if int(self.state.used) > _MAX_LOAD * cap:
+                    self._grow()
+                    continue
+                new_state, stats = _hash_step(
+                    self.state,
+                    image_dev,
+                    T_dev,
+                    tables=tables,
+                    cfg=self.cfg,
+                    dtype=self.dtype,
+                )
+                if bool(stats["overflowed"]):
+                    self._grow()
+                    continue
+                self.state = new_state
+                break
+
+        out = {k: int(v) for k, v in stats.items() if k != "overflowed"}
+        self.last_processing_time = time.time() - t0
+        self.total_processing_time += self.last_processing_time
+        result = {
+            "frame_count": self.frame_count,
+            "processed_count": self.processed_frame_count,
+            "num_occupied": out["num_occupied"],
+            "num_free": out["num_free"],
+            "num_voxels": self.num_voxels,
+            "processing_time": self.last_processing_time,
+            "avg_processing_time": self.total_processing_time
+            / max(1, self.processed_frame_count),
+        }
+        self._last_stats = out
+        return result
+
+    # ------------------------------------------------------------------
+    @property
+    def num_voxels(self) -> int:
+        if self.backend == "dense":
+            return int(jnp.sum(self.state.touched))
+        return int(self.state.used)
+
+    def get_point_cloud(self, include_free: bool = False) -> Dict[str, Any]:
+        """Map extraction with the reference result schema
+        (3d_mapper.py:597-642)."""
+        cfg = self.cfg
+        if include_free:
+            if self.backend == "dense":
+                cls = extract_classified(self.state, self.dense_spec, cfg)
+            else:
+                cls = extract_classified_hash(self.state, cfg)
+            occupied, free, unknown = cls["occupied"], cls["free"], cls["unknown"]
+            return {
+                "occupied": occupied,
+                "free": free,
+                "unknown": unknown,
+                "num_voxels": self.num_voxels,
+                "num_occupied": len(occupied[0]),
+                "num_free": len(free[0]),
+                "num_unknown": len(unknown[0]),
+                "frame_count": self.frame_count,
+                "processed_count": self.processed_frame_count,
+                "bounds": {
+                    "min": np.asarray(self.state.min_bounds)
+                    if cfg.dynamic_expansion
+                    else None,
+                    "max": np.asarray(self.state.max_bounds)
+                    if cfg.dynamic_expansion
+                    else None,
+                },
+            }
+        if self.backend == "dense":
+            points, probs = extract_occupied(self.state, self.dense_spec, cfg)
+        else:
+            points, probs = extract_occupied_hash(self.state, cfg)
+        return {
+            "points": points,
+            "probabilities": probs,
+            "num_voxels": self.num_voxels,
+            "num_occupied": len(points),
+            "frame_count": self.frame_count,
+            "processed_count": self.processed_frame_count,
+        }
+
+    def reset_map(self) -> None:
+        """Clear the map (reference reset_map, 3d_mapper.py:644-650)."""
+        if self.backend == "dense":
+            self.state = init_dense_grid(self.dense_spec, self.dtype)
+        else:
+            self.state = init_hash_grid(self.state.keys.shape[0], self.dtype)
+        self.frame_count = 0
+        self.processed_frame_count = 0
+        self.total_processing_time = 0.0

@@ -36,12 +36,16 @@ import jax.numpy as jnp
 from sonar_3d_reconstruction_tpu.config import MapperConfig
 
 
-@dataclasses.dataclass(frozen=True)
+@dataclasses.dataclass(frozen=True, eq=False)
 class FanTables:
     """Host-precomputed constant tables for one (config, image geometry) pair.
 
     Arrays are float64/ int numpy; cast to the compute dtype at trace time.
     Shapes: R = range bins, F = free candidate bins, VF/VO = fan widths.
+
+    ``eq=False`` keeps the default identity hash/eq so an instance can be a
+    jit static argument; callers cache and reuse one instance per geometry
+    (models/mapper.py does) to avoid retraces.
     """
 
     range_bins: int

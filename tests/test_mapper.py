@@ -1,0 +1,111 @@
+"""SonarMapper flagship API: reference-parity surface, growth, width change."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from sonar_3d_reconstruction_tpu.golden import GoldenMapper
+from sonar_3d_reconstruction_tpu.models import SonarMapper
+
+from conftest import synthetic_ping
+
+
+def test_selftest_scenario_matches_golden(small_cfg):
+    """The reference __main__ scenario shape (3d_mapper.py:653-683) at test
+    scale, through the stateful API with the hash backend."""
+    cfg = small_cfg
+    m = SonarMapper(cfg, backend="hash", initial_capacity=1 << 13, dtype=jnp.float64)
+    g = GoldenMapper(cfg)
+    img = np.zeros((cfg.image_height, cfg.image_width), np.uint8)
+    img[20:30, 20:40] = 100
+    img[60:70, 10:20] = 150
+
+    for i in range(3):
+        pos = [i * 0.1, 0.0, 0.0]
+        quat = [0.0, 0.0, 0.0, 1.0]
+        stats = m.process_sonar_image(img, pos, quat)
+        gstats = g.process_ping(img, pos, quat)
+        assert stats["num_occupied"] == gstats["num_occupied"]
+        assert stats["num_free"] == gstats["num_free"]
+        assert stats["num_voxels"] == gstats["num_voxels"]
+        assert stats["frame_count"] == i + 1
+
+    result = m.get_point_cloud()
+    gold = g.point_cloud()
+    assert result["num_occupied"] == gold["num_occupied"]
+    assert result["num_voxels"] == gold["num_voxels"]
+    assert set(result.keys()) >= {
+        "points", "probabilities", "num_voxels", "num_occupied",
+        "frame_count", "processed_count",
+    }
+
+    full = m.get_point_cloud(include_free=True)
+    gfull = g.point_cloud(include_free=True)
+    assert full["num_free"] == len(gfull["free"])
+    assert full["num_unknown"] == len(gfull["unknown"])
+    np.testing.assert_allclose(full["bounds"]["min"], gfull["bounds"][0], atol=1e-9)
+
+
+def test_dict_config_like_reference(small_cfg):
+    """The reference accepts a plain config dict (3d_mapper.py:203-254)."""
+    m = SonarMapper(
+        {"voxel_resolution": 0.1, "min_probability": 0.6, "intensity_threshold": 30},
+        initial_capacity=1 << 12,
+    )
+    assert m.cfg.voxel_resolution == 0.1
+    assert m.cfg.horizontal_fov == 130.0  # default preserved
+
+
+def test_automatic_growth(small_cfg):
+    """Start with a tiny table; the mapper must grow and still match golden."""
+    cfg = small_cfg
+    m = SonarMapper(cfg, backend="hash", initial_capacity=1 << 6, dtype=jnp.float64)
+    g = GoldenMapper(cfg)
+    img = synthetic_ping(cfg.image_height, cfg.image_width, seed=77)
+    stats = m.process_sonar_image(img, [0, 0, 0], [0, 0, 0, 1])
+    gstats = g.process_ping(img, [0, 0, 0], [0, 0, 0, 1])
+    assert stats["num_voxels"] == gstats["num_voxels"]
+    assert m.state.keys.shape[0] > 1 << 6  # grew
+    assert not bool(m.state.poisoned)
+
+
+def test_image_width_change_rebuilds_tables(small_cfg):
+    """Reference rebuilds bearing angles when the width changes
+    (3d_mapper.py:511-517)."""
+    cfg = small_cfg
+    m = SonarMapper(cfg, initial_capacity=1 << 13, dtype=jnp.float64)
+    g = GoldenMapper(cfg)
+    img1 = synthetic_ping(cfg.image_height, cfg.image_width, seed=88)
+    img2 = synthetic_ping(cfg.image_height, 48, seed=89)
+    for img in (img1, img2):
+        stats = m.process_sonar_image(img, [0, 0, 0], [0, 0, 0, 1])
+        gstats = g.process_ping(img, [0, 0, 0], [0, 0, 0, 1])
+        assert stats["num_voxels"] == gstats["num_voxels"]
+
+
+def test_reset_map(small_cfg):
+    m = SonarMapper(small_cfg, initial_capacity=1 << 13)
+    img = synthetic_ping(small_cfg.image_height, small_cfg.image_width, seed=99)
+    m.process_sonar_image(img, [0, 0, 0], [0, 0, 0, 1])
+    assert m.num_voxels > 0
+    m.reset_map()
+    assert m.num_voxels == 0
+    assert m.frame_count == 0
+
+
+def test_dense_backend_equivalence(small_cfg):
+    from sonar_3d_reconstruction_tpu.grid.dense import DenseGridSpec
+
+    cfg = small_cfg
+    spec = DenseGridSpec.for_world_bounds((-7, -7, -7), (7, 7, 7), cfg.voxel_resolution)
+    md = SonarMapper(cfg, backend="dense", dense_spec=spec, dtype=jnp.float64)
+    mh = SonarMapper(cfg, backend="hash", initial_capacity=1 << 13, dtype=jnp.float64)
+    img = synthetic_ping(cfg.image_height, cfg.image_width, seed=111)
+    sd = md.process_sonar_image(img, [0.2, 0.1, 0], [0, 0, 0, 1])
+    sh = mh.process_sonar_image(img, [0.2, 0.1, 0], [0, 0, 0, 1])
+    assert sd["num_occupied"] == sh["num_occupied"]
+    assert sd["num_voxels"] == sh["num_voxels"]
+    rd, rh = md.get_point_cloud(), mh.get_point_cloud()
+    assert rd["num_occupied"] == rh["num_occupied"]
+    d = {tuple(np.round(p, 6)) for p in rd["points"]}
+    h = {tuple(np.round(p, 6)) for p in rh["points"]}
+    assert d == h
