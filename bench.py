@@ -1,0 +1,115 @@
+"""Headline benchmark: voxel log-odds updates/sec through the full pipeline.
+
+Measures the end-to-end hot path — fixed-shape backprojection of full-size
+pings (500 range bins x 512 bearings, the reference Oculus M750D geometry) +
+hashed-sparse scatter update at 5 cm resolution — as one jitted lax.scan, on
+whatever device JAX provides (TPU under the driver).
+
+The metric counts VALID candidate emissions actually applied to the map
+(the per-ping stats' num_candidates), i.e. the same work items the reference
+performs one-by-one in Python (scripts/3d_mapper.py:387-567).  Baseline for
+``vs_baseline`` is the BASELINE.md target of 1e9 updates/sec/chip.
+
+Prints exactly one JSON line.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sonar_3d_reconstruction_tpu.config import MapperConfig
+from sonar_3d_reconstruction_tpu.grid.hash import init_hash_grid
+from sonar_3d_reconstruction_tpu.ops.backproject import build_fan_tables
+from sonar_3d_reconstruction_tpu.pipeline import (
+    batched_sonar_to_world,
+    scan_pings_hash,
+)
+
+BASELINE_UPDATES_PER_SEC = 1e9
+
+
+def make_inputs(cfg, n_pings, seed=0):
+    """Synthetic survey: bright seabed returns over low noise, forward motion."""
+    rng = np.random.default_rng(seed)
+    R, B = cfg.image_height, cfg.image_width
+    images = rng.integers(0, 25, size=(n_pings, R, B)).astype(np.uint8)
+    # a continuous bottom return band sweeping with ping index + speckle
+    for i in range(n_pings):
+        r0 = 150 + int(40 * np.sin(i / 7.0))
+        images[i, r0 : r0 + 40, :] = rng.integers(
+            80, 220, size=(40, B)
+        ).astype(np.uint8)
+    positions = np.stack(
+        [0.08 * np.arange(n_pings), np.zeros(n_pings), np.zeros(n_pings)],
+        axis=-1,
+    )
+    yaw = 0.02 * np.arange(n_pings)
+    quats = np.stack(
+        [np.zeros(n_pings), np.zeros(n_pings), np.sin(yaw / 2), np.cos(yaw / 2)],
+        axis=-1,
+    )
+    return images, positions, quats
+
+
+def main():
+    cfg = MapperConfig()  # 0.05 m voxels, 130 deg FOV, 10 m range
+    n_pings = int(os.environ.get("BENCH_PINGS", "64"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+
+    images, positions, quats = make_inputs(cfg, n_pings)
+    T = batched_sonar_to_world(positions, quats, cfg)
+    tables = build_fan_tables(cfg, cfg.image_height, cfg.image_width)
+
+    images_dev = jnp.asarray(images)
+    T_dev = jnp.asarray(T, jnp.float32)
+    state0 = init_hash_grid(1 << 22, jnp.float32)
+
+    def run():
+        st, stats = scan_pings_hash(
+            state0, images_dev, T_dev, jnp.int32(0),
+            tables=tables, cfg=cfg, dtype=jnp.float32,
+        )
+        jax.block_until_ready(st)
+        return st, stats
+
+    # warmup / compile
+    st, stats = run()
+    assert not bool(np.asarray(stats["overflowed"]).any()), "hash overflow in bench"
+    total_updates = int(np.asarray(stats["num_candidates"]).sum())
+
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+
+    updates_per_sec = total_updates / best
+    print(
+        json.dumps(
+            {
+                "metric": "voxel_log_odds_updates_per_sec",
+                "value": updates_per_sec,
+                "unit": "updates/s",
+                "vs_baseline": updates_per_sec / BASELINE_UPDATES_PER_SEC,
+                "detail": {
+                    "pings_per_sec": n_pings / best,
+                    "p50_ping_latency_ms": 1e3 * best / n_pings,
+                    "updates_per_ping": total_updates / n_pings,
+                    "candidates_per_ping": tables.candidates_per_ping(
+                        cfg.occupied_window
+                    ),
+                    "device": jax.devices()[0].platform,
+                    "n_pings": n_pings,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

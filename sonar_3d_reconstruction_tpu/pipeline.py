@@ -1,0 +1,213 @@
+"""Ping-sequence pipeline: one jitted lax.scan over a whole recorded sequence.
+
+The reference processes pings strictly one at a time through Python callbacks
+(scripts/3d_mapper.py:485-595 driven by scripts/3d_mapper_node.py:294-357).
+On TPU the same sequential-by-construction map update (the adaptive log-odds
+scale reads pre-frame state, SURVEY.md section 5.7) becomes a ``lax.scan``
+whose per-step body is the fused backproject+scatter program — so an entire
+bag segment is ONE XLA program with no host round-trips.
+
+Hash-table growth under scan: capacity is static per compiled program, so the
+scan carries a ``poisoned`` flag — the first frame that overflows the probe
+budget stops all map writes (grid/hash.py) — plus a per-frame ``overflowed``
+stats output.  The host wrapper ``map_ping_sequence`` doubles capacity and
+replays from the first failed frame, using a traced ``start`` index so the
+replay reuses the same compiled program (frames before ``start`` are no-ops).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sonar_3d_reconstruction_tpu.config import MapperConfig
+from sonar_3d_reconstruction_tpu.geometry import pose_matrix_from_rpy
+from sonar_3d_reconstruction_tpu.grid.dense import (
+    DenseGridSpec,
+    init_dense_grid,
+    update_dense_grid,
+)
+from sonar_3d_reconstruction_tpu.grid.hash import (
+    HashGridState,
+    init_hash_grid,
+    rehash,
+    update_hash_grid,
+)
+from sonar_3d_reconstruction_tpu.ops.backproject import (
+    FanTables,
+    backproject_ping,
+    build_fan_tables,
+)
+
+
+# ---------------------------------------------------------------------------
+# Host-side batched pose chain (float64 for parity with the golden oracle;
+# the device pipeline consumes the cast result)
+# ---------------------------------------------------------------------------
+
+def batched_sonar_to_world(
+    positions: np.ndarray,
+    quaternions: np.ndarray,
+    cfg: MapperConfig,
+) -> np.ndarray:
+    """(P, 3) positions + (P, 4) xyzw quaternions -> (P, 4, 4) float64
+    T_sonar_to_world = T_base_to_world @ T_sonar_to_base
+    (reference 3d_mapper.py:519-521, batched over the whole sequence)."""
+    positions = np.asarray(positions, np.float64)
+    q = np.asarray(quaternions, np.float64)
+    x, y, z, w = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    P = len(q)
+    R = np.empty((P, 3, 3), np.float64)
+    R[:, 0, 0] = 1 - 2 * (y * y + z * z)
+    R[:, 0, 1] = 2 * (x * y - w * z)
+    R[:, 0, 2] = 2 * (x * z + w * y)
+    R[:, 1, 0] = 2 * (x * y + w * z)
+    R[:, 1, 1] = 1 - 2 * (x * x + z * z)
+    R[:, 1, 2] = 2 * (y * z - w * x)
+    R[:, 2, 0] = 2 * (x * z - w * y)
+    R[:, 2, 1] = 2 * (y * z + w * x)
+    R[:, 2, 2] = 1 - 2 * (x * x + y * y)
+    T = np.zeros((P, 4, 4), np.float64)
+    T[:, :3, :3] = R
+    T[:, :3, 3] = positions
+    T[:, 3, 3] = 1.0
+    T_s2b = pose_matrix_from_rpy(
+        np.asarray(cfg.sonar_position, np.float64),
+        np.asarray(cfg.sonar_orientation, np.float64),
+    )
+    return T @ T_s2b
+
+
+# ---------------------------------------------------------------------------
+# Jitted sequence scans
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("tables", "cfg", "dtype"))
+def scan_pings_hash(
+    state: HashGridState,
+    images: jnp.ndarray,        # (P, R, B)
+    transforms: jnp.ndarray,    # (P, 4, 4)
+    start: jnp.ndarray,         # () int32: frames < start are no-ops (replay)
+    *,
+    tables: FanTables,
+    cfg: MapperConfig,
+    dtype=jnp.float32,
+) -> Tuple[HashGridState, Dict[str, jnp.ndarray]]:
+    """Whole ping sequence -> hashed map, as one XLA program."""
+
+    def step(carry, inp):
+        st = carry
+        idx, image, T = inp
+        cand = backproject_ping(image, T, tables, cfg, dtype=dtype)
+        cand = dict(cand, valid=cand["valid"] & (idx >= start))
+        st, stats = update_hash_grid(st, cand, cfg)
+        return st, stats
+
+    idxs = jnp.arange(images.shape[0], dtype=jnp.int32)
+    final, stats = jax.lax.scan(step, state, (idxs, images, transforms))
+    return final, stats
+
+
+@partial(jax.jit, static_argnames=("tables", "spec", "cfg", "dtype"))
+def scan_pings_dense(
+    state,
+    images: jnp.ndarray,
+    transforms: jnp.ndarray,
+    *,
+    tables: FanTables,
+    spec: DenseGridSpec,
+    cfg: MapperConfig,
+    dtype=jnp.float32,
+):
+    """Whole ping sequence -> dense bounded map, as one XLA program."""
+
+    def step(carry, inp):
+        image, T = inp
+        cand = backproject_ping(image, T, tables, cfg, dtype=dtype)
+        st, stats = update_dense_grid(carry, cand, spec, cfg)
+        return st, stats
+
+    return jax.lax.scan(step, state, (images, transforms))
+
+
+# ---------------------------------------------------------------------------
+# Host wrapper: end-to-end sequence mapping with hash growth + replay
+# ---------------------------------------------------------------------------
+
+def map_ping_sequence(
+    images: np.ndarray,
+    positions: np.ndarray,
+    quaternions: np.ndarray,
+    cfg: Optional[MapperConfig] = None,
+    *,
+    backend: str = "hash",
+    initial_capacity: int = 1 << 20,
+    dense_spec: Optional[DenseGridSpec] = None,
+    state: Optional[Any] = None,
+    dtype=jnp.float32,
+    max_grow_retries: int = 12,
+) -> Tuple[Any, Dict[str, np.ndarray]]:
+    """Map a whole recorded ping sequence in one (or, after growth, few) scans.
+
+    Args:
+      images: (P, range_bins, bearing_bins) polar intensity images.
+      positions / quaternions: (P, 3) and (P, 4) odometry poses
+        (reference /fast_lio/odometry stream).
+      state: resume from an existing map state (default: fresh).
+
+    Returns (final_state, per-ping stats dict of (P,) arrays).
+    """
+    cfg = cfg or MapperConfig()
+    images = np.asarray(images)
+    P, R, B = images.shape
+    tables = build_fan_tables(cfg, R, B)
+    T = batched_sonar_to_world(positions, quaternions, cfg)
+
+    images_dev = jnp.asarray(images)
+    T_dev = jnp.asarray(T, dtype)
+
+    if backend == "dense":
+        if dense_spec is None:
+            reach = cfg.max_range + 2.0
+            dense_spec = DenseGridSpec.for_world_bounds(
+                (-reach,) * 3, (reach,) * 3, cfg.voxel_resolution
+            )
+        st = state if state is not None else init_dense_grid(dense_spec, dtype)
+        st, stats = scan_pings_dense(
+            st, images_dev, T_dev, tables=tables, spec=dense_spec, cfg=cfg,
+            dtype=dtype,
+        )
+        return st, {k: np.asarray(v) for k, v in stats.items()}
+
+    if backend != "hash":
+        raise ValueError(f"unknown backend {backend!r}")
+
+    st = state if state is not None else init_hash_grid(initial_capacity, dtype)
+    merged: Dict[str, np.ndarray] = {}
+    start = 0
+    for _ in range(max_grow_retries):
+        new_st, stats = scan_pings_hash(
+            st, images_dev, T_dev, jnp.int32(start),
+            tables=tables, cfg=cfg, dtype=dtype,
+        )
+        over = np.asarray(stats["overflowed"])
+        # merge this attempt's stats for frames it actually applied
+        applied_hi = P if not over.any() else int(np.argmax(over))
+        for k, v in stats.items():
+            arr = merged.setdefault(
+                k, np.zeros((P,), np.asarray(v).dtype)
+            )
+            arr[start:applied_hi] = np.asarray(v)[start:applied_hi]
+        if not over.any():
+            return new_st, merged
+        # grow and replay from the first failed frame
+        start = applied_hi
+        st = rehash(new_st, new_capacity=new_st.keys.shape[0] * 2)
+    raise RuntimeError(
+        f"hash capacity growth did not converge after {max_grow_retries} retries"
+    )

@@ -1,0 +1,139 @@
+"""Sequence pipeline (lax.scan over pings) vs the golden oracle."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from sonar_3d_reconstruction_tpu.golden import GoldenMapper
+from sonar_3d_reconstruction_tpu.grid.hash import EMPTY
+from sonar_3d_reconstruction_tpu.pipeline import (
+    batched_sonar_to_world,
+    map_ping_sequence,
+)
+
+from conftest import circular_trajectory, synthetic_ping
+
+
+def hash_state_to_dict(state):
+    keys = np.asarray(state.keys)
+    lo = np.asarray(state.log_odds)
+    mask = keys[:, 0] != EMPTY
+    return {tuple(k): v for k, v in zip(keys[mask], lo[mask])}
+
+
+def golden_run(cfg, images, positions, quats):
+    g = GoldenMapper(cfg)
+    for img, p, q in zip(images, positions, quats):
+        g.process_ping(img, p, q)
+    return g
+
+
+def make_sequence(cfg, n, seed=0):
+    images = np.stack(
+        [synthetic_ping(cfg.image_height, cfg.image_width, seed=seed + i)
+         for i in range(n)]
+    )
+    positions, quats = circular_trajectory(n, radius=0.8)
+    return images, positions, quats
+
+
+def test_scan_matches_golden_parity(small_cfg):
+    """Full-sequence scan must hit the 1e-5 occupancy parity bar (BASELINE)."""
+    cfg = small_cfg
+    images, positions, quats = make_sequence(cfg, 8, seed=10)
+    state, stats = map_ping_sequence(
+        images, positions, quats, cfg,
+        initial_capacity=1 << 13, dtype=jnp.float64,
+    )
+    g = golden_run(cfg, images, positions, quats)
+
+    got = hash_state_to_dict(state)
+    assert len(got) == len(g.map.log_odds)
+    for key, lo_gold in g.map.log_odds.items():
+        p_gold = 1.0 / (1.0 + np.exp(-lo_gold))
+        p_got = 1.0 / (1.0 + np.exp(-got[key]))
+        assert abs(p_got - p_gold) < 1e-5, (key, p_got, p_gold)
+
+
+def test_scan_per_frame_stats(small_cfg):
+    cfg = small_cfg
+    images, positions, quats = make_sequence(cfg, 5, seed=20)
+    state, stats = map_ping_sequence(
+        images, positions, quats, cfg,
+        initial_capacity=1 << 13, dtype=jnp.float64,
+    )
+    g = GoldenMapper(cfg)
+    for i in range(5):
+        gs = g.process_ping(images[i], positions[i], quats[i])
+        assert int(stats["num_occupied"][i]) == gs["num_occupied"]
+        assert int(stats["num_free"][i]) == gs["num_free"]
+    assert not stats["overflowed"].any()
+
+
+def test_scan_growth_and_replay(small_cfg):
+    """Start under-capacity: the host wrapper must grow + replay and converge
+    to the exact same map as an amply-sized run."""
+    cfg = small_cfg
+    images, positions, quats = make_sequence(cfg, 6, seed=30)
+    small, _ = map_ping_sequence(
+        images, positions, quats, cfg,
+        initial_capacity=1 << 6, dtype=jnp.float64,
+    )
+    big, _ = map_ping_sequence(
+        images, positions, quats, cfg,
+        initial_capacity=1 << 14, dtype=jnp.float64,
+    )
+    assert small.keys.shape[0] > 1 << 6
+    assert not bool(small.poisoned)
+    a, b = hash_state_to_dict(small), hash_state_to_dict(big)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-12
+
+
+def test_scan_resume_from_state(small_cfg):
+    """Mapping a sequence in two halves from carried state equals one shot."""
+    cfg = small_cfg
+    images, positions, quats = make_sequence(cfg, 6, seed=40)
+    full, _ = map_ping_sequence(
+        images, positions, quats, cfg, initial_capacity=1 << 13,
+        dtype=jnp.float64,
+    )
+    st, _ = map_ping_sequence(
+        images[:3], positions[:3], quats[:3], cfg,
+        initial_capacity=1 << 13, dtype=jnp.float64,
+    )
+    st, _ = map_ping_sequence(
+        images[3:], positions[3:], quats[3:], cfg, state=st,
+        dtype=jnp.float64,
+    )
+    a, b = hash_state_to_dict(st), hash_state_to_dict(full)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-12
+
+
+def test_batched_pose_chain_matches_scalar(small_cfg):
+    from sonar_3d_reconstruction_tpu.geometry import (
+        pose_matrix_from_quaternion,
+        pose_matrix_from_rpy,
+    )
+
+    cfg = small_cfg
+    positions, quats = circular_trajectory(7)
+    T = batched_sonar_to_world(positions, quats, cfg)
+    T_s2b = pose_matrix_from_rpy(
+        np.asarray(cfg.sonar_position), np.asarray(cfg.sonar_orientation)
+    )
+    for i in range(7):
+        expect = pose_matrix_from_quaternion(positions[i], quats[i]) @ T_s2b
+        np.testing.assert_allclose(T[i], expect, atol=1e-12)
+
+
+def test_dense_backend_scan(small_cfg):
+    cfg = small_cfg
+    images, positions, quats = make_sequence(cfg, 4, seed=50)
+    state, stats = map_ping_sequence(
+        images, positions, quats, cfg, backend="dense", dtype=jnp.float64,
+    )
+    g = golden_run(cfg, images, positions, quats)
+    assert int(np.asarray(state.touched).sum()) == len(g.map.log_odds)

@@ -1,0 +1,131 @@
+"""Multi-chip sharded map on the 8-virtual-device CPU mesh vs single-chip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sonar_3d_reconstruction_tpu.grid.hash import EMPTY
+from sonar_3d_reconstruction_tpu.ops.backproject import build_fan_tables
+from sonar_3d_reconstruction_tpu.parallel.shard import (
+    gather_sharded_state,
+    init_sharded_hash_grid,
+    make_mesh,
+    make_scan_pings_sharded,
+    owner_shard,
+    scan_pings_sharded,
+)
+from sonar_3d_reconstruction_tpu.pipeline import (
+    batched_sonar_to_world,
+    map_ping_sequence,
+)
+
+from conftest import circular_trajectory, synthetic_ping
+
+
+def sharded_to_dict(state):
+    keys, lo = gather_sharded_state(state)
+    mask = keys[:, 0] != EMPTY
+    return {tuple(k): v for k, v in zip(keys[mask], lo[mask])}
+
+
+def single_to_dict(state):
+    keys = np.asarray(state.keys)
+    lo = np.asarray(state.log_odds)
+    mask = keys[:, 0] != EMPTY
+    return {tuple(k): v for k, v in zip(keys[mask], lo[mask])}
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_owner_shard_partition():
+    keys = jnp.asarray(
+        np.random.default_rng(0).integers(-100, 100, size=(1000, 3)), jnp.int32
+    )
+    owners = np.asarray(owner_shard(keys, 8))
+    assert owners.min() >= 0 and owners.max() < 8
+    # roughly uniform: no shard owns more than half
+    counts = np.bincount(owners, minlength=8)
+    assert counts.max() < 500
+
+
+def test_sharded_scan_matches_single_chip(small_cfg):
+    cfg = small_cfg
+    n = 5
+    images = np.stack(
+        [synthetic_ping(cfg.image_height, cfg.image_width, seed=60 + i)
+         for i in range(n)]
+    )
+    positions, quats = circular_trajectory(n, radius=0.8)
+    T = batched_sonar_to_world(positions, quats, cfg)
+
+    mesh = make_mesh()
+    tables = build_fan_tables(cfg, cfg.image_height, cfg.image_width)
+    st = init_sharded_hash_grid(mesh, local_capacity=1 << 11, dtype=jnp.float64)
+    st, stats = scan_pings_sharded(
+        st, jnp.asarray(images), jnp.asarray(T, jnp.float64), mesh, tables, cfg,
+        dtype=jnp.float64,
+    )
+    assert not np.asarray(stats["overflowed"]).any()
+
+    single, _ = map_ping_sequence(
+        images, positions, quats, cfg, initial_capacity=1 << 14,
+        dtype=jnp.float64,
+    )
+    a, b = sharded_to_dict(st), single_to_dict(single)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-9
+
+
+def test_sharded_overflow_rejects_frame_atomically(small_cfg):
+    """With a tiny per-shard capacity the frame must be rejected on EVERY
+    shard (poisoned everywhere), leaving the map state untouched."""
+    cfg = small_cfg
+    images = np.stack(
+        [synthetic_ping(cfg.image_height, cfg.image_width, seed=70)]
+    )
+    positions = np.zeros((1, 3))
+    quats = np.array([[0.0, 0.0, 0.0, 1.0]])
+    T = batched_sonar_to_world(positions, quats, cfg)
+
+    mesh = make_mesh()
+    tables = build_fan_tables(cfg, cfg.image_height, cfg.image_width)
+    st = init_sharded_hash_grid(mesh, local_capacity=1 << 3, dtype=jnp.float64)
+    st, stats = scan_pings_sharded(
+        st, jnp.asarray(images), jnp.asarray(T, jnp.float64), mesh, tables, cfg,
+        dtype=jnp.float64,
+    )
+    assert np.asarray(stats["overflowed"]).all()
+    assert np.asarray(st.poisoned).all()
+    assert (np.asarray(st.keys) == EMPTY).all()
+
+
+def test_sharded_replay_start_skips_frames(small_cfg):
+    """start=k makes frames < k no-ops (growth-replay contract)."""
+    cfg = small_cfg
+    n = 4
+    images = np.stack(
+        [synthetic_ping(cfg.image_height, cfg.image_width, seed=80 + i)
+         for i in range(n)]
+    )
+    positions, quats = circular_trajectory(n)
+    T = batched_sonar_to_world(positions, quats, cfg)
+
+    mesh = make_mesh()
+    tables = build_fan_tables(cfg, cfg.image_height, cfg.image_width)
+    scan = make_scan_pings_sharded(mesh, tables, cfg, dtype=jnp.float64)
+
+    st0 = init_sharded_hash_grid(mesh, local_capacity=1 << 11, dtype=jnp.float64)
+    st_skip, _ = scan(
+        st0, jnp.asarray(images), jnp.asarray(T, jnp.float64), jnp.int32(2)
+    )
+    st_tail, _ = scan(
+        st0, jnp.asarray(images[2:]), jnp.asarray(T[2:], jnp.float64),
+        jnp.int32(0),
+    )
+    a, b = sharded_to_dict(st_skip), sharded_to_dict(st_tail)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-12
