@@ -1,0 +1,191 @@
+"""Command-line interface.
+
+Replaces the reference's launch-file orchestration (launch/3d_mapping.launch.py)
+for the non-ROS workflow:
+
+  python -m sonar_3d_reconstruction_tpu selftest
+      The reference library self-test scenario (scripts/3d_mapper.py:653-683):
+      synthetic two-rectangle image, 3 frames stepping x by 0.1 m.
+
+  python -m sonar_3d_reconstruction_tpu map-bag BAG.db3 [--config YAML]
+      [--save-map out.npz] [--save-cloud out.pc2] [--chunk N]
+      Offline replay of a rosbag2 recording through the full streaming stack
+      (time sync, decode, chunked device mapping).
+
+  python -m sonar_3d_reconstruction_tpu make-bag OUT.db3 [--pings N]
+      Generate a synthetic KIRO-style recording (test fixture; the real
+      dataset is not distributable).
+
+  python -m sonar_3d_reconstruction_tpu bench
+      Run the headline benchmark (same as bench.py at the repo root).
+
+Config layering matches the reference minus the launch level:
+CLI --param overrides > --config YAML > library defaults (SURVEY.md 5.6).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+
+def _parse_overrides(pairs: List[str]) -> Dict:
+    out: Dict = {}
+    for p in pairs:
+        if "=" not in p:
+            raise SystemExit(f"--param expects key=value, got {p!r}")
+        k, v = p.split("=", 1)
+        try:
+            out[k] = json.loads(v)
+        except json.JSONDecodeError:
+            out[k] = v
+    return out
+
+
+def cmd_selftest(args: argparse.Namespace) -> int:
+    from sonar_3d_reconstruction_tpu.models import SonarMapper
+
+    mapper = SonarMapper(
+        {
+            "voxel_resolution": 0.1,
+            "min_probability": 0.6,
+            "intensity_threshold": 30,
+        }
+    )
+    img = np.zeros((500, 512), np.uint8)
+    img[100:150, 200:300] = 100   # bright region (reference :667-669)
+    img[300:350, 100:200] = 150
+    for i in range(3):
+        stats = mapper.process_sonar_image(
+            img, [i * 0.1, 0.0, 0.0], [0.0, 0.0, 0.0, 1.0]
+        )
+        print(
+            f"frame {stats['frame_count']}: occupied={stats['num_occupied']} "
+            f"free={stats['num_free']} voxels={stats['num_voxels']} "
+            f"({stats['processing_time'] * 1e3:.1f} ms)"
+        )
+    cloud = mapper.get_point_cloud()
+    print(
+        f"final map: {cloud['num_occupied']} occupied of "
+        f"{cloud['num_voxels']} voxels"
+    )
+    return 0
+
+
+def cmd_map_bag(args: argparse.Namespace) -> int:
+    import jax.numpy as jnp
+
+    from sonar_3d_reconstruction_tpu.config import load_config
+    from sonar_3d_reconstruction_tpu.stream import StreamingMapper
+
+    overrides = _parse_overrides(args.param)
+    cfg, stream_cfg = load_config(args.config, overrides)
+
+    published = []
+    mapper = StreamingMapper(
+        cfg,
+        stream_cfg,
+        chunk_size=args.chunk,
+        dtype=jnp.float32,
+        publish=published.append if args.save_cloud else None,
+    )
+    t0 = time.perf_counter()
+    stats = mapper.run_bag(args.bag)
+    wall = time.perf_counter() - t0
+    s = stats.summary()
+    s["wall_time"] = wall
+    s["pings_per_sec"] = stats.frames_mapped / wall if wall else 0.0
+    print(json.dumps(s, default=float))
+
+    if args.save_map:
+        from sonar_3d_reconstruction_tpu.io.checkpoint import save_map
+
+        save_map(args.save_map, mapper.state, cfg)
+        print(f"map snapshot -> {args.save_map}", file=sys.stderr)
+    if args.save_cloud:
+        msg = mapper.pointcloud_msg()
+        with open(args.save_cloud, "wb") as f:
+            f.write(msg["data"])
+        print(
+            f"final cloud ({msg['width']} points, XYZI f32) -> {args.save_cloud}",
+            file=sys.stderr,
+        )
+    return 0
+
+
+def cmd_make_bag(args: argparse.Namespace) -> int:
+    from sonar_3d_reconstruction_tpu.io.bag import write_synthetic_bag
+
+    rng = np.random.default_rng(args.seed)
+    n, R, B = args.pings, args.range_bins, args.bearing_bins
+    images = rng.integers(0, 25, size=(n, R, B)).astype(np.uint8)
+    for i in range(n):
+        r0 = int(R * 0.3) + int(R * 0.08 * np.sin(i / 7.0))
+        images[i, r0 : r0 + int(R * 0.08), :] = rng.integers(
+            80, 220, size=(int(R * 0.08), B)
+        ).astype(np.uint8)
+    positions = np.stack(
+        [0.08 * np.arange(n), np.zeros(n), np.zeros(n)], axis=-1
+    )
+    yaw = 0.02 * np.arange(n)
+    quats = np.stack(
+        [np.zeros(n), np.zeros(n), np.sin(yaw / 2), np.cos(yaw / 2)], axis=-1
+    )
+    write_synthetic_bag(args.out, images, positions, quats, rate_hz=args.rate)
+    print(f"synthetic bag: {n} pings ({R}x{B}) -> {args.out}")
+    return 0
+
+
+def cmd_bench(args: argparse.Namespace) -> int:
+    import bench  # repo-root bench.py
+
+    bench.main()
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="sonar_3d_reconstruction_tpu", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("selftest", help="reference __main__ scenario")
+
+    p = sub.add_parser("map-bag", help="offline rosbag2 replay -> map")
+    p.add_argument("bag")
+    p.add_argument("--config", default=None, help="reference-schema YAML")
+    p.add_argument(
+        "--param", action="append", default=[], metavar="KEY=VALUE",
+        help="config override (highest priority), repeatable",
+    )
+    p.add_argument("--chunk", type=int, default=32)
+    p.add_argument("--save-map", default=None, metavar="OUT.npz")
+    p.add_argument("--save-cloud", default=None, metavar="OUT.pc2")
+
+    p = sub.add_parser("make-bag", help="generate a synthetic recording")
+    p.add_argument("out")
+    p.add_argument("--pings", type=int, default=60)
+    p.add_argument("--range-bins", type=int, default=500)
+    p.add_argument("--bearing-bins", type=int, default=512)
+    p.add_argument("--rate", type=float, default=2.0)
+    p.add_argument("--seed", type=int, default=0)
+
+    sub.add_parser("bench", help="headline benchmark (one JSON line)")
+
+    args = parser.parse_args(argv)
+    return {
+        "selftest": cmd_selftest,
+        "map-bag": cmd_map_bag,
+        "make-bag": cmd_make_bag,
+        "bench": cmd_bench,
+    }[args.cmd](args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -15,8 +15,9 @@ of their key; a batch of candidates scatter-writes whole key ROWS into empty
 slots (one scatter op, so concurrent claims of one slot have exactly one
 winner), then re-reads the slot — if the winner holds OUR key (either we won
 or a duplicate of us did), the slot is resolved; otherwise probing continues.
-Terminates in O(expected probe length) lax.while_loop iterations at the
-load factors we maintain (<= 0.5).
+The probe loop is a fully-unrolled STATIC sequence of MAX_PROBES rounds (a
+data-dependent while_loop is ~1000x slower on the TPU runtime, see the
+MAX_PROBES note) at the load factors we maintain (<= 0.25).
 
 Growth: static capacity with host-side rehash — when the load factor trips or
 a frame overflows the probe budget, the host doubles capacity (a new jitted
@@ -52,9 +53,15 @@ EMPTY = np.int32(0x7FFFFFFF)
 # Teschner et al. spatial hash primes (public-domain constant choice).
 _P1, _P2, _P3 = np.uint32(73856093), np.uint32(19349663), np.uint32(83492791)
 
-# Probe budget per find-or-insert; beyond this the frame reports overflow and
-# the host grows the table.
-MAX_PROBES = 64
+# STATIC probe budget per find-or-insert; beyond this the frame reports
+# overflow and the host grows the table.  Deliberately small and fully
+# unrolled: a data-dependent `lax.while_loop` costs ~46 ms PER ITERATION on
+# the TPU runtime (host-synced trip count), while the same body unrolled runs
+# at ~30 us — measured 186 ms -> 0.3 ms for one real ping.  At the load
+# factors we maintain (<= 0.25, see models/mapper.py) linear-probe chains
+# longer than 8 are vanishingly rare; when one occurs the host doubles
+# capacity and replays the frame, exactly like a load-factor trip.
+MAX_PROBES = 8
 
 
 class HashGridState(NamedTuple):
@@ -81,11 +88,30 @@ def init_hash_grid(capacity: int = 1 << 20, dtype=jnp.float32) -> HashGridState:
     )
 
 
+def _mix(h: jnp.ndarray) -> jnp.ndarray:
+    """murmur3-style 32-bit avalanche finalizer: the low bits (used as the
+    slot index) must depend on every input bit — the raw prime-product XOR
+    clusters badly for the spatially contiguous keys a real ping produces
+    (measured: probe chains > 8 at 14% load without this)."""
+    h = (h ^ (h >> 16)) * jnp.uint32(0x85EBCA6B)
+    h = (h ^ (h >> 13)) * jnp.uint32(0xC2B2AE35)
+    return h ^ (h >> 16)
+
+
 def spatial_hash(keys: jnp.ndarray, capacity: int) -> jnp.ndarray:
     """(N, 3) int32 voxel keys -> (N,) uint32 slot in [0, capacity)."""
     k = keys.astype(jnp.uint32)
-    h = (k[..., 0] * _P1) ^ (k[..., 1] * _P2) ^ (k[..., 2] * _P3)
+    h = _mix((k[..., 0] * _P1) ^ (k[..., 1] * _P2) ^ (k[..., 2] * _P3))
     return h & jnp.uint32(capacity - 1)
+
+
+def probe_stride(keys: jnp.ndarray, capacity: int) -> jnp.ndarray:
+    """Odd per-key probe stride (double hashing). Any odd stride is coprime
+    with the power-of-two capacity, so the probe sequence visits distinct
+    slots; double hashing breaks the primary clustering of linear probing."""
+    k = keys.astype(jnp.uint32)
+    h = _mix((k[..., 0] * _P3) ^ (k[..., 1] * _P1) ^ (k[..., 2] * _P2))
+    return ((h >> 15) | jnp.uint32(1)) & jnp.uint32(capacity - 1)
 
 
 def find_or_insert(
@@ -106,15 +132,14 @@ def find_or_insert(
     capacity = table_keys.shape[0]
     n = cand_keys.shape[0]
     h0 = spatial_hash(cand_keys, capacity).astype(jnp.int32)
+    stride = probe_stride(cand_keys, capacity).astype(jnp.int32)
     dump = jnp.int32(capacity)
 
-    def cond(carry):
-        _, _, pending, probe = carry
-        return jnp.logical_and(probe < MAX_PROBES, jnp.any(pending))
-
-    def body(carry):
-        tbl, slots, pending, probe = carry
-        slot = (h0 + probe) & (capacity - 1)
+    tbl = table_keys
+    slots = jnp.full((n,), dump, jnp.int32)
+    pending = active
+    for probe in range(MAX_PROBES):  # static unroll — see MAX_PROBES note
+        slot = (h0 + probe * stride) & (capacity - 1)
         # claim empty slots for pending candidates (single row scatter ->
         # one winner per slot even with duplicate indices)
         cur = tbl[slot]  # (N, 3)
@@ -126,12 +151,7 @@ def find_or_insert(
         mine = jnp.all(now == cand_keys, axis=-1)
         resolved = pending & mine
         slots = jnp.where(resolved, slot, slots)
-        return tbl, slots, pending & ~mine, probe + 1
-
-    slots0 = jnp.full((n,), dump, jnp.int32)
-    tbl, slots, pending, _ = jax.lax.while_loop(
-        cond, body, (table_keys, slots0, active, jnp.int32(0))
-    )
+        pending = pending & ~mine
     return tbl, slots, jnp.any(pending)
 
 
@@ -219,13 +239,9 @@ def update_hash_grid(
 
 
 @partial(jax.jit, static_argnames=("new_capacity",))
-def rehash(state: HashGridState, new_capacity: int) -> HashGridState:
-    """Re-insert every occupied slot into a larger table (host-triggered grow).
-
-    Existing keys are unique, so every insert succeeds well within the probe
-    budget at load <= 0.5; the result keeps log-odds and bounds, clears
-    ``poisoned`` so the failed frame can be replayed.
-    """
+def _rehash_once(state: HashGridState, new_capacity: int):
+    """Re-insert every occupied slot into a new table of the given capacity.
+    Returns (state, overflowed); on overflow the result table is invalid."""
     occupied = state.keys[:, 0] != EMPTY
     new_keys = jnp.full((new_capacity, 3), EMPTY, jnp.int32)
     # inactive rows carry EMPTY keys; route them to the dump slot
@@ -234,15 +250,29 @@ def rehash(state: HashGridState, new_capacity: int) -> HashGridState:
     new_lo = jnp.zeros((new_capacity,), state.log_odds.dtype).at[lin].set(
         state.log_odds, mode="drop"
     )
-    del overflowed  # cannot fire at load <= 0.5 with unique keys
-    return HashGridState(
-        keys=tbl,
-        log_odds=new_lo,
-        min_bounds=state.min_bounds,
-        max_bounds=state.max_bounds,
-        used=state.used,
-        poisoned=jnp.zeros((), bool),
+    return (
+        HashGridState(
+            keys=tbl,
+            log_odds=new_lo,
+            min_bounds=state.min_bounds,
+            max_bounds=state.max_bounds,
+            used=state.used,
+            poisoned=jnp.zeros((), bool),
+        ),
+        overflowed,
     )
+
+
+def rehash(state: HashGridState, new_capacity: int) -> HashGridState:
+    """Host-triggered grow: re-insert into a larger table, clearing
+    ``poisoned`` so the failed frame can be replayed.  In the (rare) event a
+    unique existing key still exhausts the static probe budget, capacity
+    doubles again until the rehash fits."""
+    while True:
+        new_state, overflowed = _rehash_once(state, new_capacity=new_capacity)
+        if not bool(overflowed):
+            return new_state
+        new_capacity *= 2
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,379 @@
+"""rosbag2 (sqlite3) reading/writing without ROS.
+
+The reference replays recorded experiments with ``ros2 bag play`` (reference
+launch/3d_mapping.launch.py:167-171; the KIRO water-tank dataset,
+config/3d_mapper.yaml:83).  This module reads the same bag format directly:
+the rosbag2 sqlite3 schema (``topics`` + ``messages`` tables) and CDR
+(XCDR1) deserialization of the two message types the mapper consumes —
+``sensor_msgs/msg/Image`` and ``nav_msgs/msg/Odometry``.
+
+A writer for the same subset doubles as the synthetic-fixture generator the
+test suite uses in place of the (unavailable) KIRO dataset (SURVEY.md 4d).
+"""
+
+from __future__ import annotations
+
+import sqlite3
+import struct
+from dataclasses import dataclass, field
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+IMAGE_TYPE = "sensor_msgs/msg/Image"
+ODOMETRY_TYPE = "nav_msgs/msg/Odometry"
+
+# ---------------------------------------------------------------------------
+# CDR (XCDR1, little-endian) primitives
+# ---------------------------------------------------------------------------
+
+
+class _CdrReader:
+    """Little-endian XCDR1 reader. Alignment is relative to the payload start
+    (byte 4 of the serialized blob, after the encapsulation header)."""
+
+    def __init__(self, data: bytes):
+        assert len(data) >= 4, "truncated CDR blob"
+        # encapsulation: {representation id, options}; 0x0001 = CDR_LE
+        assert data[1] in (0x00, 0x01), f"unsupported CDR representation {data[:2]!r}"
+        self.little = data[1] == 0x01
+        self.buf = memoryview(data)[4:]
+        self.pos = 0
+
+    def _align(self, size: int) -> None:
+        rem = self.pos % size
+        if rem:
+            self.pos += size - rem
+
+    def _unpack(self, fmt: str, size: int):
+        self._align(size)
+        (v,) = struct.unpack_from(("<" if self.little else ">") + fmt, self.buf, self.pos)
+        self.pos += size
+        return v
+
+    def uint8(self) -> int:
+        return self._unpack("B", 1)
+
+    def int32(self) -> int:
+        return self._unpack("i", 4)
+
+    def uint32(self) -> int:
+        return self._unpack("I", 4)
+
+    def float64(self) -> float:
+        return self._unpack("d", 8)
+
+    def string(self) -> str:
+        n = self.uint32()  # length INCLUDING the null terminator
+        s = bytes(self.buf[self.pos : self.pos + n - 1]).decode("utf-8")
+        self.pos += n
+        return s
+
+    def bytes_seq(self) -> bytes:
+        n = self.uint32()
+        b = bytes(self.buf[self.pos : self.pos + n])
+        self.pos += n
+        return b
+
+    def float64_array(self, n: int) -> np.ndarray:
+        self._align(8)
+        out = np.frombuffer(self.buf, "<f8" if self.little else ">f8",
+                            count=n, offset=self.pos)
+        self.pos += 8 * n
+        return out
+
+
+class _CdrWriter:
+    def __init__(self) -> None:
+        self.chunks: List[bytes] = [b"\x00\x01\x00\x00"]  # CDR_LE
+        self.pos = 0
+
+    def _align(self, size: int) -> None:
+        rem = self.pos % size
+        if rem:
+            pad = size - rem
+            self.chunks.append(b"\x00" * pad)
+            self.pos += pad
+
+    def _pack(self, fmt: str, size: int, v) -> None:
+        self._align(size)
+        self.chunks.append(struct.pack("<" + fmt, v))
+        self.pos += size
+
+    def uint8(self, v: int) -> None:
+        self._pack("B", 1, v)
+
+    def int32(self, v: int) -> None:
+        self._pack("i", 4, v)
+
+    def uint32(self, v: int) -> None:
+        self._pack("I", 4, v)
+
+    def float64(self, v: float) -> None:
+        self._pack("d", 8, v)
+
+    def string(self, s: str) -> None:
+        b = s.encode("utf-8") + b"\x00"
+        self.uint32(len(b))
+        self.chunks.append(b)
+        self.pos += len(b)
+
+    def bytes_seq(self, b: bytes) -> None:
+        self.uint32(len(b))
+        self.chunks.append(bytes(b))
+        self.pos += len(b)
+
+    def float64_array(self, arr) -> None:
+        self._align(8)
+        b = np.asarray(arr, "<f8").tobytes()
+        self.chunks.append(b)
+        self.pos += len(b)
+
+    def getvalue(self) -> bytes:
+        return b"".join(self.chunks)
+
+
+# ---------------------------------------------------------------------------
+# Message (de)serialization — exactly the fields the mapper consumes
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ImageMsg:
+    stamp: float            # header.stamp as float seconds
+    frame_id: str
+    height: int
+    width: int
+    encoding: str
+    is_bigendian: bool
+    step: int
+    data: bytes
+
+
+@dataclass
+class OdometryMsg:
+    stamp: float
+    frame_id: str
+    child_frame_id: str
+    position: np.ndarray      # (3,)
+    orientation: np.ndarray   # (4,) xyzw
+    pose_covariance: np.ndarray = field(
+        default_factory=lambda: np.zeros(36)
+    )
+
+
+def _read_header(r: _CdrReader) -> Tuple[float, str]:
+    sec, nsec = r.int32(), r.uint32()
+    return sec + nsec * 1e-9, r.string()
+
+
+def _write_header(w: _CdrWriter, stamp: float, frame_id: str) -> None:
+    sec = int(stamp)
+    nsec = int(round((stamp - sec) * 1e9))
+    if nsec >= 1_000_000_000:
+        sec, nsec = sec + 1, nsec - 1_000_000_000
+    w.int32(sec)
+    w.uint32(nsec)
+    w.string(frame_id)
+
+
+def decode_image_msg(blob: bytes) -> ImageMsg:
+    r = _CdrReader(blob)
+    stamp, frame_id = _read_header(r)
+    height, width = r.uint32(), r.uint32()
+    encoding = r.string()
+    is_bigendian = bool(r.uint8())
+    step = r.uint32()
+    data = r.bytes_seq()
+    return ImageMsg(stamp, frame_id, height, width, encoding, is_bigendian, step, data)
+
+
+def encode_image_msg(m: ImageMsg) -> bytes:
+    w = _CdrWriter()
+    _write_header(w, m.stamp, m.frame_id)
+    w.uint32(m.height)
+    w.uint32(m.width)
+    w.string(m.encoding)
+    w.uint8(1 if m.is_bigendian else 0)
+    w.uint32(m.step)
+    w.bytes_seq(m.data)
+    return w.getvalue()
+
+
+def decode_odometry_msg(blob: bytes) -> OdometryMsg:
+    r = _CdrReader(blob)
+    stamp, frame_id = _read_header(r)
+    child = r.string()
+    pos = np.array([r.float64(), r.float64(), r.float64()])
+    quat = np.array([r.float64(), r.float64(), r.float64(), r.float64()])
+    cov = r.float64_array(36).copy()
+    # twist follows; the mapper ignores it (reference node:319-330 reads pose only)
+    return OdometryMsg(stamp, frame_id, child, pos, quat, cov)
+
+
+def encode_odometry_msg(m: OdometryMsg) -> bytes:
+    w = _CdrWriter()
+    _write_header(w, m.stamp, m.frame_id)
+    w.string(m.child_frame_id)
+    for v in m.position:
+        w.float64(float(v))
+    for v in m.orientation:
+        w.float64(float(v))
+    w.float64_array(m.pose_covariance)
+    # twist: zero linear+angular + zero covariance
+    w.float64_array(np.zeros(6))
+    w.float64_array(np.zeros(36))
+    return w.getvalue()
+
+
+# ---------------------------------------------------------------------------
+# rosbag2 sqlite3 container
+# ---------------------------------------------------------------------------
+
+
+class BagReader:
+    """Reads Image / Odometry messages from a rosbag2 ``.db3`` file."""
+
+    def __init__(self, path: str):
+        self.conn = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+        self.topics: Dict[int, Tuple[str, str]] = {}
+        for tid, name, typ in self.conn.execute(
+            "SELECT id, name, type FROM topics"
+        ):
+            self.topics[tid] = (name, typ)
+
+    def topic_names(self) -> Dict[str, str]:
+        return {name: typ for name, typ in self.topics.values()}
+
+    def messages(
+        self, topic_names: Optional[List[str]] = None
+    ) -> Iterator[Tuple[str, float, object]]:
+        """Yield (topic, bag_timestamp_sec, decoded_msg) in time order.
+        Only Image/Odometry topics are decoded; others are skipped."""
+        wanted = {
+            tid: (name, typ)
+            for tid, (name, typ) in self.topics.items()
+            if (topic_names is None or name in topic_names)
+            and typ in (IMAGE_TYPE, ODOMETRY_TYPE)
+        }
+        if not wanted:
+            return
+        placeholders = ",".join("?" * len(wanted))
+        for tid, ts, blob in self.conn.execute(
+            f"SELECT topic_id, timestamp, data FROM messages "
+            f"WHERE topic_id IN ({placeholders}) ORDER BY timestamp",
+            list(wanted),
+        ):
+            name, typ = wanted[tid]
+            msg = (
+                decode_image_msg(blob)
+                if typ == IMAGE_TYPE
+                else decode_odometry_msg(blob)
+            )
+            yield name, ts * 1e-9, msg
+
+    def close(self) -> None:
+        self.conn.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class BagWriter:
+    """Writes a minimal rosbag2-schema ``.db3`` (synthetic fixtures)."""
+
+    def __init__(self, path: str):
+        self.conn = sqlite3.connect(path)
+        c = self.conn
+        c.execute(
+            "CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT NOT NULL, "
+            "type TEXT NOT NULL, serialization_format TEXT NOT NULL, "
+            "offered_qos_profiles TEXT NOT NULL)"
+        )
+        c.execute(
+            "CREATE TABLE messages(id INTEGER PRIMARY KEY, "
+            "topic_id INTEGER NOT NULL, timestamp INTEGER NOT NULL, "
+            "data BLOB NOT NULL)"
+        )
+        self._topic_ids: Dict[str, int] = {}
+
+    def add_topic(self, name: str, typ: str) -> int:
+        tid = len(self._topic_ids) + 1
+        self.conn.execute(
+            "INSERT INTO topics VALUES (?, ?, ?, 'cdr', '')", (tid, name, typ)
+        )
+        self._topic_ids[name] = tid
+        return tid
+
+    def write(self, topic: str, stamp_sec: float, msg) -> None:
+        blob = (
+            encode_image_msg(msg)
+            if isinstance(msg, ImageMsg)
+            else encode_odometry_msg(msg)
+        )
+        self.conn.execute(
+            "INSERT INTO messages(topic_id, timestamp, data) VALUES (?, ?, ?)",
+            (self._topic_ids[topic], int(round(stamp_sec * 1e9)), blob),
+        )
+
+    def close(self) -> None:
+        self.conn.commit()
+        self.conn.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def write_synthetic_bag(
+    path: str,
+    images: np.ndarray,
+    positions: np.ndarray,
+    quaternions: np.ndarray,
+    *,
+    sonar_topic: str = "/sensor/sonar/oculus/m750d/image",
+    odometry_topic: str = "/fast_lio/odometry",
+    rate_hz: float = 2.0,
+    t0: float = 1_700_000_000.0,
+    odom_jitter: float = 0.0,
+) -> None:
+    """Synthetic KIRO-style recording: paired Image + Odometry streams."""
+    n = len(images)
+    with BagWriter(path) as w:
+        w.add_topic(sonar_topic, IMAGE_TYPE)
+        w.add_topic(odometry_topic, ODOMETRY_TYPE)
+        rng = np.random.default_rng(0)
+        for i in range(n):
+            t = t0 + i / rate_hz
+            img = np.ascontiguousarray(images[i], dtype=np.uint8)
+            w.write(
+                sonar_topic,
+                t,
+                ImageMsg(
+                    stamp=t,
+                    frame_id="sonar_link",
+                    height=img.shape[0],
+                    width=img.shape[1],
+                    encoding="mono8",
+                    is_bigendian=False,
+                    step=img.shape[1],
+                    data=img.tobytes(),
+                ),
+            )
+            dt = float(rng.uniform(-odom_jitter, odom_jitter)) if odom_jitter else 0.0
+            w.write(
+                odometry_topic,
+                t + dt,
+                OdometryMsg(
+                    stamp=t + dt,
+                    frame_id="camera_init",
+                    child_frame_id="body",
+                    position=np.asarray(positions[i], np.float64),
+                    orientation=np.asarray(quaternions[i], np.float64),
+                ),
+            )

@@ -56,8 +56,9 @@ from sonar_3d_reconstruction_tpu.ops.backproject import (
     build_fan_tables,
 )
 
-# grow when used slots exceed this fraction of capacity
-_MAX_LOAD = 0.5
+# grow when used slots exceed this fraction of capacity (kept low so linear
+# probe chains stay within the static MAX_PROBES budget, grid/hash.py)
+_MAX_LOAD = 0.25
 
 
 @partial(jax.jit, static_argnames=("tables", "cfg", "dtype"))

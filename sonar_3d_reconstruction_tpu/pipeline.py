@@ -93,19 +93,31 @@ def scan_pings_hash(
     images: jnp.ndarray,        # (P, R, B)
     transforms: jnp.ndarray,    # (P, 4, 4)
     start: jnp.ndarray,         # () int32: frames < start are no-ops (replay)
+    stop: Optional[jnp.ndarray] = None,  # () int32: frames >= stop are no-ops
     *,
     tables: FanTables,
     cfg: MapperConfig,
     dtype=jnp.float32,
 ) -> Tuple[HashGridState, Dict[str, jnp.ndarray]]:
-    """Whole ping sequence -> hashed map, as one XLA program."""
+    """Whole ping sequence -> hashed map, as one XLA program.
+
+    ``start``/``stop`` window the sequence without changing shapes: frames
+    outside [start, stop) contribute nothing (growth replay uses ``start``,
+    chunked streaming pads the tail with ``stop``).
+    """
+    if stop is None:
+        stop = jnp.int32(images.shape[0])
 
     def step(carry, inp):
         st = carry
         idx, image, T = inp
         cand = backproject_ping(image, T, tables, cfg, dtype=dtype)
-        cand = dict(cand, valid=cand["valid"] & (idx >= start))
+        frame_on = (idx >= start) & (idx < stop)
+        cand = dict(cand, valid=cand["valid"] & frame_on)
         st, stats = update_hash_grid(st, cand, cfg)
+        # a padded frame can't overflow, but a poisoned state must not
+        # report success for it either
+        stats = dict(stats, overflowed=stats["overflowed"] & frame_on)
         return st, stats
 
     idxs = jnp.arange(images.shape[0], dtype=jnp.int32)

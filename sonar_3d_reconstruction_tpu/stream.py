@@ -1,0 +1,237 @@
+"""Streaming runtime: bag replay -> time sync -> chunked device mapping.
+
+The ROS-free equivalent of the reference node's ingest loop
+(scripts/3d_mapper_node.py:191-357): pair the sonar-image and odometry
+streams with the ±slop approximate time synchronizer, decode images, and run
+the paired pings through the device pipeline — batched into fixed-size
+chunks so every chunk reuses one compiled lax.scan (tail padded via the
+scan's stop index).
+
+A ``publish`` callback fires at the configured rate in STREAM TIME (the
+reference publishes on a 10 Hz wall timer decoupled from ingest,
+node:227-231); offline replay maps that to bag timestamps.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from sonar_3d_reconstruction_tpu.config import MapperConfig, StreamConfig
+from sonar_3d_reconstruction_tpu.grid.hash import init_hash_grid, rehash
+from sonar_3d_reconstruction_tpu.io.bag import BagReader, ImageMsg, OdometryMsg
+from sonar_3d_reconstruction_tpu.io.image import UnsupportedEncoding, decode_image
+from sonar_3d_reconstruction_tpu.io.pointcloud import serialize_pointcloud2
+from sonar_3d_reconstruction_tpu.io.timesync import ApproximateTimeSync
+from sonar_3d_reconstruction_tpu.ops.backproject import build_fan_tables
+from sonar_3d_reconstruction_tpu.grid.hash import EMPTY
+from sonar_3d_reconstruction_tpu.ops.logodds import probability_to_log_odds
+from sonar_3d_reconstruction_tpu.pipeline import (
+    batched_sonar_to_world,
+    scan_pings_hash,
+)
+
+
+@dataclass
+class StreamStats:
+    """Counters mirroring the reference's periodic frame logs (node:345-357)
+    plus the dropped/unsynced counter the reference lacks (SURVEY.md 5.3)."""
+
+    pings_in: int = 0
+    poses_in: int = 0
+    pairs: int = 0
+    frames_mapped: int = 0
+    decode_errors: int = 0
+    dropped_unsynced: int = 0
+    chunks: int = 0
+    grows: int = 0
+    device_time: float = 0.0
+    stamp_skew_sum: float = 0.0  # measured sonar<->odom stamp delta (node:352-357)
+
+    def summary(self) -> Dict[str, Any]:
+        d = self.__dict__.copy()
+        d["avg_stamp_skew"] = (
+            self.stamp_skew_sum / self.pairs if self.pairs else 0.0
+        )
+        return d
+
+
+class StreamingMapper:
+    """Chunked streaming front-end over the hashed-map scan pipeline.
+
+    Feed pings/poses in any interleaving (``on_ping`` / ``on_pose``), or an
+    entire bag (``run_bag``); call ``finish()`` to flush the tail.
+    """
+
+    def __init__(
+        self,
+        cfg: Optional[MapperConfig] = None,
+        stream_cfg: Optional[StreamConfig] = None,
+        *,
+        chunk_size: int = 32,
+        initial_capacity: int = 1 << 20,
+        dtype=jnp.float32,
+        publish: Optional[Callable[[Dict], None]] = None,
+    ):
+        self.cfg = cfg or MapperConfig()
+        self.stream_cfg = stream_cfg or StreamConfig()
+        self.chunk_size = chunk_size
+        self.dtype = dtype
+        self.publish = publish
+        self.state = init_hash_grid(initial_capacity, dtype)
+        self.stats = StreamStats()
+        self._tables = None
+        self._tables_shape: Optional[Tuple[int, int]] = None
+        self._chunk_images: List[np.ndarray] = []
+        self._chunk_positions: List[np.ndarray] = []
+        self._chunk_quats: List[np.ndarray] = []
+        self._chunk_stamps: List[float] = []
+        self._next_publish_t: Optional[float] = None
+        self._sync = ApproximateTimeSync(
+            self._on_pair,
+            queue_size=self.stream_cfg.sync_queue_size,
+            slop=self.stream_cfg.sync_slop,
+        )
+
+    # -- ingestion ------------------------------------------------------
+    def on_ping(self, image_msg: ImageMsg) -> None:
+        self.stats.pings_in += 1
+        self._sync.add_ping(image_msg, image_msg.stamp)
+        self.stats.dropped_unsynced = self._sync.dropped
+
+    def on_pose(self, odom_msg: OdometryMsg) -> None:
+        self.stats.poses_in += 1
+        self._sync.add_pose(odom_msg, odom_msg.stamp)
+        self.stats.dropped_unsynced = self._sync.dropped
+
+    def _on_pair(self, image_msg: ImageMsg, odom_msg: OdometryMsg) -> None:
+        self.stats.pairs += 1
+        self.stats.stamp_skew_sum += abs(image_msg.stamp - odom_msg.stamp)
+        try:
+            img = decode_image(
+                image_msg.data,
+                image_msg.height,
+                image_msg.width,
+                image_msg.encoding,
+                image_msg.step,
+                image_msg.is_bigendian,
+            )
+        except UnsupportedEncoding:
+            self.stats.decode_errors += 1  # drop-and-log policy (node:311-316)
+            return
+        shape = img.shape
+        if self._chunk_images and self._chunk_images[0].shape != shape:
+            self._flush_chunk()  # geometry change: new compiled program
+        self._chunk_images.append(img)
+        self._chunk_positions.append(np.asarray(odom_msg.position))
+        self._chunk_quats.append(np.asarray(odom_msg.orientation))
+        self._chunk_stamps.append(image_msg.stamp)
+        if len(self._chunk_images) >= self.chunk_size:
+            self._flush_chunk()
+
+    # -- device work ----------------------------------------------------
+    def _flush_chunk(self) -> None:
+        n = len(self._chunk_images)
+        if n == 0:
+            return
+        shape = self._chunk_images[0].shape
+        if self._tables is None or self._tables_shape != shape:
+            self._tables = build_fan_tables(self.cfg, shape[0], shape[1])
+            self._tables_shape = shape
+
+        pad = self.chunk_size - n
+        images = np.stack(
+            self._chunk_images
+            + [np.zeros(shape, self._chunk_images[0].dtype)] * pad
+        )
+        positions = np.stack(
+            self._chunk_positions + [np.zeros(3)] * pad
+        )
+        quats = np.stack(
+            self._chunk_quats + [np.array([0.0, 0.0, 0.0, 1.0])] * pad
+        )
+        T = batched_sonar_to_world(positions, quats, self.cfg)
+
+        images_dev = jnp.asarray(images)
+        T_dev = jnp.asarray(T, self.dtype)
+        t0 = time.perf_counter()
+        start = 0
+        while True:
+            new_state, stats = scan_pings_hash(
+                self.state,
+                images_dev,
+                T_dev,
+                jnp.int32(start),
+                jnp.int32(n),
+                tables=self._tables,
+                cfg=self.cfg,
+                dtype=self.dtype,
+            )
+            over = np.asarray(stats["overflowed"])
+            if not over.any():
+                self.state = new_state
+                break
+            start = int(np.argmax(over))
+            self.state = rehash(new_state, self.state.keys.shape[0] * 2)
+            self.stats.grows += 1
+        self.stats.device_time += time.perf_counter() - t0
+        self.stats.frames_mapped += n
+        self.stats.chunks += 1
+
+        if self.publish is not None:
+            self._maybe_publish(self._chunk_stamps[-1])
+
+        self._chunk_images.clear()
+        self._chunk_positions.clear()
+        self._chunk_quats.clear()
+        self._chunk_stamps.clear()
+
+    def _maybe_publish(self, now: float) -> None:
+        period = 1.0 / self.stream_cfg.publish_rate_hz
+        if self._next_publish_t is None:
+            self._next_publish_t = now
+        if now >= self._next_publish_t:
+            self.publish(self.pointcloud_msg(stamp=now))
+            # skip ahead (offline chunks can cover many publish periods)
+            self._next_publish_t = now + period
+
+    # -- extraction ------------------------------------------------------
+    def pointcloud_msg(self, stamp: float = 0.0) -> Dict:
+        keys = np.asarray(self.state.keys)
+        lo = np.asarray(self.state.log_odds)
+        thr = probability_to_log_odds(self.cfg.min_probability, self.cfg)
+        mask = (keys[:, 0] != EMPTY) & (lo > thr)
+        points = (keys[mask].astype(np.float64) + 0.5) * self.cfg.voxel_resolution
+        probs = 1.0 / (1.0 + np.exp(-lo[mask].astype(np.float64)))
+        sec = int(stamp)
+        return serialize_pointcloud2(
+            points,
+            probs,
+            frame_id=self.stream_cfg.map_frame_id,
+            stamp=(sec, int(round((stamp - sec) * 1e9))),
+        )
+
+    # -- drivers ----------------------------------------------------------
+    def finish(self) -> StreamStats:
+        self._sync.flush()
+        self._flush_chunk()
+        self.stats.dropped_unsynced = self._sync.dropped
+        return self.stats
+
+    def run_bag(self, bag_path: str) -> StreamStats:
+        """Replay a rosbag2 .db3 through the full streaming stack."""
+        sc = self.stream_cfg
+        with BagReader(bag_path) as bag:
+            for topic, _bag_ts, msg in bag.messages(
+                [sc.sonar_topic, sc.odometry_topic]
+            ):
+                if isinstance(msg, ImageMsg):
+                    self.on_ping(msg)
+                else:
+                    self.on_pose(msg)
+        return self.finish()

@@ -1,0 +1,237 @@
+"""I/O stack: image decode, PointCloud2 bytes, time sync, bag roundtrip,
+map checkpointing."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from sonar_3d_reconstruction_tpu.io.bag import (
+    BagReader,
+    ImageMsg,
+    OdometryMsg,
+    decode_image_msg,
+    decode_odometry_msg,
+    encode_image_msg,
+    encode_odometry_msg,
+    write_synthetic_bag,
+)
+from sonar_3d_reconstruction_tpu.io.image import UnsupportedEncoding, decode_image
+from sonar_3d_reconstruction_tpu.io.pointcloud import (
+    classified_markers,
+    parse_pointcloud2,
+    serialize_pointcloud2,
+)
+from sonar_3d_reconstruction_tpu.io.timesync import ApproximateTimeSync, pair_streams
+
+from conftest import synthetic_ping
+
+
+# ---------------------------------------------------------------------------
+# image decode (reference node:302-316)
+# ---------------------------------------------------------------------------
+
+def test_decode_mono8():
+    img = synthetic_ping(20, 16, seed=1)
+    out = decode_image(img.tobytes(), 20, 16, "mono8")
+    np.testing.assert_array_equal(out, img)
+
+
+def test_decode_mono16_scales_to_uint8():
+    img16 = (synthetic_ping(10, 8, seed=2).astype(np.uint16)) * 256 + 7
+    out = decode_image(img16.astype("<u2").tobytes(), 10, 8, "mono16")
+    np.testing.assert_array_equal(out, (img16 / 256).astype(np.uint8))
+
+
+def test_decode_row_padding():
+    img = synthetic_ping(6, 5, seed=3)
+    padded = np.zeros((6, 8), np.uint8)
+    padded[:, :5] = img
+    out = decode_image(padded.tobytes(), 6, 5, "mono8", step=8)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_decode_rejects_unknown_encoding():
+    with pytest.raises(UnsupportedEncoding):
+        decode_image(b"\x00" * 12, 2, 2, "rgb8")
+
+
+# ---------------------------------------------------------------------------
+# PointCloud2 bytes (reference node:406-443 layout)
+# ---------------------------------------------------------------------------
+
+def test_pointcloud2_byte_layout_matches_struct_pack():
+    pts = np.array([[1.0, -2.0, 3.5], [0.25, 0.5, -0.125]])
+    probs = np.array([0.7, 0.9])
+    msg = serialize_pointcloud2(pts, probs)
+    # the reference packs each point with struct.pack('ffff', ...) (node:437-442)
+    expect = b"".join(
+        struct.pack("<ffff", *p, i) for p, i in zip(pts, probs)
+    )
+    assert msg["data"] == expect
+    assert msg["point_step"] == 16
+    assert msg["width"] == 2 and msg["height"] == 1
+    assert [f["name"] for f in msg["fields"]] == ["x", "y", "z", "intensity"]
+    rp, ri = parse_pointcloud2(msg)
+    np.testing.assert_allclose(rp, pts, rtol=1e-6)
+    np.testing.assert_allclose(ri, probs, rtol=1e-6)
+
+
+def test_pointcloud2_empty():
+    msg = serialize_pointcloud2(np.empty((0, 3)), np.empty(0))
+    assert msg["width"] == 0 and msg["data"] == b""
+
+
+def test_classified_markers_styles():
+    classified = {
+        "occupied": (np.array([[1.0, 2.0, 3.0]]), np.array([0.9])),
+        "free": (np.empty((0, 3)), np.empty(0)),
+        "unknown": (np.array([[0.0, 0.0, 0.0]]), np.array([0.5])),
+    }
+    markers = classified_markers(classified, 0.15)
+    assert len(markers) == 3
+    occ = markers[0]
+    assert occ["color"] == {"r": 1.0, "g": 0.0, "b": 0.0, "a": 0.8}
+    assert occ["scale"]["x"] == 0.15
+    assert occ["type"] == 6  # CUBE_LIST
+    assert markers[1]["points"].shape == (0, 3)
+
+
+# ---------------------------------------------------------------------------
+# approximate time sync (reference node:191-212 semantics)
+# ---------------------------------------------------------------------------
+
+def test_timesync_pairs_within_slop():
+    pairs = []
+    s = ApproximateTimeSync(lambda a, b: pairs.append((a, b)), slop=0.1)
+    for i in range(5):
+        s.add_ping(f"ping{i}", i * 1.0)
+        s.add_pose(f"pose{i}", i * 1.0 + 0.03)
+    s.flush()
+    assert pairs == [(f"ping{i}", f"pose{i}") for i in range(5)]
+
+
+def test_timesync_drops_beyond_slop():
+    pairs = []
+    s = ApproximateTimeSync(lambda a, b: pairs.append((a, b)), slop=0.1)
+    s.add_ping("p0", 0.0)
+    s.add_pose("q_far", 0.5)   # 0.5s away: never pairable
+    s.add_ping("p1", 0.52)
+    s.add_pose("q1", 0.55)
+    s.flush()
+    assert ("p0", "q_far") not in pairs
+    assert ("p1", "q1") in pairs or ("p1", "q_far") in pairs
+
+
+def test_timesync_queue_bound():
+    pairs = []
+    s = ApproximateTimeSync(lambda a, b: pairs.append((a, b)), queue_size=3, slop=0.01)
+    for i in range(10):
+        s.add_ping(i, float(i))  # no poses at all
+    assert len(s._queues[0]) <= 3
+    assert s.dropped >= 7
+
+
+def test_pair_streams_offline():
+    ping_t = np.array([0.0, 1.0, 2.0, 3.0])
+    pose_t = np.array([0.02, 1.5, 2.95, 3.04])
+    pairs = pair_streams(ping_t, pose_t, slop=0.1)
+    assert (0, 0) in pairs
+    assert (3, 3) in pairs
+    got_pings = [i for i, _ in pairs]
+    assert 1 not in got_pings  # nothing within 0.1 of t=1.0
+
+
+# ---------------------------------------------------------------------------
+# CDR + rosbag2 roundtrip
+# ---------------------------------------------------------------------------
+
+def test_image_msg_cdr_roundtrip():
+    img = synthetic_ping(30, 24, seed=4)
+    m = ImageMsg(
+        stamp=1700000000.125,
+        frame_id="sonar_link",
+        height=30,
+        width=24,
+        encoding="mono8",
+        is_bigendian=False,
+        step=24,
+        data=img.tobytes(),
+    )
+    out = decode_image_msg(encode_image_msg(m))
+    assert out.height == 30 and out.width == 24
+    assert out.encoding == "mono8"
+    assert out.frame_id == "sonar_link"
+    assert abs(out.stamp - m.stamp) < 1e-6
+    np.testing.assert_array_equal(
+        np.frombuffer(out.data, np.uint8).reshape(30, 24), img
+    )
+
+
+def test_odometry_msg_cdr_roundtrip():
+    m = OdometryMsg(
+        stamp=1700000001.5,
+        frame_id="camera_init",
+        child_frame_id="body",
+        position=np.array([1.5, -2.25, 0.75]),
+        orientation=np.array([0.0, 0.0, 0.7071, 0.7071]),
+    )
+    out = decode_odometry_msg(encode_odometry_msg(m))
+    assert out.child_frame_id == "body"
+    np.testing.assert_allclose(out.position, m.position)
+    np.testing.assert_allclose(out.orientation, m.orientation)
+    assert abs(out.stamp - m.stamp) < 1e-6
+
+
+def test_synthetic_bag_roundtrip(tmp_path):
+    n = 6
+    images = np.stack([synthetic_ping(40, 32, seed=10 + i) for i in range(n)])
+    positions = np.cumsum(np.full((n, 3), 0.1), axis=0)
+    quats = np.tile([0.0, 0.0, 0.0, 1.0], (n, 1))
+    path = str(tmp_path / "synthetic.db3")
+    write_synthetic_bag(path, images, positions, quats)
+
+    with BagReader(path) as bag:
+        names = bag.topic_names()
+        assert "/sensor/sonar/oculus/m750d/image" in names
+        assert "/fast_lio/odometry" in names
+        imgs, odoms = [], []
+        for topic, ts, msg in bag.messages():
+            (imgs if isinstance(msg, ImageMsg) else odoms).append(msg)
+    assert len(imgs) == n and len(odoms) == n
+    np.testing.assert_array_equal(
+        np.frombuffer(imgs[2].data, np.uint8).reshape(40, 32), images[2]
+    )
+    np.testing.assert_allclose(odoms[3].position, positions[3])
+
+
+# ---------------------------------------------------------------------------
+# checkpoint
+# ---------------------------------------------------------------------------
+
+def test_map_checkpoint_roundtrip(tmp_path, small_cfg):
+    import jax.numpy as jnp
+
+    from sonar_3d_reconstruction_tpu.grid.hash import EMPTY
+    from sonar_3d_reconstruction_tpu.io.checkpoint import load_map, save_map
+    from sonar_3d_reconstruction_tpu.models import SonarMapper
+
+    m = SonarMapper(small_cfg, initial_capacity=1 << 12, dtype=jnp.float64)
+    img = synthetic_ping(small_cfg.image_height, small_cfg.image_width, seed=42)
+    m.process_sonar_image(img, [0, 0, 0], [0, 0, 0, 1])
+
+    path = str(tmp_path / "map.npz")
+    save_map(path, m.state, m.cfg)
+    state, cfg = load_map(path, dtype=jnp.float64)
+    assert cfg.voxel_resolution == small_cfg.voxel_resolution
+
+    def to_dict(st):
+        keys = np.asarray(st.keys)
+        lo = np.asarray(st.log_odds)
+        mask = keys[:, 0] != EMPTY
+        return {tuple(k): v for k, v in zip(keys[mask], lo[mask])}
+
+    a, b = to_dict(m.state), to_dict(state)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-12
