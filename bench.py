@@ -23,12 +23,8 @@ import jax
 import jax.numpy as jnp
 
 from sonar_3d_reconstruction_tpu.config import MapperConfig
-from sonar_3d_reconstruction_tpu.grid.hash import init_hash_grid
 from sonar_3d_reconstruction_tpu.ops.backproject import build_fan_tables
-from sonar_3d_reconstruction_tpu.pipeline import (
-    batched_sonar_to_world,
-    scan_pings_hash,
-)
+from sonar_3d_reconstruction_tpu.pipeline import map_ping_sequence
 
 BASELINE_UPDATES_PER_SEC = 1e9
 
@@ -62,26 +58,26 @@ def main():
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
     images, positions, quats = make_inputs(cfg, n_pings)
-    T = batched_sonar_to_world(positions, quats, cfg)
     tables = build_fan_tables(cfg, cfg.image_height, cfg.image_width)
 
-    images_dev = jnp.asarray(images)
-    T_dev = jnp.asarray(T, jnp.float32)
-    state0 = init_hash_grid(1 << 22, jnp.float32)
+    # warmup: compiles + discovers the capacity the sequence needs
+    st, stats = map_ping_sequence(
+        images, positions, quats, cfg, initial_capacity=1 << 22,
+        dtype=jnp.float32,
+    )
+    capacity = st.key_hi.shape[0]
+    total_updates = int(np.asarray(stats["num_candidates"]).sum())
+    # force the warmup's trailing work to settle before timing
+    _ = int(st.used)
 
     def run():
-        st, stats = scan_pings_hash(
-            state0, images_dev, T_dev, jnp.int32(0),
-            tables=tables, cfg=cfg, dtype=jnp.float32,
+        st, _ = map_ping_sequence(
+            images, positions, quats, cfg, initial_capacity=capacity,
+            dtype=jnp.float32,
         )
-        jax.block_until_ready(st)
-        return st, stats
+        return int(st.used)  # forces real completion (not just dispatch)
 
-    # warmup / compile
-    st, stats = run()
-    assert not bool(np.asarray(stats["overflowed"]).any()), "hash overflow in bench"
-    total_updates = int(np.asarray(stats["num_candidates"]).sum())
-
+    run()  # ensure the final-capacity programs are compiled
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()

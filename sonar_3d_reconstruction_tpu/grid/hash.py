@@ -1,41 +1,41 @@
-"""Open-addressing hashed sparse voxel grid (device-resident).
+"""Hashed sparse voxel grid — bucketized, packed-key, sort-dedup update path.
 
 The TPU-native replacement for the reference's dict-based "SimpleOctree"
-(scripts/3d_mapper.py:19-194, a defaultdict keyed by voxel index triples):
-an open-addressing hash table held in device arrays —
+(scripts/3d_mapper.py:19-194): a device-resident open hash table over packed
+voxel codes, updated per frame from sort-deduplicated unique records
+(ops/dedup.py) so that every per-key table operation runs on U ~ 10^4-10^5
+unique voxels instead of N ~ 10^6 raw candidate emissions.  On this TPU
+runtime, indexed ops cost ~8-10 ns/index while sorts/scans are 10-100x
+cheaper per element — the dedup-first design is what makes the map update
+~25x faster than scattering raw candidates.
 
-  keys      (C, 3) int32   voxel index triples; EMPTY sentinel rows are free
-  log_odds  (C,)   float   per-voxel log-odds
+Table layout: capacity C slots = C/8 buckets of 8 slots; keys stored as two
+(C,) uint32 words (ops/packing.py).  Buckets fill left-to-right and entries
+are never removed, so a bucket's occupancy is a prefix — "first empty slot"
+is just its fill count.
 
-so the map supports the reference's dynamic expansion (unbounded world
-coordinates) while every per-ping update stays a fixed-shape XLA program.
+  * LOOKUP is ONE 8-wide row gather per key word + elementwise compares —
+    no probe loop at all.
+  * INSERT is collision-free by construction: new unique keys are sorted by
+    bucket, ranked within equal buckets (running-max scan), and written at
+    slot = bucket*8 + fill + rank in a single scatter per key word.
+  * A bucket asked to exceed 8 entries fails the frame atomically (the
+    ``poisoned`` flag) and the host grows capacity and replays — with the
+    load factor kept <= 0.25 (models/mapper.py) an 8-deep bucket is a
+    ~1e-8-per-bag event.
 
-Insert protocol (claim-verify): candidates probe linearly from a spatial hash
-of their key; a batch of candidates scatter-writes whole key ROWS into empty
-slots (one scatter op, so concurrent claims of one slot have exactly one
-winner), then re-reads the slot — if the winner holds OUR key (either we won
-or a duplicate of us did), the slot is resolved; otherwise probing continues.
-The probe loop is a fully-unrolled STATIC sequence of MAX_PROBES rounds (a
-data-dependent while_loop is ~1000x slower on the TPU runtime, see the
-MAX_PROBES note) at the load factors we maintain (<= 0.25).
-
-Growth: static capacity with host-side rehash — when the load factor trips or
-a frame overflows the probe budget, the host doubles capacity (a new jitted
-re-insert program per power-of-two capacity) and replays the failed frame.
-Frames after an overflow within one jitted scan are NOT applied (the state
-carries a poisoned flag), so the host can always resume exactly at the first
-failed frame.
-
-Per-frame update semantics are identical to grid/dense.py (and the reference
-3d_mapper.py:523-567): commuting scatter accumulation of sum/count/occupied-
-priority, then an idempotent gather-compute-set finalize.
+Per-frame update semantics are EXACTLY the reference's averaged adaptive
+log-odds update (3d_mapper.py:523-567): per-voxel aggregates (count, n_occ)
+come from the dedup pass; sum = n_occ*log_odds_occupied +
+(count-n_occ)*log_odds_free reconstructs the reference's accumulated sum
+because within a frame every emission carries one of those two constants;
+occupied-priority typing is n_occ > 0.
 """
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
-from typing import Dict, NamedTuple, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import numpy as np
 
@@ -43,43 +43,50 @@ import jax
 import jax.numpy as jnp
 
 from sonar_3d_reconstruction_tpu.config import MapperConfig
-from sonar_3d_reconstruction_tpu.grid.dense import voxel_keys
+from sonar_3d_reconstruction_tpu.ops.dedup import UniqueRecords, dedup_frame
 from sonar_3d_reconstruction_tpu.ops.logodds import finalize_voxel_updates
+from sonar_3d_reconstruction_tpu.ops.packing import (
+    EMPTY_HI,
+    mix2,
+    pack_keys,
+    unpack_keys,
+)
 
-# Empty-slot sentinel. Voxel keys are floor(world/res) and bounded by
-# max_range/res plus trajectory extent — never near int32 max.
+# Slots per bucket (one row gather resolves a whole bucket).
+BUCKET_SLOTS = 8
+
+# Legacy unpacked-view marker: rows of the ``keys`` property for empty slots.
 EMPTY = np.int32(0x7FFFFFFF)
 
-# Teschner et al. spatial hash primes (public-domain constant choice).
-_P1, _P2, _P3 = np.uint32(73856093), np.uint32(19349663), np.uint32(83492791)
-
-# STATIC probe budget per find-or-insert; beyond this the frame reports
-# overflow and the host grows the table.  Deliberately small and fully
-# unrolled: a data-dependent `lax.while_loop` costs ~46 ms PER ITERATION on
-# the TPU runtime (host-synced trip count), while the same body unrolled runs
-# at ~30 us — measured 186 ms -> 0.3 ms for one real ping.  At the load
-# factors we maintain (<= 0.25, see models/mapper.py) linear-probe chains
-# longer than 8 are vanishingly rare; when one occurs the host doubles
-# capacity and replays the frame, exactly like a load-factor trip.
-MAX_PROBES = 8
+# Default static budget of unique voxels per frame (grown on overflow).
+DEFAULT_UNIQUE_BUDGET = 1 << 17
 
 
 class HashGridState(NamedTuple):
     """Map state pytree. Capacity C is static per jitted program."""
 
-    keys: jnp.ndarray       # (C, 3) int32, EMPTY rows free
+    key_hi: jnp.ndarray     # (C,) uint32, EMPTY_HI = free slot
+    key_lo: jnp.ndarray     # (C,) uint32
     log_odds: jnp.ndarray   # (C,) dtype
     min_bounds: jnp.ndarray  # (3,)
     max_bounds: jnp.ndarray  # (3,)
     used: jnp.ndarray       # () int32 occupied slot count
-    poisoned: jnp.ndarray   # () bool: a frame overflowed; later frames skipped
+    poisoned: jnp.ndarray   # () bool: a frame failed; later frames skipped
+
+    @property
+    def keys(self) -> jnp.ndarray:
+        """(C, 3) int32 unpacked view; empty slots read as [EMPTY]*3."""
+        k = unpack_keys(self.key_hi, self.key_lo)
+        return jnp.where((self.key_hi == EMPTY_HI)[:, None], EMPTY, k)
 
 
 def init_hash_grid(capacity: int = 1 << 20, dtype=jnp.float32) -> HashGridState:
     assert capacity & (capacity - 1) == 0, "capacity must be a power of two"
+    assert capacity >= BUCKET_SLOTS
     big = jnp.asarray(jnp.inf, dtype)
     return HashGridState(
-        keys=jnp.full((capacity, 3), EMPTY, jnp.int32),
+        key_hi=jnp.full((capacity,), EMPTY_HI, jnp.uint32),
+        key_lo=jnp.full((capacity,), EMPTY_HI, jnp.uint32),
         log_odds=jnp.zeros((capacity,), dtype),
         min_bounds=jnp.full((3,), big, dtype),
         max_bounds=jnp.full((3,), -big, dtype),
@@ -88,152 +95,184 @@ def init_hash_grid(capacity: int = 1 << 20, dtype=jnp.float32) -> HashGridState:
     )
 
 
-def _mix(h: jnp.ndarray) -> jnp.ndarray:
-    """murmur3-style 32-bit avalanche finalizer: the low bits (used as the
-    slot index) must depend on every input bit — the raw prime-product XOR
-    clusters badly for the spatially contiguous keys a real ping produces
-    (measured: probe chains > 8 at 14% load without this)."""
-    h = (h ^ (h >> 16)) * jnp.uint32(0x85EBCA6B)
-    h = (h ^ (h >> 13)) * jnp.uint32(0xC2B2AE35)
-    return h ^ (h >> 16)
+def voxel_keys(points: jnp.ndarray, resolution: float) -> jnp.ndarray:
+    """floor(world / resolution) integer keys (reference 3d_mapper.py:63-66)."""
+    return jnp.floor(points / resolution).astype(jnp.int32)
 
 
-def spatial_hash(keys: jnp.ndarray, capacity: int) -> jnp.ndarray:
-    """(N, 3) int32 voxel keys -> (N,) uint32 slot in [0, capacity)."""
-    k = keys.astype(jnp.uint32)
-    h = _mix((k[..., 0] * _P1) ^ (k[..., 1] * _P2) ^ (k[..., 2] * _P3))
-    return h & jnp.uint32(capacity - 1)
+def _running_max(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.associative_scan(jnp.maximum, x)
 
 
-def probe_stride(keys: jnp.ndarray, capacity: int) -> jnp.ndarray:
-    """Odd per-key probe stride (double hashing). Any odd stride is coprime
-    with the power-of-two capacity, so the probe sequence visits distinct
-    slots; double hashing breaks the primary clustering of linear probing."""
-    k = keys.astype(jnp.uint32)
-    h = _mix((k[..., 0] * _P3) ^ (k[..., 1] * _P1) ^ (k[..., 2] * _P2))
-    return ((h >> 15) | jnp.uint32(1)) & jnp.uint32(capacity - 1)
+def bucket_lookup(
+    key_hi: jnp.ndarray,
+    key_lo: jnp.ndarray,
+    u_hi: jnp.ndarray,
+    u_lo: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Resolve keys against the table in one shot.
 
-
-def find_or_insert(
-    table_keys: jnp.ndarray, cand_keys: jnp.ndarray, active: jnp.ndarray
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Resolve a slot for every active candidate key, inserting misses.
-
-    Args:
-      table_keys: (C, 3) int32 table (EMPTY rows free).
-      cand_keys:  (N, 3) int32 candidate voxel keys (duplicates fine).
-      active:     (N,) bool; inactive candidates resolve to the dump slot C.
-
-    Returns (new_table_keys, slots (N,) int32 in [0, C], overflowed () bool).
-    Slot C is the dump slot for inactive candidates; when ``overflowed`` is
-    true some ACTIVE candidate exhausted MAX_PROBES and its slot is C too —
-    callers must treat the whole frame as failed.
+    Returns (bucket (U,), found (U,), found_slot (U,), fill (U,)) where
+    ``fill`` is the bucket's current entry count (= its first empty
+    position, by the prefix-fill invariant).
     """
-    capacity = table_keys.shape[0]
-    n = cand_keys.shape[0]
-    h0 = spatial_hash(cand_keys, capacity).astype(jnp.int32)
-    stride = probe_stride(cand_keys, capacity).astype(jnp.int32)
-    dump = jnp.int32(capacity)
+    capacity = key_hi.shape[0]
+    n_buckets = capacity // BUCKET_SLOTS
+    bucket = (mix2(u_hi, u_lo) & jnp.uint32(n_buckets - 1)).astype(jnp.int32)
+    rows_hi = key_hi.reshape(n_buckets, BUCKET_SLOTS)[bucket]  # (U, 8)
+    rows_lo = key_lo.reshape(n_buckets, BUCKET_SLOTS)[bucket]
+    eq = (rows_hi == u_hi[:, None]) & (rows_lo == u_lo[:, None])
+    found = jnp.any(eq, axis=1)
+    found_slot = bucket * BUCKET_SLOTS + jnp.argmax(eq, axis=1).astype(jnp.int32)
+    fill = jnp.sum(rows_hi != EMPTY_HI, axis=1).astype(jnp.int32)
+    return bucket, found, found_slot, fill
 
-    tbl = table_keys
-    slots = jnp.full((n,), dump, jnp.int32)
-    pending = active
-    for probe in range(MAX_PROBES):  # static unroll — see MAX_PROBES note
-        slot = (h0 + probe * stride) & (capacity - 1)
-        # claim empty slots for pending candidates (single row scatter ->
-        # one winner per slot even with duplicate indices)
-        cur = tbl[slot]  # (N, 3)
-        is_empty = jnp.all(cur == EMPTY, axis=-1)
-        claim_idx = jnp.where(pending & is_empty, slot, dump)
-        tbl = tbl.at[claim_idx].set(cand_keys, mode="drop")
-        # verify: do we own (or share) the slot now?
-        now = tbl[slot]
-        mine = jnp.all(now == cand_keys, axis=-1)
-        resolved = pending & mine
-        slots = jnp.where(resolved, slot, slots)
-        pending = pending & ~mine
-    return tbl, slots, jnp.any(pending)
+
+def insert_unique(
+    key_hi: jnp.ndarray,
+    key_lo: jnp.ndarray,
+    u_hi: jnp.ndarray,
+    u_lo: jnp.ndarray,
+    need: jnp.ndarray,
+    bucket: jnp.ndarray,
+    fill: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Insert mutually-distinct new keys, collision-free in one pass.
+
+    Keys flagged by ``need`` (unique among themselves and absent from the
+    table) are sorted by bucket, ranked within equal buckets, and written at
+    bucket*8 + fill + rank.  Returns (key_hi, key_lo, slots (U,) int32 in
+    record order (capacity where not inserted), overflowed (), n_inserted ()).
+    """
+    capacity = key_hi.shape[0]
+    u = u_hi.shape[0]
+    maxu = jnp.uint32(0xFFFFFFFF)
+    idx = jnp.arange(u, dtype=jnp.int32)
+
+    ins_key = jnp.where(need, bucket.astype(jnp.uint32), maxu)
+    s_bkt, s_hi, s_lo, s_fill, s_orig = jax.lax.sort(
+        (ins_key, u_hi, u_lo, fill, idx), num_keys=1
+    )
+    new_b = jnp.concatenate([jnp.ones((1,), bool), s_bkt[1:] != s_bkt[:-1]])
+    start = _running_max(jnp.where(new_b, idx, -1))
+    rank = idx - start
+    active = s_bkt != maxu
+    pos = s_fill + rank
+    fits = active & (pos < BUCKET_SLOTS)
+    overflowed = jnp.any(active & ~fits)
+    slot = s_bkt.astype(jnp.int32) * BUCKET_SLOTS + jnp.minimum(
+        pos, BUCKET_SLOTS - 1
+    )
+    tgt = jnp.where(fits, slot, capacity)
+    key_hi = key_hi.at[tgt].set(s_hi, mode="drop")
+    key_lo = key_lo.at[tgt].set(s_lo, mode="drop")
+    # slots back in record order (dump lanes untouched -> capacity)
+    slots = jnp.full((u,), capacity, jnp.int32).at[
+        jnp.where(fits, s_orig, u)
+    ].set(slot, mode="drop")
+    n_inserted = jnp.sum(fits).astype(jnp.int32)
+    return key_hi, key_lo, slots, overflowed, n_inserted
+
+
+def apply_unique_records(
+    state: HashGridState, rec: UniqueRecords, cfg: MapperConfig
+) -> Tuple[HashGridState, Dict[str, jnp.ndarray], jnp.ndarray]:
+    """Lookup/insert the frame's unique records and apply the averaged
+    adaptive log-odds update.  Returns (applied_state, partial stats,
+    overflowed) — caller handles poisoning/bounds."""
+    capacity = state.key_hi.shape[0]
+    dtype = state.log_odds.dtype
+
+    bucket, found, found_slot, fill = bucket_lookup(
+        state.key_hi, state.key_lo, rec.hi, rec.lo
+    )
+    need = rec.valid & ~found
+    key_hi, key_lo, new_slots, ins_overflow, n_inserted = insert_unique(
+        state.key_hi, state.key_lo, rec.hi, rec.lo, need, bucket, fill
+    )
+    slots = jnp.where(found, found_slot, new_slots)
+    slots = jnp.where(rec.valid, slots, capacity)
+
+    count = rec.count.astype(dtype)
+    n_occ = rec.n_occ.astype(dtype)
+    lo_sum = n_occ * cfg.log_odds_occupied + (count - n_occ) * cfg.log_odds_free
+    occupied = rec.n_occ > 0  # occupied-priority typing (reference :544-545)
+
+    cur = state.log_odds[jnp.minimum(slots, capacity - 1)]
+    new_val = finalize_voxel_updates(cur, lo_sum, count, occupied, cfg)
+    new_lo = state.log_odds.at[slots].set(
+        jnp.where(rec.valid, new_val, 0), mode="drop"
+    )
+
+    overflowed = jnp.logical_or(rec.overflowed, ins_overflow)
+    applied = state._replace(
+        key_hi=key_hi,
+        key_lo=key_lo,
+        log_odds=new_lo,
+        used=state.used + n_inserted,
+    )
+    stats = {
+        "num_occupied": jnp.sum(rec.valid & occupied).astype(jnp.int32),
+        "num_free": jnp.sum(rec.valid & ~occupied).astype(jnp.int32),
+    }
+    return applied, stats, overflowed
 
 
 def update_hash_grid(
     state: HashGridState,
     candidates: Dict[str, jnp.ndarray],
     cfg: MapperConfig,
+    unique_budget: Optional[int] = None,
 ) -> Tuple[HashGridState, Dict[str, jnp.ndarray]]:
     """Apply one ping's candidate emissions to the hashed map. Pure function.
 
-    Mirrors grid.dense.update_dense_grid but with hash-slot addressing and
-    dynamic insertion. If the frame overflows the probe budget (or the state
-    is already poisoned), the input state is returned unchanged with
-    ``poisoned`` set, so a host driver can grow capacity and replay.
+    ``candidates`` is the dict produced by ops.backproject.backproject_ping.
+    If the frame overflows (unique budget, a bucket, or the key range) — or
+    the state is already poisoned — the input state is returned unchanged
+    with ``poisoned`` set, so a host driver can grow and replay.
     """
     dtype = state.log_odds.dtype
-    capacity = state.keys.shape[0]
     pts = candidates["points"]
-    lo = candidates["log_odds"].astype(dtype)
     occ = candidates["is_occupied"]
     valid = candidates["valid"]
+    n = pts.shape[0]
+    if unique_budget is None:
+        unique_budget = 1 << max(3, min(n - 1, DEFAULT_UNIQUE_BUDGET - 1)).bit_length()
+        unique_budget = min(unique_budget, DEFAULT_UNIQUE_BUDGET)
 
     keys = voxel_keys(pts, cfg.voxel_resolution)
-    new_table, slots, overflowed = find_or_insert(state.keys, keys, valid)
-    failed = jnp.logical_or(overflowed, state.poisoned)
+    hi, lo, in_range = pack_keys(keys)
+    range_fail = jnp.any(valid & ~in_range)
+    valid = valid & in_range
 
-    ok = valid  # all valid candidates resolved when not failed
-    dump = jnp.int32(capacity)
-    lin = jnp.where(ok, slots, dump)
+    rec = dedup_frame(hi, lo, occ, valid, unique_budget)
+    applied, stats, overflowed = apply_unique_records(state, rec, cfg)
 
-    # --- pass 1: commuting per-frame accumulation
-    lo_sum = jnp.zeros((capacity,), dtype).at[lin].add(
-        jnp.where(ok, lo, 0), mode="drop"
-    )
-    count = jnp.zeros((capacity,), dtype).at[lin].add(
-        jnp.where(ok, jnp.ones((), dtype), 0), mode="drop"
-    )
-    occ_vox = jnp.zeros((capacity,), jnp.int32).at[lin].max(
-        (ok & occ).astype(jnp.int32), mode="drop"
-    )
-
-    # --- pass 2: idempotent finalize
-    safe = jnp.minimum(lin, capacity - 1)
-    cur = state.log_odds[safe]
-    new_val = finalize_voxel_updates(
-        cur, lo_sum[safe], count[safe], occ_vox[safe] > 0, cfg
-    )
-    new_lo = state.log_odds.at[lin].set(jnp.where(ok, new_val, 0), mode="drop")
-
-    # --- bounds over updated voxel centers (reference 3d_mapper.py:112-115)
+    # bounds over updated voxel CENTERS (reference 3d_mapper.py:112-115, :560)
     centers = (keys.astype(dtype) + 0.5) * cfg.voxel_resolution
     inf = jnp.asarray(jnp.inf, dtype)
-    cmin = jnp.min(jnp.where(ok[:, None], centers, inf), axis=0)
-    cmax = jnp.max(jnp.where(ok[:, None], centers, -inf), axis=0)
-
-    used = jnp.sum(new_table[:, 0] != EMPTY).astype(jnp.int32)
-
-    applied = HashGridState(
-        keys=new_table,
-        log_odds=new_lo,
+    cmin = jnp.min(jnp.where(valid[:, None], centers, inf), axis=0)
+    cmax = jnp.max(jnp.where(valid[:, None], centers, -inf), axis=0)
+    applied = applied._replace(
         min_bounds=jnp.minimum(state.min_bounds, cmin),
         max_bounds=jnp.maximum(state.max_bounds, cmax),
-        used=used,
-        poisoned=state.poisoned,
     )
+
+    failed = overflowed | range_fail | state.poisoned
     poisoned_state = state._replace(poisoned=jnp.ones((), bool))
     new_state = jax.tree_util.tree_map(
         lambda a, b: jnp.where(failed, a, b), poisoned_state, applied
     )
 
-    inv = jnp.where(ok, 1.0 / jnp.maximum(count[safe], 1), 0.0)
-    occ_frac = (occ_vox[safe] > 0).astype(inv.dtype)
     zero = jnp.zeros((), jnp.int32)
     stats = {
-        "num_occupied": jnp.where(
-            failed, zero, jnp.round(jnp.sum(inv * occ_frac)).astype(jnp.int32)
+        "num_occupied": jnp.where(failed, zero, stats["num_occupied"]),
+        "num_free": jnp.where(failed, zero, stats["num_free"]),
+        "num_candidates": jnp.where(
+            failed, zero, jnp.sum(valid).astype(jnp.int32)
         ),
-        "num_free": jnp.where(
-            failed, zero, jnp.round(jnp.sum(inv * (1 - occ_frac))).astype(jnp.int32)
-        ),
-        "num_candidates": jnp.where(failed, zero, jnp.sum(ok).astype(jnp.int32)),
         "overflowed": failed,
+        "unique_overflow": rec.overflowed,
     }
     return new_state, stats
 
@@ -242,21 +281,27 @@ def update_hash_grid(
 def _rehash_once(state: HashGridState, new_capacity: int):
     """Re-insert every occupied slot into a new table of the given capacity.
     Returns (state, overflowed); on overflow the result table is invalid."""
-    occupied = state.keys[:, 0] != EMPTY
-    new_keys = jnp.full((new_capacity, 3), EMPTY, jnp.int32)
-    # inactive rows carry EMPTY keys; route them to the dump slot
-    tbl, slots, overflowed = find_or_insert(new_keys, state.keys, occupied)
-    lin = jnp.where(occupied, slots, jnp.int32(new_capacity))
-    new_lo = jnp.zeros((new_capacity,), state.log_odds.dtype).at[lin].set(
+    occupied = state.key_hi != EMPTY_HI
+    fresh_hi = jnp.full((new_capacity,), EMPTY_HI, jnp.uint32)
+    fresh_lo = jnp.full((new_capacity,), EMPTY_HI, jnp.uint32)
+    bucket, found, _, fill = bucket_lookup(
+        fresh_hi, fresh_lo, state.key_hi, state.key_lo
+    )
+    key_hi, key_lo, slots, overflowed, n_inserted = insert_unique(
+        fresh_hi, fresh_lo, state.key_hi, state.key_lo,
+        occupied & ~found, bucket, fill,
+    )
+    new_lo = jnp.zeros((new_capacity,), state.log_odds.dtype).at[slots].set(
         state.log_odds, mode="drop"
     )
     return (
         HashGridState(
-            keys=tbl,
+            key_hi=key_hi,
+            key_lo=key_lo,
             log_odds=new_lo,
             min_bounds=state.min_bounds,
             max_bounds=state.max_bounds,
-            used=state.used,
+            used=n_inserted,
             poisoned=jnp.zeros((), bool),
         ),
         overflowed,
@@ -265,9 +310,8 @@ def _rehash_once(state: HashGridState, new_capacity: int):
 
 def rehash(state: HashGridState, new_capacity: int) -> HashGridState:
     """Host-triggered grow: re-insert into a larger table, clearing
-    ``poisoned`` so the failed frame can be replayed.  In the (rare) event a
-    unique existing key still exhausts the static probe budget, capacity
-    doubles again until the rehash fits."""
+    ``poisoned`` so the failed frame can be replayed.  Doubles again until
+    every existing bucket fits."""
     while True:
         new_state, overflowed = _rehash_once(state, new_capacity=new_capacity)
         if not bool(overflowed):
@@ -280,16 +324,20 @@ def rehash(state: HashGridState, new_capacity: int) -> HashGridState:
 # 3d_mapper.py:127-188)
 # ---------------------------------------------------------------------------
 
+def occupied_key_mask(state: HashGridState) -> np.ndarray:
+    return np.asarray(state.key_hi) != np.uint32(0xFFFFFFFF)
+
+
 def extract_occupied_hash(
     state: HashGridState, cfg: MapperConfig
 ) -> Tuple[np.ndarray, np.ndarray]:
     from sonar_3d_reconstruction_tpu.ops.logodds import probability_to_log_odds
 
     thr = probability_to_log_odds(cfg.min_probability, cfg)
-    keys = np.asarray(state.keys)
     lo = np.asarray(state.log_odds)
-    mask = (keys[:, 0] != EMPTY) & (lo > thr)
-    points = (keys[mask].astype(np.float64) + 0.5) * cfg.voxel_resolution
+    mask = occupied_key_mask(state) & (lo > thr)
+    keys = np.asarray(state.keys)[mask]
+    points = (keys.astype(np.float64) + 0.5) * cfg.voxel_resolution
     probs = 1.0 / (1.0 + np.exp(-lo[mask].astype(np.float64)))
     return points, probs
 
@@ -297,9 +345,9 @@ def extract_occupied_hash(
 def extract_classified_hash(
     state: HashGridState, cfg: MapperConfig
 ) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
-    keys = np.asarray(state.keys)
     lo = np.asarray(state.log_odds)
-    touched = keys[:, 0] != EMPTY
+    touched = occupied_key_mask(state)
+    all_keys = np.asarray(state.keys)
     free_thr = np.log(0.3 / 0.7)
     occ_thr = np.log(cfg.min_probability / (1.0 - cfg.min_probability))
     masks = {
@@ -309,7 +357,7 @@ def extract_classified_hash(
     }
     out = {}
     for name, m in masks.items():
-        points = (keys[m].astype(np.float64) + 0.5) * cfg.voxel_resolution
+        points = (all_keys[m].astype(np.float64) + 0.5) * cfg.voxel_resolution
         probs = 1.0 / (1.0 + np.exp(-lo[m].astype(np.float64)))
         out[name] = (points, probs)
     return out

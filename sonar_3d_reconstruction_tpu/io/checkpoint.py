@@ -1,10 +1,10 @@
 """Map snapshot / restore (new capability vs the reference, SURVEY.md 5.4:
 the reference map lives only in process memory).
 
-Serializes the hash or dense map state plus config to one ``.npz`` — cheap,
-dependency-free, and enough for long bag replays to resume.  The sharded
-multi-chip state round-trips through the single-chip layout (gather on save,
-re-insert on load).
+Serializes the hash map state plus config to one ``.npz`` — cheap,
+dependency-free, and enough for long bag replays to resume.  Keys are stored
+UNPACKED ((N, 3) int32) so the snapshot format is independent of the
+device-side table layout.
 """
 
 from __future__ import annotations
@@ -18,25 +18,27 @@ import jax.numpy as jnp
 
 from sonar_3d_reconstruction_tpu.config import MapperConfig, config_from_dict
 from sonar_3d_reconstruction_tpu.grid.hash import (
-    EMPTY,
     HashGridState,
+    bucket_lookup,
     init_hash_grid,
-    find_or_insert,
+    insert_unique,
+    occupied_key_mask,
 )
+from sonar_3d_reconstruction_tpu.ops.packing import pack_keys
 
 _FORMAT = "sonar3d-map-v1"
 
 
 def save_map(path: str, state: HashGridState, cfg: MapperConfig) -> None:
     """Snapshot occupied hash entries + bounds + config to ``path`` (.npz)."""
-    keys = np.asarray(state.keys)
-    lo = np.asarray(state.log_odds)
-    mask = keys[:, 0] != EMPTY
+    mask = occupied_key_mask(state)
+    keys = np.asarray(state.keys)[mask]
+    lo = np.asarray(state.log_odds)[mask]
     np.savez_compressed(
         path,
         format=np.asarray(_FORMAT),
-        keys=keys[mask].astype(np.int32),
-        log_odds=lo[mask],
+        keys=keys.astype(np.int32),
+        log_odds=lo,
         min_bounds=np.asarray(state.min_bounds),
         max_bounds=np.asarray(state.max_bounds),
         config=np.asarray(json.dumps(cfg.to_dict())),
@@ -61,23 +63,30 @@ def load_map(
         capacity = 1 << 10
         while capacity < 4 * max(1, n):
             capacity *= 2
-    state = init_hash_grid(capacity, dtype)
+
+    hi, lo_code, in_range = pack_keys(jnp.asarray(keys.reshape(-1, 3), jnp.int32))
+    assert bool(jnp.all(in_range | (n == 0))), "snapshot keys out of packable range"
     while True:
-        tbl, slots, overflowed = find_or_insert(
-            state.keys, jnp.asarray(keys), jnp.ones((n,), bool)
+        state = init_hash_grid(capacity, dtype)
+        bucket, found, _, fill = bucket_lookup(
+            state.key_hi, state.key_lo, hi, lo_code
+        )
+        key_hi, key_lo, slots, overflowed, n_inserted = insert_unique(
+            state.key_hi, state.key_lo, hi, lo_code,
+            jnp.ones((n,), bool) & ~found, bucket, fill,
         )
         if not bool(overflowed):
             break
         capacity *= 2
-        state = init_hash_grid(capacity, dtype)
     new_lo = state.log_odds.at[slots].set(jnp.asarray(lo, dtype), mode="drop")
     return (
         HashGridState(
-            keys=tbl,
+            key_hi=key_hi,
+            key_lo=key_lo,
             log_odds=new_lo,
             min_bounds=jnp.asarray(min_bounds, dtype),
             max_bounds=jnp.asarray(max_bounds, dtype),
-            used=jnp.asarray(n, jnp.int32),
+            used=jnp.asarray(n_inserted, jnp.int32),
             poisoned=jnp.zeros((), bool),
         ),
         cfg,

@@ -44,6 +44,7 @@ from sonar_3d_reconstruction_tpu.grid.dense import (
     update_dense_grid,
 )
 from sonar_3d_reconstruction_tpu.grid.hash import (
+    DEFAULT_UNIQUE_BUDGET,
     extract_classified_hash,
     extract_occupied_hash,
     init_hash_grid,
@@ -56,15 +57,15 @@ from sonar_3d_reconstruction_tpu.ops.backproject import (
     build_fan_tables,
 )
 
-# grow when used slots exceed this fraction of capacity (kept low so linear
-# probe chains stay within the static MAX_PROBES budget, grid/hash.py)
+# grow when used slots exceed this fraction of capacity (kept low so 8-deep
+# hash buckets essentially never fill, grid/hash.py)
 _MAX_LOAD = 0.25
 
 
-@partial(jax.jit, static_argnames=("tables", "cfg", "dtype"))
-def _hash_step(state, image, T, *, tables, cfg, dtype):
+@partial(jax.jit, static_argnames=("tables", "cfg", "dtype", "unique_budget"))
+def _hash_step(state, image, T, *, tables, cfg, dtype, unique_budget):
     cand = backproject_ping(image, T, tables, cfg, dtype=dtype)
-    return update_hash_grid(state, cand, cfg)
+    return update_hash_grid(state, cand, cfg, unique_budget=unique_budget)
 
 
 @partial(jax.jit, static_argnames=("tables", "spec", "cfg", "dtype"))
@@ -112,6 +113,8 @@ class SonarMapper:
             np.asarray(self.cfg.sonar_orientation, np.float64),
         )
         self._tables: Optional[FanTables] = None
+        # static per-frame unique-voxel budget; doubled on unique_overflow
+        self._unique_budget: Optional[int] = None
         self.frame_count = 0
         self.processed_frame_count = 0
         self.last_processing_time = 0.0
@@ -128,7 +131,7 @@ class SonarMapper:
         return self._tables
 
     def _grow(self) -> None:
-        new_cap = self.state.keys.shape[0] * 2
+        new_cap = self.state.key_hi.shape[0] * 2
         self.state = rehash(self.state, new_capacity=new_cap)
 
     # ------------------------------------------------------------------
@@ -166,7 +169,7 @@ class SonarMapper:
         else:
             # proactive growth, then replay-on-overflow as a backstop
             while True:
-                cap = self.state.keys.shape[0]
+                cap = self.state.key_hi.shape[0]
                 if int(self.state.used) > _MAX_LOAD * cap:
                     self._grow()
                     continue
@@ -177,14 +180,27 @@ class SonarMapper:
                     tables=tables,
                     cfg=self.cfg,
                     dtype=self.dtype,
+                    unique_budget=self._unique_budget,
                 )
                 if bool(stats["overflowed"]):
-                    self._grow()
+                    if bool(stats["unique_overflow"]):
+                        self._unique_budget = (
+                            self._unique_budget or DEFAULT_UNIQUE_BUDGET
+                        ) * 2
+                        self.state = self.state._replace(
+                            poisoned=jnp.zeros((), bool)
+                        )
+                    else:
+                        self._grow()
                     continue
                 self.state = new_state
                 break
 
-        out = {k: int(v) for k, v in stats.items() if k != "overflowed"}
+        out = {
+            k: int(v)
+            for k, v in stats.items()
+            if k not in ("overflowed", "unique_overflow")
+        }
         self.last_processing_time = time.time() - t0
         self.total_processing_time += self.last_processing_time
         result = {
@@ -254,7 +270,7 @@ class SonarMapper:
         if self.backend == "dense":
             self.state = init_dense_grid(self.dense_spec, self.dtype)
         else:
-            self.state = init_hash_grid(self.state.keys.shape[0], self.dtype)
+            self.state = init_hash_grid(self.state.key_hi.shape[0], self.dtype)
         self.frame_count = 0
         self.processed_frame_count = 0
         self.total_processing_time = 0.0

@@ -26,6 +26,7 @@ commutes (sum/count/max), matching reference :542-551.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Tuple
 
@@ -96,10 +97,16 @@ def _fan_row(
     return np.cos(vang), np.sin(vang), mask
 
 
+@functools.lru_cache(maxsize=64)
 def build_fan_tables(
     cfg: MapperConfig, range_bins: int, bearing_bins: int
 ) -> FanTables:
-    """Precompute all static tables for this config + image geometry."""
+    """Precompute all static tables for this config + image geometry.
+
+    Memoized on (cfg, geometry): FanTables hashes by identity (it is a jit
+    static argument), so returning the SAME instance for the same inputs is
+    what lets every caller share one compiled program per geometry.
+    """
     half_ap = cfg.half_aperture_rad
     res = cfg.voxel_resolution
     rres = cfg.max_range / range_bins  # reference :404

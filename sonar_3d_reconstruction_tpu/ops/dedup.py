@@ -1,0 +1,118 @@
+"""Sort-based per-frame voxel dedup (the TPU-shaped replacement for the
+reference's per-frame accumulation dict, scripts/3d_mapper.py:523-551).
+
+TPU cost model (measured on v5e through XLA): random scatter/gather costs
+~8-10 ns PER INDEX — so any per-candidate table operation at N≈10^6 costs
+~10 ms, while sorts (~1.3 ms for 10^6 keys+payload), cumulative/associative
+scans and elementwise ops are 10-100x cheaper.  The frame update therefore
+dedups candidates FIRST, entirely with sort/scan/elementwise primitives, and
+touches the hash table only with ~U << N unique records:
+
+  1. sort candidates by packed voxel code (invalid -> EMPTY_HI, sorts last);
+  2. segment boundaries by neighbor compare; per-segment candidate count and
+     occupied count via cumulative sums re-based at segment starts with a
+     running-max scan (both log-depth, elementwise);
+  3. compact the segment-end records to the front with a second (stable)
+     sort on the one-bit is-end key, truncated to a static unique budget.
+
+Per-voxel aggregates are EXACT: within a frame every candidate of a voxel
+carries one of two constant log-odds values (occupied/free), so the
+reference's per-voxel ``sum`` is n_occ*log_odds_occupied +
+(count-n_occ)*log_odds_free and its occupied-priority flag is n_occ > 0
+(3d_mapper.py:542-551).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from sonar_3d_reconstruction_tpu.ops.packing import EMPTY_HI
+
+
+class UniqueRecords(NamedTuple):
+    """Compact per-frame unique-voxel records (static length U)."""
+
+    hi: jnp.ndarray        # (U,) uint32 packed key (EMPTY_HI on unused lanes)
+    lo: jnp.ndarray        # (U,) uint32
+    count: jnp.ndarray     # (U,) int32 candidates in the voxel this frame
+    n_occ: jnp.ndarray     # (U,) int32 occupied-type candidates
+    valid: jnp.ndarray     # (U,) bool
+    n_unique: jnp.ndarray  # () int32 true unique count (may exceed U!)
+
+    @property
+    def overflowed(self) -> jnp.ndarray:
+        return self.n_unique > self.hi.shape[0]
+
+
+def _running_max(x: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.associative_scan(jnp.maximum, x)
+
+
+def dedup_frame(
+    hi: jnp.ndarray,
+    lo: jnp.ndarray,
+    occ: jnp.ndarray,
+    valid: jnp.ndarray,
+    unique_budget: int,
+) -> UniqueRecords:
+    """Candidates (N,) -> UniqueRecords (unique_budget,).
+
+    ``hi``/``lo``: packed voxel codes, ``occ``: occupied-type flag,
+    ``valid``: emission mask.  If a frame has more unique voxels than the
+    budget the records are truncated and ``n_unique`` reports the excess
+    (callers poison the frame and retry with a larger budget).
+    """
+    n = hi.shape[0]
+    big = EMPTY_HI
+    hi = jnp.where(valid, hi, big)
+    lo = jnp.where(valid, lo, big)
+
+    hi, lo, occ_i = jax.lax.sort(
+        (hi, lo, occ.astype(jnp.int32)), num_keys=2
+    )
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    new_seg = jnp.concatenate(
+        [jnp.ones((1,), bool), (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])]
+    )
+
+    # per-segment aggregates at every lane: rebase global cumsums at the
+    # segment start (start indices/base values are nondecreasing, so a
+    # running max over start-marked lanes propagates them down the segment)
+    start_idx = _running_max(jnp.where(new_seg, idx, -1))
+    csum_occ = jnp.cumsum(occ_i)
+    base_occ = _running_max(jnp.where(new_seg, csum_occ - occ_i, -1))
+    seg_count = idx - start_idx + 1
+    seg_occ = csum_occ - base_occ
+
+    is_end = jnp.concatenate([new_seg[1:], jnp.ones((1,), bool)])
+    seg_valid = hi != big
+    rec = is_end & seg_valid
+    n_unique = jnp.sum(rec).astype(jnp.int32)
+
+    # compaction: stable sort on the one-bit "not a record" key
+    not_rec = (~rec).astype(jnp.uint32)
+    _, c_hi, c_lo, c_count, c_occ = jax.lax.sort(
+        (not_rec, hi, lo, seg_count, seg_occ), num_keys=1
+    )
+    u = unique_budget
+
+    def take(x, fill):
+        if u <= n:
+            return x[:u]
+        pad = jnp.full((u - n,), fill, x.dtype)
+        return jnp.concatenate([x, pad])
+
+    lane = jnp.arange(u, dtype=jnp.int32)
+    valid_u = lane < n_unique
+    return UniqueRecords(
+        hi=jnp.where(valid_u, take(c_hi, big), big),
+        lo=jnp.where(valid_u, take(c_lo, big), big),
+        count=jnp.where(valid_u, take(c_count, 0), 0),
+        n_occ=jnp.where(valid_u, take(c_occ, 0), 0),
+        valid=valid_u,
+        n_unique=n_unique,
+    )

@@ -4,24 +4,27 @@ Design (SURVEY.md section 5.8; a design choice, not a port — the reference is
 a single Python process over DDS with zero parallelism):
 
   * Mesh axis ``"space"``: the hash table is split into S independent
-    open-addressing sub-tables, one per device.  A voxel key's OWNER shard is
-    a second spatial hash mod S (independent of the in-shard slot hash), so
-    linear probing never crosses a shard boundary.
-  * Within-ping data parallelism: backprojection of the candidate tensor is an
-    ordinary jit region — GSPMD partitions it over the same mesh; the
-    candidate set is then all-gathered (XLA inserts the collective, riding
-    ICI) so each shard can filter candidates it owns and scatter them into
-    its local table block.
-  * Per-frame update semantics are identical to the single-chip path
-    (grid/hash.py): ownership partitions the candidate set, every per-voxel
-    aggregate (sum / count / occupied-priority) is computed entirely on the
-    owner shard, so sharded and single-chip maps hold identical log-odds.
-  * Frame atomicity: if ANY shard overflows its probe budget the frame is
-    rejected on EVERY shard (one psum over ICI decides before any write), so
-    the host can grow all sub-tables and replay exactly as single-chip.
+    bucketized sub-tables (grid/hash.py layout), one per device.  A voxel
+    key's OWNER shard is a hash of its packed code mod S — independent of
+    the in-shard bucket bits — so each shard resolves its keys entirely
+    locally.
+  * Within-ping data parallelism: backprojection + key packing are ordinary
+    jit regions — GSPMD partitions them over the same mesh; the packed
+    candidate stream is then all-gathered (XLA inserts the collective,
+    riding ICI) so each shard can filter the candidates it owns and run the
+    sort-dedup + bucket-table update (ops/dedup.py + grid/hash.py) on its
+    local block.
+  * Per-frame update semantics are identical to the single-chip path:
+    ownership partitions the candidate set BEFORE dedup, so every per-voxel
+    aggregate is computed entirely on the owner shard and sharded /
+    single-chip maps hold identical log-odds.
+  * Frame atomicity: if ANY shard overflows (unique budget or a bucket) the
+    frame is rejected on EVERY shard (one psum over ICI decides before any
+    write lands), so the host can grow all sub-tables and replay exactly as
+    single-chip.
 
 Frame ordering (the adaptive update reads pre-frame state, so pings are a
-strict sequential scan) is preserved: the scan is over pings, parallelism is
+strict sequential scan) is preserved: steps chain over pings, parallelism is
 within a ping.
 """
 
@@ -38,26 +41,41 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sonar_3d_reconstruction_tpu.config import MapperConfig
-from sonar_3d_reconstruction_tpu.grid.dense import voxel_keys
-from sonar_3d_reconstruction_tpu.grid.hash import EMPTY, find_or_insert
+from sonar_3d_reconstruction_tpu.grid.hash import (
+    DEFAULT_UNIQUE_BUDGET,
+    HashGridState,
+    apply_unique_records,
+    voxel_keys,
+)
 from sonar_3d_reconstruction_tpu.ops.backproject import (
     FanTables,
     backproject_ping,
 )
-from sonar_3d_reconstruction_tpu.ops.logodds import finalize_voxel_updates
-
-# Owner-shard hash primes — deliberately different from the in-shard slot
-# primes (grid/hash.py) so owner and slot bits are uncorrelated.
-_Q1, _Q2, _Q3 = np.uint32(2654435761), np.uint32(805459861), np.uint32(3674653429)
+from sonar_3d_reconstruction_tpu.ops.dedup import dedup_frame
+from sonar_3d_reconstruction_tpu.ops.packing import (
+    EMPTY_HI,
+    mix2,
+    pack_keys,
+    unpack_keys,
+)
 
 
 class ShardedHashState(NamedTuple):
     """Map state pytree; leading axis S is sharded over mesh axis "space"."""
 
-    keys: jnp.ndarray       # (S, C_local, 3) int32, EMPTY rows free
+    key_hi: jnp.ndarray     # (S, C_local) uint32, EMPTY_HI = free
+    key_lo: jnp.ndarray     # (S, C_local) uint32
     log_odds: jnp.ndarray   # (S, C_local)
     used: jnp.ndarray       # (S,) int32 occupied slots per shard
     poisoned: jnp.ndarray   # (S,) bool
+
+    @property
+    def keys(self) -> jnp.ndarray:
+        """(S, C, 3) int32 unpacked view; empty slots read as EMPTY rows."""
+        from sonar_3d_reconstruction_tpu.grid.hash import EMPTY
+
+        k = unpack_keys(self.key_hi, self.key_lo)
+        return jnp.where((self.key_hi == EMPTY_HI)[..., None], EMPTY, k)
 
 
 def make_mesh(devices=None, axis_name: str = "space") -> Mesh:
@@ -73,81 +91,87 @@ def init_sharded_hash_grid(
     S = mesh.devices.size
     sh = NamedSharding(mesh, P("space"))
     return ShardedHashState(
-        keys=jax.device_put(jnp.full((S, local_capacity, 3), EMPTY, jnp.int32), sh),
+        key_hi=jax.device_put(
+            jnp.full((S, local_capacity), EMPTY_HI, jnp.uint32), sh
+        ),
+        key_lo=jax.device_put(
+            jnp.full((S, local_capacity), EMPTY_HI, jnp.uint32), sh
+        ),
         log_odds=jax.device_put(jnp.zeros((S, local_capacity), dtype), sh),
         used=jax.device_put(jnp.zeros((S,), jnp.int32), sh),
         poisoned=jax.device_put(jnp.zeros((S,), bool), sh),
     )
 
 
-def owner_shard(keys: jnp.ndarray, n_shards: int) -> jnp.ndarray:
-    """(N, 3) int32 voxel keys -> (N,) int32 owner shard in [0, n_shards)."""
-    k = keys.astype(jnp.uint32)
-    h = (k[..., 0] * _Q1) ^ (k[..., 1] * _Q2) ^ (k[..., 2] * _Q3)
-    return (h % jnp.uint32(n_shards)).astype(jnp.int32)
+def owner_shard(hi: jnp.ndarray, lo: jnp.ndarray, n_shards: int) -> jnp.ndarray:
+    """Packed codes -> owner shard in [0, n_shards). Uses mix2 with swapped
+    words so owner bits are independent of the in-shard bucket bits."""
+    return (mix2(lo, hi) % jnp.uint32(n_shards)).astype(jnp.int32)
 
 
-def _local_update(state_blk, cand_keys, lo, occ, valid, *, cfg, axis_name):
-    """Per-shard body: filter owned candidates, update the local sub-table.
-
-    state_blk leaves have leading length-1 shard axis (shard_map block);
-    candidates arrive fully replicated (XLA all-gathers them over ICI).
-    """
-    keys_tbl = state_blk.keys[0]
-    log_tbl = state_blk.log_odds[0]
-    capacity = keys_tbl.shape[0]
-    dtype = log_tbl.dtype
-
+def _local_update(
+    state_blk, hi, lo, occ, valid, range_fail, *, cfg, axis_name, unique_budget
+):
+    """Per-shard body: dedup the candidates this shard owns, update the
+    local sub-table.  state_blk leaves have leading length-1 shard axis;
+    candidates arrive fully replicated."""
     my = jax.lax.axis_index(axis_name)
     n_shards = jax.lax.axis_size(axis_name)
-    active = valid & (owner_shard(cand_keys, n_shards) == my)
+    active = valid & (owner_shard(hi, lo, n_shards) == my)
 
-    new_table, slots, overflowed = find_or_insert(keys_tbl, cand_keys, active)
-    my_failed = jnp.logical_or(overflowed, state_blk.poisoned[0])
+    rec = dedup_frame(hi, lo, occ, active, unique_budget)
+    dtype = state_blk.log_odds.dtype
+    zero3 = jnp.zeros((3,), dtype)
+    local = HashGridState(
+        key_hi=state_blk.key_hi[0],
+        key_lo=state_blk.key_lo[0],
+        log_odds=state_blk.log_odds[0],
+        min_bounds=zero3,
+        max_bounds=zero3,
+        used=state_blk.used[0],
+        poisoned=state_blk.poisoned[0],
+    )
+    applied, stats, overflowed = apply_unique_records(local, rec, cfg)
+
+    my_failed = overflowed | range_fail | state_blk.poisoned[0]
     # frame atomicity: one psum decides accept/reject for every shard
     any_failed = jax.lax.psum(my_failed.astype(jnp.int32), axis_name) > 0
 
-    dump = jnp.int32(capacity)
-    lin = jnp.where(active, slots, dump)
-    lo_sum = jnp.zeros((capacity,), dtype).at[lin].add(
-        jnp.where(active, lo.astype(dtype), 0), mode="drop"
-    )
-    count = jnp.zeros((capacity,), dtype).at[lin].add(
-        jnp.where(active, jnp.ones((), dtype), 0), mode="drop"
-    )
-    occ_vox = jnp.zeros((capacity,), jnp.int32).at[lin].max(
-        (active & occ).astype(jnp.int32), mode="drop"
-    )
-
-    safe = jnp.minimum(lin, capacity - 1)
-    new_val = finalize_voxel_updates(
-        log_tbl[safe], lo_sum[safe], count[safe], occ_vox[safe] > 0, cfg
-    )
-    new_lo = log_tbl.at[lin].set(jnp.where(active, new_val, 0), mode="drop")
-    used = jnp.sum(new_table[:, 0] != EMPTY).astype(jnp.int32)
-
-    applied = ShardedHashState(
-        keys=new_table[None],
-        log_odds=new_lo[None],
-        used=used[None],
+    applied_blk = ShardedHashState(
+        key_hi=applied.key_hi[None],
+        key_lo=applied.key_lo[None],
+        log_odds=applied.log_odds[None],
+        used=applied.used[None],
         poisoned=state_blk.poisoned,
     )
     rejected = state_blk._replace(poisoned=jnp.ones((1,), bool))
     new_state = jax.tree_util.tree_map(
-        lambda a, b: jnp.where(any_failed, a, b), rejected, applied
+        lambda a, b: jnp.where(any_failed, a, b), rejected, applied_blk
     )
 
-    n_applied = jnp.where(any_failed, 0, jnp.sum(active).astype(jnp.int32))
-    stats = {
-        "num_candidates": jax.lax.psum(n_applied, axis_name),
+    zero = jnp.zeros((), jnp.int32)
+    out_stats = {
+        "num_occupied": jax.lax.psum(
+            jnp.where(any_failed, zero, stats["num_occupied"]), axis_name
+        ),
+        "num_free": jax.lax.psum(
+            jnp.where(any_failed, zero, stats["num_free"]), axis_name
+        ),
+        "num_candidates": jax.lax.psum(
+            jnp.where(any_failed, zero, jnp.sum(active).astype(jnp.int32)),
+            axis_name,
+        ),
         "overflowed": any_failed,
+        "unique_overflow": jax.lax.psum(
+            rec.overflowed.astype(jnp.int32), axis_name
+        ) > 0,
     }
-    return new_state, stats
+    return new_state, out_stats
 
 
 def _state_specs(axis_name: str) -> ShardedHashState:
     return ShardedHashState(
-        P(axis_name), P(axis_name), P(axis_name), P(axis_name)
+        P(axis_name), P(axis_name), P(axis_name), P(axis_name), P(axis_name)
     )
 
 
@@ -157,17 +181,33 @@ def make_sharded_ping_step(
     cfg: MapperConfig,
     dtype=jnp.float32,
     axis_name: str = "space",
+    unique_budget: int = None,
 ):
     """Build the jitted sharded single-ping step:
     (state, image, T, frame_active) -> (state, stats)."""
+    if unique_budget is None:
+        n = tables.candidates_per_ping(cfg.occupied_window)
+        unique_budget = 1 << max(3, min(n - 1, DEFAULT_UNIQUE_BUDGET - 1)).bit_length()
+        unique_budget = min(unique_budget, DEFAULT_UNIQUE_BUDGET)
 
     update = shard_map(
-        partial(_local_update, cfg=cfg, axis_name=axis_name),
+        partial(
+            _local_update,
+            cfg=cfg,
+            axis_name=axis_name,
+            unique_budget=unique_budget,
+        ),
         mesh=mesh,
-        in_specs=(_state_specs(axis_name), P(), P(), P(), P()),
+        in_specs=(_state_specs(axis_name), P(), P(), P(), P(), P()),
         out_specs=(
             _state_specs(axis_name),
-            {"num_candidates": P(), "overflowed": P()},
+            {
+                "num_occupied": P(),
+                "num_free": P(),
+                "num_candidates": P(),
+                "overflowed": P(),
+                "unique_overflow": P(),
+            },
         ),
         check_vma=False,
     )
@@ -175,15 +215,18 @@ def make_sharded_ping_step(
     @jax.jit
     def step(state: ShardedHashState, image, T, frame_active):
         cand = backproject_ping(image, T, tables, cfg, dtype=dtype)
-        # within-ping data parallelism: GSPMD splits the candidate tensor over
-        # the mesh; the shard_map boundary all-gathers it back for ownership
-        # filtering (one all-gather per ping over ICI).
+        # within-ping data parallelism: GSPMD splits the candidate tensor
+        # over the mesh; the shard_map boundary all-gathers the packed
+        # stream for ownership filtering (one all-gather per ping over ICI).
         pts = jax.lax.with_sharding_constraint(
             cand["points"], NamedSharding(mesh, P(axis_name))
         )
-        cand_keys = voxel_keys(pts, cfg.voxel_resolution)
+        keys = voxel_keys(pts, cfg.voxel_resolution)
+        hi, lo, in_range = pack_keys(keys)
         valid = cand["valid"] & frame_active
-        return update(state, cand_keys, cand["log_odds"], cand["is_occupied"], valid)
+        range_fail = jnp.any(valid & ~in_range)
+        valid = valid & in_range
+        return update(state, hi, lo, cand["is_occupied"], valid, range_fail)
 
     return step
 
@@ -208,22 +251,41 @@ def make_scan_pings_sharded(
     cfg: MapperConfig,
     dtype=jnp.float32,
     axis_name: str = "space",
+    unique_budget: int = None,
 ):
-    """Build the jitted sharded sequence scan:
+    """Build the sharded sequence runner:
     (state, images (P,R,B), transforms (P,4,4), start) -> (state, stats).
-    Frames with index < start are no-ops (growth replay, see pipeline.py)."""
-    step = make_sharded_ping_step(mesh, tables, cfg, dtype, axis_name)
+    Frames with index < start are no-ops (growth replay, see pipeline.py).
+
+    Host-driven step chain (see the design note in pipeline.py)."""
+    step = make_sharded_ping_step(
+        mesh, tables, cfg, dtype, axis_name, unique_budget
+    )
 
     @jax.jit
-    def scan(state, images, transforms, start):
-        def body(carry, inp):
-            idx, image, T = inp
-            return step(carry, image, T, idx >= start)
+    def indexed_step(state, images, transforms, idx, start):
+        image = jax.lax.dynamic_index_in_dim(images, idx, 0, keepdims=False)
+        T = jax.lax.dynamic_index_in_dim(transforms, idx, 0, keepdims=False)
+        return step(state, image, T, idx >= start)
 
-        idxs = jnp.arange(images.shape[0], dtype=jnp.int32)
-        return jax.lax.scan(body, state, (idxs, images, transforms))
+    def run(state, images, transforms, start):
+        P_ = images.shape[0]
+        images = jnp.asarray(images)
+        transforms = jnp.asarray(transforms, dtype)
+        start = jnp.asarray(start, jnp.int32)
+        per_step = []
+        for i in range(P_):
+            state, stats = indexed_step(
+                state, images, transforms, jnp.int32(i), start
+            )
+            per_step.append(stats)
+        stacked = {
+            k: jnp.stack([s[k] for s in per_step])
+            for k in (per_step[0] if per_step else {})
+        }
+        return state, stacked
 
-    return scan
+    return run
 
 
 def scan_pings_sharded(state, images, transforms, mesh, tables, cfg,

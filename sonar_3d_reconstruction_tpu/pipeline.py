@@ -33,6 +33,7 @@ from sonar_3d_reconstruction_tpu.grid.dense import (
     update_dense_grid,
 )
 from sonar_3d_reconstruction_tpu.grid.hash import (
+    DEFAULT_UNIQUE_BUDGET,
     HashGridState,
     init_hash_grid,
     rehash,
@@ -87,45 +88,108 @@ def batched_sonar_to_world(
 # Jitted sequence scans
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("tables", "cfg", "dtype"))
-def scan_pings_hash(
+# ---------------------------------------------------------------------------
+# Sequence engines.
+#
+# DESIGN NOTE (why a host loop, not lax.scan): the map-update step writes
+# scattered rows into the multi-10s-of-MB table state.  When XLA is allowed
+# to UPDATE THAT BUFFER IN PLACE — which is exactly what a lax.scan carry or
+# a donated argument does — the TPU runtime takes a catastrophically slow
+# scatter path: measured 389 ms/ping under scan (and 387 ms/ping with
+# donate_argnums) vs 0.08 ms/ping for the identical jitted step called in a
+# host loop with NO donation (the runtime then copies the state at full HBM
+# bandwidth and scatters into the fresh copy).  Steps are dispatched
+# asynchronously, so the host loop adds only dispatch overhead, and the
+# chain of state dependencies keeps execution strictly ordered on device.
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("tables", "cfg", "dtype", "unique_budget"))
+def hash_ping_step(
     state: HashGridState,
-    images: jnp.ndarray,        # (P, R, B)
-    transforms: jnp.ndarray,    # (P, 4, 4)
-    start: jnp.ndarray,         # () int32: frames < start are no-ops (replay)
-    stop: Optional[jnp.ndarray] = None,  # () int32: frames >= stop are no-ops
+    images: jnp.ndarray,       # (P, R, B) full stacked sequence
+    transforms: jnp.ndarray,   # (P, 4, 4)
+    idx,                       # () int32 which ping to apply
+    start,                     # () int32 frames < start are no-ops (replay)
+    stop,                      # () int32 frames >= stop are no-ops (padding)
     *,
     tables: FanTables,
     cfg: MapperConfig,
     dtype=jnp.float32,
+    unique_budget=None,
 ) -> Tuple[HashGridState, Dict[str, jnp.ndarray]]:
-    """Whole ping sequence -> hashed map, as one XLA program.
+    """Apply ping ``idx`` of a stacked sequence to the hashed map (one XLA
+    program per call; the full stack is passed so slicing happens on device
+    in the same program)."""
+    image = jax.lax.dynamic_index_in_dim(images, idx, 0, keepdims=False)
+    T = jax.lax.dynamic_index_in_dim(transforms, idx, 0, keepdims=False)
+    cand = backproject_ping(image, T, tables, cfg, dtype=dtype)
+    frame_on = (idx >= start) & (idx < stop)
+    cand = dict(cand, valid=cand["valid"] & frame_on)
+    new_state, stats = update_hash_grid(
+        state, cand, cfg, unique_budget=unique_budget
+    )
+    # a padded frame can't overflow, but a poisoned state must not report
+    # success for it either
+    stats = dict(stats, overflowed=stats["overflowed"] & frame_on)
+    return new_state, stats
 
-    ``start``/``stop`` window the sequence without changing shapes: frames
-    outside [start, stop) contribute nothing (growth replay uses ``start``,
-    chunked streaming pads the tail with ``stop``).
+
+def scan_pings_hash(
+    state: HashGridState,
+    images: jnp.ndarray,
+    transforms: jnp.ndarray,
+    start=None,
+    stop=None,
+    *,
+    tables: FanTables,
+    cfg: MapperConfig,
+    dtype=jnp.float32,
+    unique_budget=None,
+) -> Tuple[HashGridState, Dict[str, jnp.ndarray]]:
+    """Whole ping sequence -> hashed map (host-driven step chain; see the
+    design note above).  Frames outside [start, stop) contribute nothing
+    (growth replay uses ``start``, chunked streaming pads with ``stop``).
+
+    Returns (final_state, per-ping stats dict of stacked (P,) arrays).
     """
-    if stop is None:
-        stop = jnp.int32(images.shape[0])
+    P = images.shape[0]
+    start = jnp.int32(0) if start is None else jnp.asarray(start, jnp.int32)
+    stop = jnp.int32(P) if stop is None else jnp.asarray(stop, jnp.int32)
+    images = jnp.asarray(images)
+    transforms = jnp.asarray(transforms, dtype)
 
-    def step(carry, inp):
-        st = carry
-        idx, image, T = inp
-        cand = backproject_ping(image, T, tables, cfg, dtype=dtype)
-        frame_on = (idx >= start) & (idx < stop)
-        cand = dict(cand, valid=cand["valid"] & frame_on)
-        st, stats = update_hash_grid(st, cand, cfg)
-        # a padded frame can't overflow, but a poisoned state must not
-        # report success for it either
-        stats = dict(stats, overflowed=stats["overflowed"] & frame_on)
-        return st, stats
-
-    idxs = jnp.arange(images.shape[0], dtype=jnp.int32)
-    final, stats = jax.lax.scan(step, state, (idxs, images, transforms))
-    return final, stats
+    per_step = []
+    for i in range(P):
+        state, stats = hash_ping_step(
+            state, images, transforms, jnp.int32(i), start, stop,
+            tables=tables, cfg=cfg, dtype=dtype, unique_budget=unique_budget,
+        )
+        per_step.append(stats)
+    stacked = {
+        k: jnp.stack([s[k] for s in per_step]) if P else jnp.zeros((0,))
+        for k in (per_step[0] if per_step else {})
+    }
+    return state, stacked
 
 
 @partial(jax.jit, static_argnames=("tables", "spec", "cfg", "dtype"))
+def dense_ping_step(
+    state,
+    images: jnp.ndarray,
+    transforms: jnp.ndarray,
+    idx,
+    *,
+    tables: FanTables,
+    spec: DenseGridSpec,
+    cfg: MapperConfig,
+    dtype=jnp.float32,
+):
+    image = jax.lax.dynamic_index_in_dim(images, idx, 0, keepdims=False)
+    T = jax.lax.dynamic_index_in_dim(transforms, idx, 0, keepdims=False)
+    cand = backproject_ping(image, T, tables, cfg, dtype=dtype)
+    return update_dense_grid(state, cand, spec, cfg)
+
+
 def scan_pings_dense(
     state,
     images: jnp.ndarray,
@@ -136,15 +200,22 @@ def scan_pings_dense(
     cfg: MapperConfig,
     dtype=jnp.float32,
 ):
-    """Whole ping sequence -> dense bounded map, as one XLA program."""
-
-    def step(carry, inp):
-        image, T = inp
-        cand = backproject_ping(image, T, tables, cfg, dtype=dtype)
-        st, stats = update_dense_grid(carry, cand, spec, cfg)
-        return st, stats
-
-    return jax.lax.scan(step, state, (images, transforms))
+    """Whole ping sequence -> dense bounded map (host-driven step chain)."""
+    P = images.shape[0]
+    images = jnp.asarray(images)
+    transforms = jnp.asarray(transforms, dtype)
+    per_step = []
+    for i in range(P):
+        state, stats = dense_ping_step(
+            state, images, transforms, jnp.int32(i),
+            tables=tables, spec=spec, cfg=cfg, dtype=dtype,
+        )
+        per_step.append(stats)
+    stacked = {
+        k: jnp.stack([s[k] for s in per_step])
+        for k in (per_step[0] if per_step else {})
+    }
+    return state, stacked
 
 
 # ---------------------------------------------------------------------------
@@ -202,10 +273,11 @@ def map_ping_sequence(
     st = state if state is not None else init_hash_grid(initial_capacity, dtype)
     merged: Dict[str, np.ndarray] = {}
     start = 0
+    unique_budget = None
     for _ in range(max_grow_retries):
         new_st, stats = scan_pings_hash(
             st, images_dev, T_dev, jnp.int32(start),
-            tables=tables, cfg=cfg, dtype=dtype,
+            tables=tables, cfg=cfg, dtype=dtype, unique_budget=unique_budget,
         )
         over = np.asarray(stats["overflowed"])
         # merge this attempt's stats for frames it actually applied
@@ -219,7 +291,11 @@ def map_ping_sequence(
             return new_st, merged
         # grow and replay from the first failed frame
         start = applied_hi
-        st = rehash(new_st, new_capacity=new_st.keys.shape[0] * 2)
+        if bool(np.asarray(stats["unique_overflow"])[applied_hi]):
+            unique_budget = (unique_budget or DEFAULT_UNIQUE_BUDGET) * 2
+            st = new_st._replace(poisoned=jnp.zeros((), bool))
+        else:
+            st = rehash(new_st, new_capacity=new_st.key_hi.shape[0] * 2)
     raise RuntimeError(
         f"hash capacity growth did not converge after {max_grow_retries} retries"
     )

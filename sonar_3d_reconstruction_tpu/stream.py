@@ -23,14 +23,17 @@ import numpy as np
 import jax.numpy as jnp
 
 from sonar_3d_reconstruction_tpu.config import MapperConfig, StreamConfig
-from sonar_3d_reconstruction_tpu.grid.hash import init_hash_grid, rehash
+from sonar_3d_reconstruction_tpu.grid.hash import (
+    DEFAULT_UNIQUE_BUDGET,
+    extract_occupied_hash,
+    init_hash_grid,
+    rehash,
+)
 from sonar_3d_reconstruction_tpu.io.bag import BagReader, ImageMsg, OdometryMsg
 from sonar_3d_reconstruction_tpu.io.image import UnsupportedEncoding, decode_image
 from sonar_3d_reconstruction_tpu.io.pointcloud import serialize_pointcloud2
 from sonar_3d_reconstruction_tpu.io.timesync import ApproximateTimeSync
 from sonar_3d_reconstruction_tpu.ops.backproject import build_fan_tables
-from sonar_3d_reconstruction_tpu.grid.hash import EMPTY
-from sonar_3d_reconstruction_tpu.ops.logodds import probability_to_log_odds
 from sonar_3d_reconstruction_tpu.pipeline import (
     batched_sonar_to_world,
     scan_pings_hash,
@@ -87,6 +90,7 @@ class StreamingMapper:
         self.stats = StreamStats()
         self._tables = None
         self._tables_shape: Optional[Tuple[int, int]] = None
+        self._unique_budget: Optional[int] = None
         self._chunk_images: List[np.ndarray] = []
         self._chunk_positions: List[np.ndarray] = []
         self._chunk_quats: List[np.ndarray] = []
@@ -171,13 +175,20 @@ class StreamingMapper:
                 tables=self._tables,
                 cfg=self.cfg,
                 dtype=self.dtype,
+                unique_budget=self._unique_budget,
             )
             over = np.asarray(stats["overflowed"])
             if not over.any():
                 self.state = new_state
                 break
             start = int(np.argmax(over))
-            self.state = rehash(new_state, self.state.keys.shape[0] * 2)
+            if bool(np.asarray(stats["unique_overflow"])[start]):
+                self._unique_budget = (
+                    self._unique_budget or DEFAULT_UNIQUE_BUDGET
+                ) * 2
+                self.state = new_state._replace(poisoned=jnp.zeros((), bool))
+            else:
+                self.state = rehash(new_state, self.state.key_hi.shape[0] * 2)
             self.stats.grows += 1
         self.stats.device_time += time.perf_counter() - t0
         self.stats.frames_mapped += n
@@ -202,12 +213,7 @@ class StreamingMapper:
 
     # -- extraction ------------------------------------------------------
     def pointcloud_msg(self, stamp: float = 0.0) -> Dict:
-        keys = np.asarray(self.state.keys)
-        lo = np.asarray(self.state.log_odds)
-        thr = probability_to_log_odds(self.cfg.min_probability, self.cfg)
-        mask = (keys[:, 0] != EMPTY) & (lo > thr)
-        points = (keys[mask].astype(np.float64) + 0.5) * self.cfg.voxel_resolution
-        probs = 1.0 / (1.0 + np.exp(-lo[mask].astype(np.float64)))
+        points, probs = extract_occupied_hash(self.state, self.cfg)
         sec = int(stamp)
         return serialize_pointcloud2(
             points,

@@ -1,18 +1,25 @@
-"""Hashed sparse voxel grid: insert protocol, growth, golden parity."""
+"""Hashed sparse voxel grid: packing, dedup, bucket insert, growth, golden
+parity."""
 
 import numpy as np
 import jax.numpy as jnp
 
 from sonar_3d_reconstruction_tpu.grid.hash import (
+    BUCKET_SLOTS,
     EMPTY,
-    HashGridState,
+    bucket_lookup,
     extract_classified_hash,
     extract_occupied_hash,
-    find_or_insert,
     init_hash_grid,
+    insert_unique,
     rehash,
-    spatial_hash,
     update_hash_grid,
+)
+from sonar_3d_reconstruction_tpu.ops.dedup import dedup_frame
+from sonar_3d_reconstruction_tpu.ops.packing import (
+    EMPTY_HI,
+    pack_keys,
+    unpack_keys,
 )
 from sonar_3d_reconstruction_tpu.golden import GoldenMapper
 from sonar_3d_reconstruction_tpu.geometry import (
@@ -27,57 +34,120 @@ from sonar_3d_reconstruction_tpu.ops.backproject import (
 from conftest import circular_trajectory, synthetic_ping
 
 
-def test_find_or_insert_roundtrip():
-    table = jnp.full((64, 3), EMPTY, jnp.int32)
-    keys = jnp.array([[1, 2, 3], [4, 5, 6], [1, 2, 3], [-7, 0, 9]], jnp.int32)
-    active = jnp.ones(4, bool)
-    table, slots, overflow = find_or_insert(table, keys, active)
-    slots = np.asarray(slots)
-    assert not bool(overflow)
-    assert slots[0] == slots[2]  # duplicates share one slot
-    assert len({slots[0], slots[1], slots[3]}) == 3
-    # lookup again: same slots, no new inserts
-    table2, slots2, _ = find_or_insert(table, keys, active)
-    np.testing.assert_array_equal(np.asarray(slots2), slots)
-    np.testing.assert_array_equal(np.asarray(table2), np.asarray(table))
+# ---------------------------------------------------------------------------
+# key packing
+# ---------------------------------------------------------------------------
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(0)
+    keys = jnp.asarray(rng.integers(-(1 << 19), (1 << 19) - 1, (5000, 3)), jnp.int32)
+    hi, lo, in_range = pack_keys(keys)
+    assert bool(in_range.all())
+    np.testing.assert_array_equal(np.asarray(unpack_keys(hi, lo)), np.asarray(keys))
+    # distinct keys -> distinct codes
+    codes = set(zip(np.asarray(hi).tolist(), np.asarray(lo).tolist()))
+    uniq = {tuple(k) for k in np.asarray(keys)}
+    assert len(codes) == len(uniq)
 
 
-def test_find_or_insert_collision_chain():
-    """Keys engineered to collide at the same home slot must all resolve."""
-    cap = 32
-    base = np.array([3, 1, 4], np.int32)
-    # collect keys whose hash equals hash(base)
-    target = int(spatial_hash(jnp.asarray(base)[None], cap)[0])
-    collide = [base]
-    z = 5
-    while len(collide) < 6:
-        k = np.array([3, 1, z], np.int32)
-        if int(spatial_hash(jnp.asarray(k)[None], cap)[0]) == target:
-            collide.append(k)
-        z += 1
-    keys = jnp.asarray(np.stack(collide))
-    table = jnp.full((cap, 3), EMPTY, jnp.int32)
-    table, slots, overflow = find_or_insert(table, keys, jnp.ones(len(collide), bool))
-    assert not bool(overflow)
-    assert len(set(np.asarray(slots).tolist())) == len(collide)
+def test_pack_reports_out_of_range():
+    keys = jnp.asarray([[0, 0, 1 << 19], [-(1 << 19) - 1, 0, 0], [1, 2, 3]], jnp.int32)
+    _, _, in_range = pack_keys(keys)
+    np.testing.assert_array_equal(np.asarray(in_range), [False, False, True])
 
 
-def test_inactive_candidates_do_not_insert():
-    table = jnp.full((16, 3), EMPTY, jnp.int32)
-    keys = jnp.array([[1, 1, 1], [2, 2, 2]], jnp.int32)
-    table, slots, _ = find_or_insert(table, keys, jnp.array([True, False]))
-    assert int(np.asarray(slots)[1]) == 16  # dump slot
-    assert int((np.asarray(table)[:, 0] != EMPTY).sum()) == 1
+def test_pack_never_produces_empty_marker():
+    # the corner that could alias EMPTY_HI must be out of range
+    corner = jnp.asarray([[(1 << 19) - 1, (1 << 19) - 1, (1 << 19) - 1]], jnp.int32)
+    hi, _, in_range = pack_keys(corner)
+    assert not bool(in_range[0])
 
 
-def test_overflow_reported_when_table_full():
-    cap = 8
-    table = jnp.full((cap, 3), EMPTY, jnp.int32)
+# ---------------------------------------------------------------------------
+# sort-based dedup
+# ---------------------------------------------------------------------------
+
+def test_dedup_frame_aggregates():
     keys = jnp.asarray(
-        np.stack([[i, 2 * i + 1, 3 * i + 2] for i in range(12)]).astype(np.int32)
+        [[1, 2, 3], [4, 5, 6], [1, 2, 3], [1, 2, 3], [7, 8, 9], [4, 5, 6]],
+        jnp.int32,
     )
-    table, slots, overflow = find_or_insert(table, keys, jnp.ones(12, bool))
-    assert bool(overflow)
+    occ = jnp.asarray([True, False, False, True, False, True])
+    valid = jnp.asarray([True, True, True, True, False, True])
+    hi, lo, _ = pack_keys(keys)
+    rec = dedup_frame(hi, lo, occ, valid, unique_budget=8)
+    assert int(rec.n_unique) == 2  # (1,2,3) and (4,5,6); (7,8,9) invalid
+    got = {}
+    uk = np.asarray(unpack_keys(rec.hi, rec.lo))
+    for i in range(8):
+        if bool(rec.valid[i]):
+            got[tuple(uk[i])] = (int(rec.count[i]), int(rec.n_occ[i]))
+    assert got[(1, 2, 3)] == (3, 2)
+    assert got[(4, 5, 6)] == (2, 1)
+
+
+def test_dedup_budget_overflow_reported():
+    keys = jnp.asarray([[i, 0, 0] for i in range(10)], jnp.int32)
+    hi, lo, _ = pack_keys(keys)
+    rec = dedup_frame(hi, lo, jnp.zeros(10, bool), jnp.ones(10, bool), 8)
+    assert int(rec.n_unique) == 10
+    assert bool(rec.overflowed)
+
+
+# ---------------------------------------------------------------------------
+# bucket table
+# ---------------------------------------------------------------------------
+
+def test_insert_then_lookup_roundtrip():
+    state = init_hash_grid(1 << 8)
+    keys = jnp.asarray([[1, 2, 3], [4, 5, 6], [-7, 0, 9]], jnp.int32)
+    hi, lo, _ = pack_keys(keys)
+    bucket, found, _, fill = bucket_lookup(state.key_hi, state.key_lo, hi, lo)
+    assert not bool(found.any())
+    key_hi, key_lo, slots, ovf, n_ins = insert_unique(
+        state.key_hi, state.key_lo, hi, lo, jnp.ones(3, bool), bucket, fill
+    )
+    assert not bool(ovf) and int(n_ins) == 3
+    assert len(set(np.asarray(slots).tolist())) == 3
+    # second lookup finds all three at the same slots
+    _, found2, found_slot2, _ = bucket_lookup(key_hi, key_lo, hi, lo)
+    assert bool(found2.all())
+    np.testing.assert_array_equal(np.asarray(found_slot2), np.asarray(slots))
+
+
+def test_insert_bucket_contention_ranks():
+    """Keys forced into one bucket (capacity 8 = 1 bucket) fill distinct
+    slots in one pass; a 9th key overflows."""
+    state = init_hash_grid(BUCKET_SLOTS)  # exactly one bucket
+    keys = jnp.asarray([[i, i, i] for i in range(8)], jnp.int32)
+    hi, lo, _ = pack_keys(keys)
+    bucket, found, _, fill = bucket_lookup(state.key_hi, state.key_lo, hi, lo)
+    key_hi, key_lo, slots, ovf, n_ins = insert_unique(
+        state.key_hi, state.key_lo, hi, lo, jnp.ones(8, bool), bucket, fill
+    )
+    assert not bool(ovf) and int(n_ins) == 8
+    assert sorted(np.asarray(slots).tolist()) == list(range(8))
+    # one more key cannot fit
+    k9_hi, k9_lo, _ = pack_keys(jnp.asarray([[99, 99, 99]], jnp.int32))
+    b9, f9, _, fill9 = bucket_lookup(key_hi, key_lo, k9_hi, k9_lo)
+    _, _, _, ovf9, _ = insert_unique(
+        key_hi, key_lo, k9_hi, k9_lo, jnp.ones(1, bool), b9, fill9
+    )
+    assert bool(ovf9)
+
+
+def test_inactive_keys_do_not_insert():
+    state = init_hash_grid(1 << 6)
+    keys = jnp.asarray([[1, 1, 1], [2, 2, 2]], jnp.int32)
+    hi, lo, _ = pack_keys(keys)
+    bucket, _, _, fill = bucket_lookup(state.key_hi, state.key_lo, hi, lo)
+    key_hi, key_lo, slots, _, n_ins = insert_unique(
+        state.key_hi, state.key_lo, hi, lo,
+        jnp.asarray([True, False]), bucket, fill,
+    )
+    assert int(n_ins) == 1
+    assert int(np.asarray(slots)[1]) == 1 << 6  # dump value
+    assert int((np.asarray(key_hi) != np.uint32(0xFFFFFFFF)).sum()) == 1
 
 
 def test_rehash_preserves_contents(small_cfg):
@@ -121,7 +191,13 @@ def run_hash_device(cfg, images, positions, quats, capacity=1 << 16):
         )
         state, stats = update_hash_grid(state, cand, cfg)
         assert not bool(stats["overflowed"])
-        all_stats.append({k: int(v) for k, v in stats.items() if k != "overflowed"})
+        all_stats.append(
+            {
+                k: int(v)
+                for k, v in stats.items()
+                if k not in ("overflowed", "unique_overflow")
+            }
+        )
     return state, all_stats
 
 

@@ -40,10 +40,13 @@ def test_mesh_has_8_devices():
 
 
 def test_owner_shard_partition():
+    from sonar_3d_reconstruction_tpu.ops.packing import pack_keys
+
     keys = jnp.asarray(
         np.random.default_rng(0).integers(-100, 100, size=(1000, 3)), jnp.int32
     )
-    owners = np.asarray(owner_shard(keys, 8))
+    hi, lo, _ = pack_keys(keys)
+    owners = np.asarray(owner_shard(hi, lo, 8))
     assert owners.min() >= 0 and owners.max() < 8
     # roughly uniform: no shard owns more than half
     counts = np.bincount(owners, minlength=8)
@@ -62,7 +65,7 @@ def test_sharded_scan_matches_single_chip(small_cfg):
 
     mesh = make_mesh()
     tables = build_fan_tables(cfg, cfg.image_height, cfg.image_width)
-    st = init_sharded_hash_grid(mesh, local_capacity=1 << 11, dtype=jnp.float64)
+    st = init_sharded_hash_grid(mesh, local_capacity=1 << 13, dtype=jnp.float64)
     st, stats = scan_pings_sharded(
         st, jnp.asarray(images), jnp.asarray(T, jnp.float64), mesh, tables, cfg,
         dtype=jnp.float64,
@@ -117,7 +120,7 @@ def test_sharded_replay_start_skips_frames(small_cfg):
     tables = build_fan_tables(cfg, cfg.image_height, cfg.image_width)
     scan = make_scan_pings_sharded(mesh, tables, cfg, dtype=jnp.float64)
 
-    st0 = init_sharded_hash_grid(mesh, local_capacity=1 << 11, dtype=jnp.float64)
+    st0 = init_sharded_hash_grid(mesh, local_capacity=1 << 13, dtype=jnp.float64)
     st_skip, _ = scan(
         st0, jnp.asarray(images), jnp.asarray(T, jnp.float64), jnp.int32(2)
     )
