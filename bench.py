@@ -22,6 +22,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from sonar_3d_reconstruction_tpu.utils.compile_cache import enable as _enable_cache
+
+_enable_cache()
+
 from sonar_3d_reconstruction_tpu.config import MapperConfig
 from sonar_3d_reconstruction_tpu.ops.backproject import build_fan_tables
 from sonar_3d_reconstruction_tpu.pipeline import map_ping_sequence
@@ -60,9 +64,12 @@ def main():
     images, positions, quats = make_inputs(cfg, n_pings)
     tables = build_fan_tables(cfg, cfg.image_height, cfg.image_width)
 
-    # warmup: compiles + discovers the capacity the sequence needs
+    # warmup: compiles + discovers the capacity the sequence needs.
+    # 2^24 keeps Poisson bucket-overflow probability negligible for ~1M
+    # voxels (load 0.06) so the warm path needs exactly one compile.
     st, stats = map_ping_sequence(
-        images, positions, quats, cfg, initial_capacity=1 << 22,
+        images, positions, quats, cfg,
+        initial_capacity=int(os.environ.get("BENCH_CAPACITY", str(1 << 24))),
         dtype=jnp.float32,
     )
     capacity = st.key_hi.shape[0]

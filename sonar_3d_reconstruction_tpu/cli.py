@@ -179,6 +179,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     sub.add_parser("bench", help="headline benchmark (one JSON line)")
 
     args = parser.parse_args(argv)
+    from sonar_3d_reconstruction_tpu.utils.compile_cache import enable
+
+    enable()
     return {
         "selftest": cmd_selftest,
         "map-bag": cmd_map_bag,

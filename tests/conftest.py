@@ -22,6 +22,10 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+from sonar_3d_reconstruction_tpu.utils.compile_cache import enable  # noqa: E402
+
+enable()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

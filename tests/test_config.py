@@ -80,3 +80,19 @@ def test_presets_match_reference_field_configs():
 def test_config_is_hashable_static_arg():
     assert hash(MapperConfig()) == hash(MapperConfig())
     assert MapperConfig() != MapperConfig(voxel_resolution=0.1)
+
+
+def test_yaml_preset_files_match_code_presets():
+    """The shipped config/*.yaml presets (reference config/3d_mapper.yaml and
+    .bak90 schema) must resolve to the same MapperConfig as the in-code
+    presets."""
+    import os
+
+    from sonar_3d_reconstruction_tpu.config import PRESETS, load_config
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    for name in ("kiro_tilt60", "kiro_tilt90"):
+        cfg, stream = load_config(os.path.join(root, "config", f"{name}.yaml"))
+        assert cfg == PRESETS[name], name
+        assert stream.map_frame_id == "camera_init"
+        assert stream.publish_tf is False

@@ -235,3 +235,18 @@ def test_map_checkpoint_roundtrip(tmp_path, small_cfg):
     assert a.keys() == b.keys()
     for k in a:
         assert abs(a[k] - b[k]) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# debug visualization (reference show_opencv_visualization, node:249-292)
+# ---------------------------------------------------------------------------
+
+def test_threshold_overlay(small_cfg):
+    from sonar_3d_reconstruction_tpu.io.debugviz import threshold_overlay
+
+    img = np.zeros((10, 6), np.uint8)
+    img[4, 2] = 200  # single bright return in column 2
+    rgb = threshold_overlay(img, small_cfg)
+    assert rgb.shape == (10, 6, 3)
+    assert tuple(rgb[4, 2]) == (0, 255, 0)  # first hit marked green
+    assert (rgb[:, 0] == 0).all()  # empty column untouched
