@@ -59,6 +59,8 @@ BUCKET_SLOTS = 8
 EMPTY = np.int32(0x7FFFFFFF)
 
 # Default static budget of unique voxels per frame (grown on overflow).
+# Every per-key table op costs ~proportional to this; full-size 500x512
+# pings emit ~50-75k unique voxels at 5 cm resolution.
 DEFAULT_UNIQUE_BUDGET = 1 << 17
 
 

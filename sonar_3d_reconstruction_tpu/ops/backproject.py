@@ -241,8 +241,12 @@ def backproject_ping(
         & jnp.asarray(tables.free_mask)[None]
     )
 
-    # ---- occupied candidates: window bins first_hit + w, gathered via the
-    # sentinel row R for w past the image (reference :449-459)
+    # ---- occupied candidates: window bins first_hit + w (reference :449-459).
+    # The per-bin range / fan trig depend on the DYNAMIC first-hit bin, so
+    # instead of gathering precomputed rows (measured: dynamic table gathers
+    # dominated backprojection) everything is computed elementwise on device:
+    # r, the truncated fan count nv(r) = max(2, int(spread/(res*1.5))), the
+    # per-step vertical angles, and their sin/cos (VPU transcendentals).
     w_off = jnp.arange(W, dtype=jnp.int32)
     occ_bin = jnp.minimum(first_hit[:, None] + w_off[None, :], R)  # (n_rays, W)
     # intensity gate at the absolute bin (strict >, reference :452)
@@ -251,16 +255,26 @@ def backproject_ping(
         occ_bin,
         axis=1,
     )
-    occ_r = jnp.asarray(tables.occ_r, dtype)[occ_bin][:, :, None]
-    ox, oy, oz = _local_points(
-        occ_r,
-        jnp.asarray(tables.occ_cos_v, dtype)[occ_bin],
-        jnp.asarray(tables.occ_sin_v, dtype)[occ_bin],
-        cos_b,
-        sin_b,
-    )
+    rres = cfg.max_range / R  # reference :404
+    occ_r = occ_bin.astype(dtype)[:, :, None] * dtype(rres)
+    half_ap = dtype(cfg.half_aperture_rad)
+    spread = occ_r * jnp.tan(half_ap)
+    nv = jnp.maximum(
+        jnp.asarray(2, jnp.int32),
+        jnp.floor(spread / dtype(cfg.voxel_resolution * 1.5)).astype(jnp.int32),
+    )  # reference :463 (int() truncation; spread >= 0 so floor == trunc)
+    nvo_max = (tables.occ_mask.shape[1] - 1) // 2
+    steps = jnp.arange(-nvo_max, nvo_max + 1, dtype=jnp.int32)[None, None, :]
+    vang = steps.astype(dtype) / nv.astype(dtype) * half_ap  # reference :466
+    occ_cos_v = jnp.cos(vang)
+    occ_sin_v = jnp.sin(vang)
+    step_ok = jnp.abs(steps) <= nv
+    range_ok = (occ_r >= dtype(cfg.min_range)) & (
+        occ_r <= dtype(cfg.max_range)
+    ) & (occ_bin < R)[:, :, None]
+    ox, oy, oz = _local_points(occ_r, occ_cos_v, occ_sin_v, cos_b, sin_b)
     occ_world = _to_world(ox, oy, oz, T)
-    occ_valid = bin_hit[:, :, None] & jnp.asarray(tables.occ_mask)[occ_bin]
+    occ_valid = bin_hit[:, :, None] & step_ok & range_ok
 
     # ---- z filter (reference :443-444, :478-479): keep pt_world.z >= z_min
     if cfg.z_filter_enabled:
