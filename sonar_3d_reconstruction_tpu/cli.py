@@ -86,6 +86,9 @@ def cmd_map_bag(args: argparse.Namespace) -> int:
     overrides = _parse_overrides(args.param)
     cfg, stream_cfg = load_config(args.config, overrides)
 
+    if args.offline:
+        return _map_bag_offline(args, cfg, stream_cfg)
+
     published = []
     mapper = StreamingMapper(
         cfg,
@@ -115,6 +118,55 @@ def cmd_map_bag(args: argparse.Namespace) -> int:
             f"final cloud ({msg['width']} points, XYZI f32) -> {args.save_cloud}",
             file=sys.stderr,
         )
+    return 0
+
+
+def _map_bag_offline(args, cfg, stream_cfg) -> int:
+    """Batch path: native batch decode + pairing, whole bag as windowed
+    device dispatches (pipeline.map_ping_sequence)."""
+    import jax.numpy as jnp
+
+    from sonar_3d_reconstruction_tpu.io.bag import load_bag_sequence
+    from sonar_3d_reconstruction_tpu.pipeline import map_ping_sequence
+
+    t0 = time.perf_counter()
+    images, positions, quats, stamps = load_bag_sequence(
+        args.bag,
+        sonar_topic=stream_cfg.sonar_topic,
+        odometry_topic=stream_cfg.odometry_topic,
+        slop=stream_cfg.sync_slop,
+    )
+    t_load = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    state, stats = map_ping_sequence(
+        images, positions, quats, cfg, dtype=jnp.float32
+    )
+    t_map = time.perf_counter() - t0
+    n = len(images)
+    span = float(stamps[-1] - stamps[0]) if n > 1 else 0.0
+    print(
+        json.dumps(
+            {
+                "pairs": n,
+                "num_voxels": int(state.used),
+                "load_time": t_load,
+                "map_time": t_map,
+                "pings_per_sec": n / t_map if t_map else 0.0,
+                "realtime_factor": span / t_map if t_map else 0.0,
+            }
+        )
+    )
+    if args.save_map:
+        from sonar_3d_reconstruction_tpu.io.checkpoint import save_map
+
+        save_map(args.save_map, state, cfg)
+    if args.save_cloud:
+        from sonar_3d_reconstruction_tpu.grid.hash import extract_occupied_hash
+        from sonar_3d_reconstruction_tpu.io.pointcloud import serialize_pointcloud2
+
+        pts, probs = extract_occupied_hash(state, cfg)
+        with open(args.save_cloud, "wb") as f:
+            f.write(serialize_pointcloud2(pts, probs)["data"])
     return 0
 
 
@@ -165,6 +217,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         help="config override (highest priority), repeatable",
     )
     p.add_argument("--chunk", type=int, default=32)
+    p.add_argument(
+        "--offline", action="store_true",
+        help="batch path: native decode + whole-bag windowed mapping "
+        "(fastest; no streaming publish)",
+    )
     p.add_argument("--save-map", default=None, metavar="OUT.npz")
     p.add_argument("--save-cloud", default=None, metavar="OUT.pc2")
 

@@ -220,6 +220,44 @@ def apply_unique_records(
     return applied, stats, overflowed
 
 
+def default_unique_budget(n_candidates: int) -> int:
+    """Snug static unique budget for a ping with n candidate lanes."""
+    budget = 1 << max(
+        3, min(n_candidates - 1, DEFAULT_UNIQUE_BUDGET - 1)
+    ).bit_length()
+    return min(budget, DEFAULT_UNIQUE_BUDGET)
+
+
+def apply_frame_records(
+    state: HashGridState,
+    rec,   # ops.dedup.UniqueRecords
+    aux,   # ops.records.FrameAux
+    cfg: MapperConfig,
+) -> Tuple[HashGridState, Dict[str, jnp.ndarray]]:
+    """One frame's records -> map state transition (the sequential half of
+    the update; records come from ops.records.frame_records).  Pure; applies
+    the same poison-on-failure contract as update_hash_grid."""
+    applied, stats, overflowed = apply_unique_records(state, rec, cfg)
+    applied = applied._replace(
+        min_bounds=jnp.minimum(state.min_bounds, aux.cmin),
+        max_bounds=jnp.maximum(state.max_bounds, aux.cmax),
+    )
+    failed = overflowed | aux.range_fail | state.poisoned
+    poisoned_state = state._replace(poisoned=jnp.ones((), bool))
+    new_state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(failed, a, b), poisoned_state, applied
+    )
+    zero = jnp.zeros((), jnp.int32)
+    out = {
+        "num_occupied": jnp.where(failed, zero, stats["num_occupied"]),
+        "num_free": jnp.where(failed, zero, stats["num_free"]),
+        "num_candidates": jnp.where(failed, zero, aux.n_valid),
+        "overflowed": failed,
+        "unique_overflow": rec.overflowed,
+    }
+    return new_state, out
+
+
 def update_hash_grid(
     state: HashGridState,
     candidates: Dict[str, jnp.ndarray],
@@ -239,8 +277,7 @@ def update_hash_grid(
     valid = candidates["valid"]
     n = pts.shape[0]
     if unique_budget is None:
-        unique_budget = 1 << max(3, min(n - 1, DEFAULT_UNIQUE_BUDGET - 1)).bit_length()
-        unique_budget = min(unique_budget, DEFAULT_UNIQUE_BUDGET)
+        unique_budget = default_unique_budget(n)
 
     keys = voxel_keys(pts, cfg.voxel_resolution)
     hi, lo, in_range = pack_keys(keys)

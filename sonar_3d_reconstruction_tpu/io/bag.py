@@ -330,6 +330,81 @@ class BagWriter:
         self.close()
 
 
+def load_bag_sequence(
+    path: str,
+    sonar_topic: str = "/sensor/sonar/oculus/m750d/image",
+    odometry_topic: str = "/fast_lio/odometry",
+    slop: float = 0.1,
+    use_native: bool = True,
+):
+    """Offline fast path: whole bag -> time-paired dense arrays.
+
+    Returns (images (P, R, B) uint8, positions (P, 3), quaternions (P, 4),
+    stamps (P,)).  Uses the native batch CDR decoder + pairing
+    (io/native.py) when available; pure-Python fallback otherwise.  All
+    images must share one geometry (true for a fixed sonar)."""
+    img_blobs: List[bytes] = []
+    odo_blobs: List[bytes] = []
+    conn = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    topic_ids = {
+        name: (tid, typ)
+        for tid, name, typ in conn.execute("SELECT id, name, type FROM topics")
+    }
+    for want, typ_want, sink in (
+        (sonar_topic, IMAGE_TYPE, img_blobs),
+        (odometry_topic, ODOMETRY_TYPE, odo_blobs),
+    ):
+        if want not in topic_ids or topic_ids[want][1] != typ_want:
+            raise ValueError(f"topic {want!r} ({typ_want}) not in {path}")
+        tid = topic_ids[want][0]
+        for (blob,) in conn.execute(
+            "SELECT data FROM messages WHERE topic_id=? ORDER BY timestamp",
+            (tid,),
+        ):
+            sink.append(blob)
+    conn.close()
+    if not img_blobs or not odo_blobs:
+        raise ValueError(f"no messages for the requested topics in {path}")
+
+    head = decode_image_msg(img_blobs[0])
+    height, width = head.height, head.width
+
+    native_ok = False
+    if use_native:
+        from sonar_3d_reconstruction_tpu.io import native
+
+        native_ok = native.available()
+    if native_ok:
+        from sonar_3d_reconstruction_tpu.io import native
+
+        img_stamps, images = native.image_decode_batch(img_blobs, height, width)
+        odo_stamps, positions, quats = native.odometry_decode_batch(odo_blobs)
+        pairs = native.pair_streams(img_stamps, odo_stamps, slop)
+    else:
+        from sonar_3d_reconstruction_tpu.io.image import decode_image
+        from sonar_3d_reconstruction_tpu.io.timesync import pair_streams
+
+        imgs, img_stamps = [], []
+        for b in img_blobs:
+            m = decode_image_msg(b)
+            imgs.append(
+                decode_image(m.data, m.height, m.width, m.encoding, m.step,
+                             m.is_bigendian)
+            )
+            img_stamps.append(m.stamp)
+        images = np.stack(imgs)
+        img_stamps = np.asarray(img_stamps)
+        odos = [decode_odometry_msg(b) for b in odo_blobs]
+        odo_stamps = np.asarray([m.stamp for m in odos])
+        positions = np.stack([m.position for m in odos])
+        quats = np.stack([m.orientation for m in odos])
+        pairs = pair_streams(img_stamps, odo_stamps, slop)
+
+    pi = np.asarray([p for p, _ in pairs], np.int64)
+    qi = np.asarray([q for _, q in pairs], np.int64)
+    return images[pi], positions[qi], quats[qi], np.asarray(img_stamps)[pi]
+
+
 def write_synthetic_bag(
     path: str,
     images: np.ndarray,

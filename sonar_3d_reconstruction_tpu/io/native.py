@@ -1,0 +1,142 @@
+"""ctypes bindings for the native host-I/O runtime (native/sonar3d_io.cpp).
+
+The C++ library accelerates bag replay's host-side hot loops — batch CDR
+decode of Image/Odometry blobs, approximate time pairing, PointCloud2 XYZI
+packing — GIL-free.  Everything has a pure-Python fallback with identical
+semantics (io/bag.py, io/timesync.py, io/pointcloud.py); ``available()``
+reports whether the library is loadable, and ``build()`` compiles it with
+the in-tree Makefile (g++).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "native",
+)
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libsonar3d_io.so")
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def build() -> str:
+    """Compile the native library (idempotent); returns its path."""
+    subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
+    return _LIB_PATH
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        return None
+    lib = ctypes.CDLL(_LIB_PATH)
+
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+
+    lib.odometry_decode_batch.restype = ctypes.c_int
+    lib.odometry_decode_batch.argtypes = [
+        u8p, i64p, ctypes.c_int64, f64p, f64p, f64p,
+    ]
+    lib.image_decode_batch.restype = ctypes.c_int
+    lib.image_decode_batch.argtypes = [
+        u8p, i64p, ctypes.c_int64, ctypes.c_int32, ctypes.c_int32, f64p, u8p,
+    ]
+    lib.pair_streams.restype = ctypes.c_int64
+    lib.pair_streams.argtypes = [
+        f64p, ctypes.c_int64, f64p, ctypes.c_int64, ctypes.c_double, i64p,
+    ]
+    lib.pack_xyzi.restype = None
+    lib.pack_xyzi.argtypes = [f64p, f64p, ctypes.c_int64, f32p]
+    lib.sonar3d_native_abi_version.restype = ctypes.c_int
+    assert lib.sonar3d_native_abi_version() == 1
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    try:
+        return _load() is not None
+    except OSError:
+        return False
+
+
+def _concat_blobs(blobs: List[bytes]) -> Tuple[np.ndarray, np.ndarray]:
+    offsets = np.zeros(len(blobs) + 1, np.int64)
+    np.cumsum([len(b) for b in blobs], out=offsets[1:])
+    buf = np.frombuffer(b"".join(blobs), np.uint8)
+    return np.ascontiguousarray(buf), offsets
+
+
+def odometry_decode_batch(
+    blobs: List[bytes],
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """CDR blobs -> (stamps (n,), positions (n,3), quaternions (n,4))."""
+    lib = _load()
+    assert lib is not None, "native library not built (io.native.build())"
+    n = len(blobs)
+    buf, offsets = _concat_blobs(blobs)
+    stamps = np.empty(n, np.float64)
+    positions = np.empty((n, 3), np.float64)
+    quats = np.empty((n, 4), np.float64)
+    r = lib.odometry_decode_batch(buf, offsets, n, stamps,
+                                  positions.reshape(-1), quats.reshape(-1))
+    if r != n:
+        raise ValueError(f"malformed odometry blob at index {-r - 1}")
+    return stamps, positions, quats
+
+
+def image_decode_batch(
+    blobs: List[bytes], height: int, width: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """CDR blobs -> (stamps (n,), images (n, height, width) uint8)."""
+    lib = _load()
+    assert lib is not None, "native library not built (io.native.build())"
+    n = len(blobs)
+    buf, offsets = _concat_blobs(blobs)
+    stamps = np.empty(n, np.float64)
+    images = np.empty((n, height, width), np.uint8)
+    r = lib.image_decode_batch(
+        buf, offsets, n, height, width, stamps, images.reshape(-1)
+    )
+    if r != n:
+        raise ValueError(f"unsupported/malformed image blob at index {-r - 1}")
+    return stamps, images
+
+
+def pair_streams(
+    ping_stamps: np.ndarray, pose_stamps: np.ndarray, slop: float = 0.1
+) -> List[Tuple[int, int]]:
+    """Native version of io.timesync.pair_streams (identical policy)."""
+    lib = _load()
+    assert lib is not None, "native library not built (io.native.build())"
+    ping_stamps = np.ascontiguousarray(ping_stamps, np.float64)
+    pose_stamps = np.ascontiguousarray(pose_stamps, np.float64)
+    out = np.empty((len(ping_stamps), 2), np.int64)
+    n = lib.pair_streams(
+        ping_stamps, len(ping_stamps), pose_stamps, len(pose_stamps),
+        slop, out.reshape(-1),
+    )
+    return [tuple(p) for p in out[:n]]
+
+
+def pack_xyzi(points: np.ndarray, intensities: np.ndarray) -> bytes:
+    """Native PointCloud2 XYZI float32 packing (reference node:437-442)."""
+    lib = _load()
+    assert lib is not None, "native library not built (io.native.build())"
+    points = np.ascontiguousarray(points, np.float64).reshape(-1, 3)
+    intensities = np.ascontiguousarray(intensities, np.float64)
+    out = np.empty((len(points), 4), np.float32)
+    lib.pack_xyzi(points.reshape(-1), intensities, len(points), out.reshape(-1))
+    return out.tobytes()

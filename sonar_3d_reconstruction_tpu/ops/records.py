@@ -1,0 +1,87 @@
+"""Frame records: the state-independent half of the map update.
+
+A frame's contribution to the map is fully described by its compact
+unique-voxel records (ops/dedup.py) plus a few reductions (bounds, range
+check).  Computing them needs only the ping and its pose — NOT the map state
+— so records for many pings can be computed in one batched dispatch (or on
+other hosts for a different bag segment, SURVEY.md 5.8 DCN sharding) while
+only the cheap sequential ``apply`` chains through the map state.  The
+split preserves exact reference semantics: the adaptive update's sequential
+dependency (3d_mapper.py:95-102) lives entirely in the apply step.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sonar_3d_reconstruction_tpu.config import MapperConfig
+from sonar_3d_reconstruction_tpu.ops.backproject import (
+    FanTables,
+    backproject_ping,
+)
+from sonar_3d_reconstruction_tpu.ops.dedup import UniqueRecords, dedup_frame
+from sonar_3d_reconstruction_tpu.ops.packing import pack_keys
+
+
+class FrameAux(NamedTuple):
+    """Per-frame reductions that accompany the unique records."""
+
+    cmin: jnp.ndarray        # (3,) min updated-voxel center (inf if none)
+    cmax: jnp.ndarray        # (3,) max updated-voxel center (-inf if none)
+    range_fail: jnp.ndarray  # () bool: a valid key fell outside packable range
+    n_valid: jnp.ndarray     # () int32 valid candidate emissions
+
+
+def frame_records(
+    image: jnp.ndarray,
+    T_sonar_to_world: jnp.ndarray,
+    tables: FanTables,
+    cfg: MapperConfig,
+    unique_budget: int,
+    dtype=jnp.float32,
+    frame_on=None,
+) -> Tuple[UniqueRecords, FrameAux]:
+    """One ping -> (UniqueRecords, FrameAux). Pure, state-independent."""
+    cand = backproject_ping(image, T_sonar_to_world, tables, cfg, dtype=dtype)
+    valid = cand["valid"]
+    if frame_on is not None:
+        valid = valid & frame_on
+
+    keys = jnp.floor(cand["points"] / cfg.voxel_resolution).astype(jnp.int32)
+    hi, lo, in_range = pack_keys(keys)
+    range_fail = jnp.any(valid & ~in_range)
+    valid = valid & in_range
+
+    rec = dedup_frame(hi, lo, cand["is_occupied"], valid, unique_budget)
+
+    centers = (keys.astype(dtype) + 0.5) * cfg.voxel_resolution
+    inf = jnp.asarray(jnp.inf, dtype)
+    aux = FrameAux(
+        cmin=jnp.min(jnp.where(valid[:, None], centers, inf), axis=0),
+        cmax=jnp.max(jnp.where(valid[:, None], centers, -inf), axis=0),
+        range_fail=range_fail,
+        n_valid=jnp.sum(valid).astype(jnp.int32),
+    )
+    return rec, aux
+
+
+def frame_records_batch(
+    images: jnp.ndarray,        # (B, R, Bw)
+    transforms: jnp.ndarray,    # (B, 4, 4)
+    frame_on: jnp.ndarray,      # (B,) bool window mask
+    tables: FanTables,
+    cfg: MapperConfig,
+    unique_budget: int,
+    dtype=jnp.float32,
+) -> Tuple[UniqueRecords, FrameAux]:
+    """Records for a window of pings in one program (leading axis B)."""
+
+    def one(image, T, on):
+        return frame_records(
+            image, T, tables, cfg, unique_budget, dtype, frame_on=on
+        )
+
+    return jax.vmap(one)(images, transforms, frame_on)

@@ -134,6 +134,51 @@ def hash_ping_step(
     return new_state, stats
 
 
+@partial(
+    jax.jit,
+    static_argnames=("tables", "cfg", "dtype", "unique_budget", "window"),
+)
+def _records_window(
+    images,       # (window, R, B)
+    transforms,   # (window, 4, 4)
+    base,         # () int32 index of the window's first frame
+    start,
+    stop,
+    *,
+    tables: FanTables,
+    cfg: MapperConfig,
+    dtype,
+    unique_budget: int,
+    window: int,
+):
+    """State-independent half for a window of pings, one dispatch."""
+    from sonar_3d_reconstruction_tpu.ops.records import frame_records_batch
+
+    idxs = base + jnp.arange(window, dtype=jnp.int32)
+    frame_on = (idxs >= start) & (idxs < stop)
+    return frame_records_batch(
+        images, transforms, frame_on, tables, cfg, unique_budget, dtype
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "window"))
+def _apply_window(state, recs, auxs, *, cfg: MapperConfig, window: int):
+    """Sequential half: apply a window of frame records in one dispatch
+    (Python-unrolled — NOT lax.scan, see the design note above)."""
+    from sonar_3d_reconstruction_tpu.grid.hash import apply_frame_records
+
+    per_frame = []
+    for b in range(window):
+        rec = jax.tree_util.tree_map(lambda x: x[b], recs)
+        aux = jax.tree_util.tree_map(lambda x: x[b], auxs)
+        state, stats = apply_frame_records(state, rec, aux, cfg)
+        per_frame.append(stats)
+    stacked = {
+        k: jnp.stack([s[k] for s in per_frame]) for k in per_frame[0]
+    }
+    return state, stacked
+
+
 def scan_pings_hash(
     state: HashGridState,
     images: jnp.ndarray,
@@ -145,29 +190,60 @@ def scan_pings_hash(
     cfg: MapperConfig,
     dtype=jnp.float32,
     unique_budget=None,
+    window: int = 8,
 ) -> Tuple[HashGridState, Dict[str, jnp.ndarray]]:
-    """Whole ping sequence -> hashed map (host-driven step chain; see the
-    design note above).  Frames outside [start, stop) contribute nothing
-    (growth replay uses ``start``, chunked streaming pads with ``stop``).
+    """Whole ping sequence -> hashed map (host-driven chain of windowed
+    dispatches; see the design note above).  Frames outside [start, stop)
+    contribute nothing (growth replay uses ``start``, chunked streaming pads
+    with ``stop``).
 
-    Returns (final_state, per-ping stats dict of stacked (P,) arrays).
+    Per window of ``window`` pings there are exactly TWO dispatches: one
+    batched state-independent records program and one unrolled sequential
+    apply program.  Returns (final_state, per-ping stats dict of (P,) arrays).
     """
     P = images.shape[0]
+    if P == 0:
+        return state, {}
     start = jnp.int32(0) if start is None else jnp.asarray(start, jnp.int32)
     stop = jnp.int32(P) if stop is None else jnp.asarray(stop, jnp.int32)
-    images = jnp.asarray(images)
-    transforms = jnp.asarray(transforms, dtype)
+    window = min(window, P)
+    if unique_budget is None:
+        tables_n = tables.candidates_per_ping(cfg.occupied_window)
+        from sonar_3d_reconstruction_tpu.grid.hash import default_unique_budget
 
-    per_step = []
-    for i in range(P):
-        state, stats = hash_ping_step(
-            state, images, transforms, jnp.int32(i), start, stop,
-            tables=tables, cfg=cfg, dtype=dtype, unique_budget=unique_budget,
+        unique_budget = default_unique_budget(tables_n)
+
+    images = np.asarray(images)
+    transforms = np.asarray(transforms)
+    pad = (-P) % window
+    if pad:
+        images = np.concatenate([images, np.zeros((pad,) + images.shape[1:],
+                                                  images.dtype)])
+        transforms = np.concatenate(
+            [transforms, np.tile(np.eye(4, dtype=transforms.dtype), (pad, 1, 1))]
         )
-        per_step.append(stats)
+    images_dev = jnp.asarray(images)
+    T_dev = jnp.asarray(transforms, dtype)
+
+    per_window = []
+    for w in range(0, P + pad, window):
+        recs, auxs = _records_window(
+            images_dev[w : w + window],
+            T_dev[w : w + window],
+            jnp.int32(w),
+            start,
+            stop,
+            tables=tables,
+            cfg=cfg,
+            dtype=dtype,
+            unique_budget=unique_budget,
+            window=window,
+        )
+        state, stats = _apply_window(state, recs, auxs, cfg=cfg, window=window)
+        per_window.append(stats)
     stacked = {
-        k: jnp.stack([s[k] for s in per_step]) if P else jnp.zeros((0,))
-        for k in (per_step[0] if per_step else {})
+        k: jnp.concatenate([s[k] for s in per_window])[:P]
+        for k in per_window[0]
     }
     return state, stacked
 

@@ -250,3 +250,24 @@ def test_threshold_overlay(small_cfg):
     assert rgb.shape == (10, 6, 3)
     assert tuple(rgb[4, 2]) == (0, 255, 0)  # first hit marked green
     assert (rgb[:, 0] == 0).all()  # empty column untouched
+
+
+def test_load_bag_sequence(tmp_path):
+    """Offline loader (native when available, python fallback) pairs and
+    decodes the whole bag into dense arrays."""
+    from sonar_3d_reconstruction_tpu.io.bag import load_bag_sequence
+
+    n = 5
+    images = np.stack([synthetic_ping(30, 20, seed=20 + i) for i in range(n)])
+    positions = np.cumsum(np.full((n, 3), 0.2), axis=0)
+    quats = np.tile([0.0, 0.0, 0.0, 1.0], (n, 1))
+    path = str(tmp_path / "seq.db3")
+    write_synthetic_bag(path, images, positions, quats, odom_jitter=0.05)
+
+    for use_native in (True, False):
+        imgs, pos, qs, stamps = load_bag_sequence(path, use_native=use_native)
+        assert len(imgs) == n
+        np.testing.assert_array_equal(imgs, images)
+        np.testing.assert_allclose(pos, positions)
+        np.testing.assert_allclose(qs, quats)
+        assert (np.diff(stamps) > 0).all()
