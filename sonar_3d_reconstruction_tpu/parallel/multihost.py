@@ -1,0 +1,157 @@
+"""Multi-host (DCN) ping-stream sharding via precomputed frame records.
+
+SURVEY.md 5.8: across hosts the natural axis is the PING STREAM — but the
+adaptive log-odds update reads pre-frame state (3d_mapper.py:95-102), so raw
+map merges are order-dependent and inexact.  The exact decomposition used
+here follows from the records split (ops/records.py):
+
+  * a frame's unique-voxel records are STATE-INDEPENDENT — any host can
+    compute records for its bag segment with zero communication;
+  * only the cheap per-frame APPLY (lookup/insert/adaptive-average, ~U keys)
+    must run sequentially in stream order on the host that owns the map.
+
+So: every host calls ``records_for_segment`` on its slice of the bag
+(the expensive 95% — backprojection, packing, sort-dedup), ships the compact
+records (a few MB per frame) over DCN, and one host folds them in order with
+``apply_record_segments``.  Results are bit-identical to single-host
+processing of the whole bag.
+
+This module is mesh-free (plain host-level parallelism); in-chip/ICI
+parallelism is parallel/shard.py.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sonar_3d_reconstruction_tpu.config import MapperConfig
+from sonar_3d_reconstruction_tpu.grid.hash import (
+    HashGridState,
+    default_unique_budget,
+)
+from sonar_3d_reconstruction_tpu.ops.backproject import build_fan_tables
+from sonar_3d_reconstruction_tpu.ops.dedup import UniqueRecords
+from sonar_3d_reconstruction_tpu.ops.records import FrameAux
+from sonar_3d_reconstruction_tpu.pipeline import (
+    _apply_window,
+    _records_window,
+    batched_sonar_to_world,
+)
+
+
+def records_for_segment(
+    images: np.ndarray,
+    positions: np.ndarray,
+    quaternions: np.ndarray,
+    cfg: MapperConfig,
+    *,
+    unique_budget: Optional[int] = None,
+    dtype=jnp.float32,
+    window: int = 8,
+) -> Tuple[UniqueRecords, FrameAux]:
+    """Records for a contiguous bag segment (host-local, no map state).
+
+    Returns stacked (UniqueRecords, FrameAux) with leading axis = number of
+    pings, as HOST numpy pytrees ready to ship over DCN.
+    """
+    images = np.asarray(images)
+    P, R, B = images.shape
+    tables = build_fan_tables(cfg, R, B)
+    if unique_budget is None:
+        unique_budget = default_unique_budget(
+            tables.candidates_per_ping(cfg.occupied_window)
+        )
+    T = batched_sonar_to_world(positions, quaternions, cfg)
+
+    window = min(window, P)
+    pad = (-P) % window
+    if pad:
+        images = np.concatenate(
+            [images, np.zeros((pad,) + images.shape[1:], images.dtype)]
+        )
+        T = np.concatenate([T, np.tile(np.eye(4), (pad, 1, 1))])
+    images_dev = jnp.asarray(images)
+    T_dev = jnp.asarray(T, dtype)
+
+    chunks = []
+    for w in range(0, P + pad, window):
+        recs, auxs = _records_window(
+            images_dev[w : w + window],
+            T_dev[w : w + window],
+            jnp.int32(w),
+            jnp.int32(0),
+            jnp.int32(P),
+            tables=tables,
+            cfg=cfg,
+            dtype=dtype,
+            unique_budget=unique_budget,
+            window=window,
+        )
+        chunks.append((recs, auxs))
+    recs = jax.tree_util.tree_map(
+        lambda *xs: np.concatenate([np.asarray(x) for x in xs])[:P], *[c[0] for c in chunks]
+    )
+    auxs = jax.tree_util.tree_map(
+        lambda *xs: np.concatenate([np.asarray(x) for x in xs])[:P], *[c[1] for c in chunks]
+    )
+    return UniqueRecords(*recs), FrameAux(*auxs)
+
+
+def apply_record_segments(
+    state: HashGridState,
+    segments: Iterable[Tuple[UniqueRecords, FrameAux]],
+    cfg: MapperConfig,
+    *,
+    window: int = 8,
+) -> Tuple[HashGridState, List[dict]]:
+    """Fold precomputed record segments into the map IN ORDER.
+
+    ``segments`` must be ordered by stream time (segment s's last ping
+    precedes segment s+1's first).  Returns (state, list of per-frame stats
+    dicts).  A poisoned frame (overflow) poisons the rest — the caller grows
+    capacity / unique budget and replays, as in pipeline.map_ping_sequence.
+    """
+    all_stats: List[dict] = []
+    for recs, auxs in segments:
+        P = recs.hi.shape[0]
+        w = min(window, P)
+        pad = (-P) % w
+        if pad:
+            def padder(x):
+                fill = np.zeros((pad,) + x.shape[1:], x.dtype)
+                if x.dtype == np.uint32:
+                    fill[:] = np.uint32(0xFFFFFFFF)  # EMPTY_HI lanes
+                return np.concatenate([np.asarray(x), fill])
+
+            # padded frames carry EMPTY keys / False valid / zero counts -> no-ops
+            recs = UniqueRecords(*(padder(x) for x in recs))
+            auxs = FrameAux(
+                cmin=np.concatenate(
+                    [np.asarray(auxs.cmin), np.full((pad, 3), np.inf)]
+                ),
+                cmax=np.concatenate(
+                    [np.asarray(auxs.cmax), np.full((pad, 3), -np.inf)]
+                ),
+                range_fail=np.concatenate(
+                    [np.asarray(auxs.range_fail), np.zeros(pad, bool)]
+                ),
+                n_valid=np.concatenate(
+                    [np.asarray(auxs.n_valid), np.zeros(pad, np.int32)]
+                ),
+            )
+        recs_dev = jax.tree_util.tree_map(jnp.asarray, recs)
+        auxs_dev = jax.tree_util.tree_map(jnp.asarray, auxs)
+        for b in range(0, P + pad, w):
+            rec_w = jax.tree_util.tree_map(lambda x: x[b : b + w], recs_dev)
+            aux_w = jax.tree_util.tree_map(lambda x: x[b : b + w], auxs_dev)
+            state, stats = _apply_window(state, rec_w, aux_w, cfg=cfg, window=w)
+            for i in range(min(w, P - b)):
+                all_stats.append(
+                    {k: np.asarray(v)[i] for k, v in stats.items()}
+                )
+    return state, all_stats
