@@ -190,16 +190,20 @@ def scan_pings_hash(
     cfg: MapperConfig,
     dtype=jnp.float32,
     unique_budget=None,
-    window: int = 8,
+    window: int = 1,
 ) -> Tuple[HashGridState, Dict[str, jnp.ndarray]]:
-    """Whole ping sequence -> hashed map (host-driven chain of windowed
-    dispatches; see the design note above).  Frames outside [start, stop)
-    contribute nothing (growth replay uses ``start``, chunked streaming pads
-    with ``stop``).
+    """Whole ping sequence -> hashed map (host-driven chain of dispatches;
+    see the design note above).  Frames outside [start, stop) contribute
+    nothing (growth replay uses ``start``, chunked streaming pads with
+    ``stop``).
 
-    Per window of ``window`` pings there are exactly TWO dispatches: one
-    batched state-independent records program and one unrolled sequential
-    apply program.  Returns (final_state, per-ping stats dict of (P,) arrays).
+    ``window`` > 1 batches the state-independent records of that many pings
+    into one dispatch plus one unrolled sequential apply dispatch — fewer
+    dispatches, but the programs are ~window x bigger and the REMOTE
+    COMPILER's cost grows super-linearly (a window-8 pair was observed to
+    take >1 h to compile vs ~7 min for the per-ping step), so the default
+    stays per-ping.  Returns (final_state, per-ping stats dict of (P,)
+    arrays).
     """
     P = images.shape[0]
     if P == 0:
@@ -212,6 +216,21 @@ def scan_pings_hash(
         from sonar_3d_reconstruction_tpu.grid.hash import default_unique_budget
 
         unique_budget = default_unique_budget(tables_n)
+
+    if window == 1:
+        images_dev = jnp.asarray(images)
+        T_dev = jnp.asarray(transforms, dtype)
+        per_step = []
+        for i in range(P):
+            state, stats = hash_ping_step(
+                state, images_dev, T_dev, jnp.int32(i), start, stop,
+                tables=tables, cfg=cfg, dtype=dtype,
+                unique_budget=unique_budget,
+            )
+            per_step.append(stats)
+        return state, {
+            k: jnp.stack([s[k] for s in per_step]) for k in per_step[0]
+        }
 
     images = np.asarray(images)
     transforms = np.asarray(transforms)
