@@ -61,6 +61,9 @@ from sonar_3d_reconstruction_tpu.ops.backproject import (
 # hash buckets essentially never fill, grid/hash.py)
 _MAX_LOAD = 0.25
 
+# lazily-built jitted frame_records (debug update-count tracking)
+_frame_records_jit = None
+
 
 @partial(jax.jit, static_argnames=("tables", "cfg", "dtype", "unique_budget"))
 def _hash_step(state, image, T, *, tables, cfg, dtype, unique_budget):
@@ -86,6 +89,7 @@ class SonarMapper:
         dense_spec: Optional[DenseGridSpec] = None,
         initial_capacity: int = 1 << 20,
         dtype=jnp.float32,
+        track_update_counts: bool = False,
     ):
         if config is None:
             self.cfg = MapperConfig()
@@ -115,6 +119,11 @@ class SonarMapper:
         self._tables: Optional[FanTables] = None
         # static per-frame unique-voxel budget; doubled on unique_overflow
         self._unique_budget: Optional[int] = None
+        # optional per-voxel update-count histogram (reference debug stats,
+        # 3d_mapper.py:306-308, 549-551, printed every 10 frames :575-585);
+        # host-side dict keyed by voxel triple, fed from per-frame uniques
+        self.track_update_counts = track_update_counts
+        self.voxel_update_counts: Dict[Tuple[int, int, int], int] = {}
         self.frame_count = 0
         self.processed_frame_count = 0
         self.last_processing_time = 0.0
@@ -196,6 +205,9 @@ class SonarMapper:
                 self.state = new_state
                 break
 
+        if self.track_update_counts and self.backend == "hash":
+            self._record_update_counts(image_dev, T_dev, tables)
+
         out = {
             k: int(v)
             for k, v in stats.items()
@@ -215,6 +227,49 @@ class SonarMapper:
         }
         self._last_stats = out
         return result
+
+    # ------------------------------------------------------------------
+    def _record_update_counts(self, image_dev, T_dev, tables) -> None:
+        """Debug path (reference voxel_update_counts, 3d_mapper.py:306-308,
+        549-551): count how many frames touched each voxel.  Recomputes the
+        frame's unique records — roughly doubles per-ping cost, so it is
+        opt-in like the reference's debug prints."""
+        from sonar_3d_reconstruction_tpu.grid.hash import default_unique_budget
+        from sonar_3d_reconstruction_tpu.ops.packing import unpack_keys
+        from sonar_3d_reconstruction_tpu.ops.records import frame_records
+
+        global _frame_records_jit
+        if _frame_records_jit is None:
+            _frame_records_jit = jax.jit(
+                frame_records,
+                static_argnames=("tables", "cfg", "unique_budget", "dtype"),
+            )
+        budget = self._unique_budget or default_unique_budget(
+            tables.candidates_per_ping(self.cfg.occupied_window)
+        )
+        rec, _ = _frame_records_jit(
+            image_dev, T_dev, tables=tables, cfg=self.cfg,
+            unique_budget=budget, dtype=self.dtype,
+        )
+        keys = np.asarray(unpack_keys(rec.hi, rec.lo))
+        for k in map(tuple, keys[np.asarray(rec.valid)]):
+            self.voxel_update_counts[k] = self.voxel_update_counts.get(k, 0) + 1
+
+    def update_count_histogram(self) -> Dict[int, int]:
+        """{updates-per-voxel: number-of-voxels} (reference print :575-585)."""
+        hist: Dict[int, int] = {}
+        for c in self.voxel_update_counts.values():
+            hist[c] = hist.get(c, 0) + 1
+        return dict(sorted(hist.items()))
+
+    def format_update_histogram(self) -> str:
+        hist = self.update_count_histogram()
+        total = sum(hist.values())
+        lines = [f"voxel update counts over {self.frame_count} frames "
+                 f"({total} voxels):"]
+        for c, n in hist.items():
+            lines.append(f"  {c:4d} updates: {n} voxels")
+        return "\n".join(lines)
 
     # ------------------------------------------------------------------
     @property
@@ -274,3 +329,4 @@ class SonarMapper:
         self.frame_count = 0
         self.processed_frame_count = 0
         self.total_processing_time = 0.0
+        self.voxel_update_counts.clear()

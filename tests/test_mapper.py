@@ -109,3 +109,21 @@ def test_dense_backend_equivalence(small_cfg):
     d = {tuple(np.round(p, 6)) for p in rd["points"]}
     h = {tuple(np.round(p, 6)) for p in rh["points"]}
     assert d == h
+
+
+def test_update_count_tracking(small_cfg):
+    """Opt-in per-voxel update-count histogram (reference debug stats,
+    3d_mapper.py:306-308, 549-551)."""
+    cfg = small_cfg
+    m = SonarMapper(cfg, initial_capacity=1 << 13, dtype=jnp.float64,
+                    track_update_counts=True)
+    img = synthetic_ping(cfg.image_height, cfg.image_width, seed=33)
+    m.process_sonar_image(img, [0, 0, 0], [0, 0, 0, 1])
+    m.process_sonar_image(img, [0, 0, 0], [0, 0, 0, 1])  # same pose twice
+    hist = m.update_count_histogram()
+    assert set(hist) == {2}  # every touched voxel updated in both frames
+    assert sum(hist.values()) == m.num_voxels
+    report = m.format_update_histogram()
+    assert "2 updates" in report.replace("   2", "2")
+    m.reset_map()
+    assert m.update_count_histogram() == {}
