@@ -4,8 +4,9 @@ Reimplements the pairing rule of ROS message_filters'
 ApproximateTimeSynchronizer as used by the reference
 (scripts/3d_mapper_node.py:191-212: two topics, queue_size=10, slop=0.1 s).
 The matching algorithm affects WHICH ping/pose pairs exist — i.e. the map
-itself, not just performance (SURVEY.md section 7 hard part 5) — so this
-follows the message_filters policy:
+itself, not just performance (SURVEY.md section 7 hard part 5).  This is a
+clean-room approximation of the message_filters policy (not a line-faithful
+clone; contested orderings near the slop boundary may pair differently):
 
   * per-topic deques bounded by ``queue_size`` (oldest dropped);
   * a candidate set is one message per topic; its size is the stamp spread

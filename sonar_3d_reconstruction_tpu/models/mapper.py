@@ -229,6 +229,45 @@ class SonarMapper:
         return result
 
     # ------------------------------------------------------------------
+    def map_sequence(
+        self, images, positions, quaternions
+    ) -> Dict[str, np.ndarray]:
+        """Batch API: map a whole recorded sequence through the windowed
+        pipeline (much faster than per-ping process_sonar_image for offline
+        replay).  Updates this mapper's state in place; returns per-ping
+        stats arrays.  Hash backend only."""
+        if self.backend != "hash":
+            raise ValueError("map_sequence requires the hash backend")
+        from sonar_3d_reconstruction_tpu.pipeline import map_ping_sequence
+
+        t0 = time.time()
+        images = np.asarray(images)
+        n = images.shape[0]
+        self.state, stats = map_ping_sequence(
+            images, positions, quaternions, self.cfg,
+            state=self.state, dtype=self.dtype,
+        )
+        if self.track_update_counts:
+            tables = self._tables_for(images.shape[1:])
+            T_all = None
+            from sonar_3d_reconstruction_tpu.pipeline import (
+                batched_sonar_to_world,
+            )
+
+            T_all = batched_sonar_to_world(positions, quaternions, self.cfg)
+            for i in range(n):
+                self._record_update_counts(
+                    jnp.asarray(images[i]), jnp.asarray(T_all[i], self.dtype),
+                    tables,
+                )
+        self.frame_count += n
+        self.processed_frame_count += n
+        dt = time.time() - t0
+        self.last_processing_time = dt / max(1, n)
+        self.total_processing_time += dt
+        return stats
+
+    # ------------------------------------------------------------------
     def _record_update_counts(self, image_dev, T_dev, tables) -> None:
         """Debug path (reference voxel_update_counts, 3d_mapper.py:306-308,
         549-551): count how many frames touched each voxel.  Recomputes the

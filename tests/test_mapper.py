@@ -127,3 +127,31 @@ def test_update_count_tracking(small_cfg):
     assert "2 updates" in report.replace("   2", "2")
     m.reset_map()
     assert m.update_count_histogram() == {}
+
+
+def test_map_sequence_matches_per_ping(small_cfg):
+    """The batch API must produce the identical map as per-ping calls."""
+    cfg = small_cfg
+    n = 5
+    images = np.stack(
+        [synthetic_ping(cfg.image_height, cfg.image_width, seed=600 + i)
+         for i in range(n)]
+    )
+    positions = np.cumsum(np.full((n, 3), 0.1), axis=0)
+    quats = np.tile([0.0, 0.0, 0.0, 1.0], (n, 1))
+
+    m1 = SonarMapper(cfg, initial_capacity=1 << 13, dtype=jnp.float64)
+    stats = m1.map_sequence(images, positions, quats)
+    assert m1.frame_count == n
+    assert len(np.asarray(stats["num_occupied"])) == n
+
+    m2 = SonarMapper(cfg, initial_capacity=1 << 13, dtype=jnp.float64)
+    for i in range(n):
+        m2.process_sonar_image(images[i], positions[i], quats[i])
+
+    c1, c2 = m1.get_point_cloud(), m2.get_point_cloud()
+    assert c1["num_voxels"] == c2["num_voxels"]
+    assert c1["num_occupied"] == c2["num_occupied"]
+    np.testing.assert_allclose(
+        np.sort(c1["points"], axis=0), np.sort(c2["points"], axis=0)
+    )
