@@ -125,3 +125,40 @@ def test_mono16_bag_end_to_end(tmp_path, small_cfg):
     )
     a, b = hash_state_to_dict(sm.state), hash_state_to_dict(direct)
     assert a == b
+
+
+def test_float32_parity_vs_golden_1e5(small_cfg):
+    """BASELINE acceptance bar: the float32 device path must match the
+    float64 NumPy oracle's occupancy probabilities to 1e-5 absolute over a
+    multi-ping sequence."""
+    from conftest import circular_trajectory
+
+    cfg = small_cfg
+    n = 8
+    images = np.stack(
+        [synthetic_ping(cfg.image_height, cfg.image_width, seed=1000 + i)
+         for i in range(n)]
+    )
+    positions, quats = circular_trajectory(n, radius=0.6)
+
+    st, stats = map_ping_sequence(
+        images, positions, quats, cfg, initial_capacity=1 << 14,
+        dtype=jnp.float32,
+    )
+    assert not np.asarray(stats["overflowed"]).any()
+
+    g = GoldenMapper(cfg)
+    for i in range(n):
+        g.process_ping(images[i], positions[i], quats[i])
+
+    dev = hash_state_to_dict(st)
+    gold = g.map.log_odds
+    # voxel SETS can differ only for points landing exactly on voxel
+    # boundaries under f32 rounding; none may differ here
+    assert set(dev) == set(gold)
+    worst = 0.0
+    for k, glo in gold.items():
+        p_dev = 1.0 / (1.0 + np.exp(-float(dev[k])))
+        p_gold = 1.0 / (1.0 + np.exp(-glo))
+        worst = max(worst, abs(p_dev - p_gold))
+    assert worst < 1e-5, f"worst probability deviation {worst}"
