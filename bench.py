@@ -60,6 +60,7 @@ def main():
     cfg = MapperConfig()  # 0.05 m voxels, 130 deg FOV, 10 m range
     n_pings = int(os.environ.get("BENCH_PINGS", "64"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
+    window = int(os.environ.get("BENCH_WINDOW", "1"))
 
     images, positions, quats = make_inputs(cfg, n_pings)
     tables = build_fan_tables(cfg, cfg.image_height, cfg.image_width)
@@ -70,7 +71,7 @@ def main():
     st, stats = map_ping_sequence(
         images, positions, quats, cfg,
         initial_capacity=int(os.environ.get("BENCH_CAPACITY", str(1 << 24))),
-        dtype=jnp.float32,
+        dtype=jnp.float32, window=window,
     )
     capacity = st.key_hi.shape[0]
     total_updates = int(np.asarray(stats["num_candidates"]).sum())
@@ -80,7 +81,7 @@ def main():
     def run():
         st, _ = map_ping_sequence(
             images, positions, quats, cfg, initial_capacity=capacity,
-            dtype=jnp.float32,
+            dtype=jnp.float32, window=window,
         )
         return int(st.used)  # forces real completion (not just dispatch)
 

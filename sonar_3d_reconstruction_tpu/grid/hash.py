@@ -316,6 +316,157 @@ def update_hash_grid(
     return new_state, stats
 
 
+def apply_records_batched(
+    state: HashGridState,
+    recs,   # ops.dedup.UniqueRecords stacked over B frames (leading axis B)
+    auxs,   # ops.records.FrameAux stacked over B frames
+    cfg: MapperConfig,
+    batch_budget: Optional[int] = None,
+) -> Tuple[HashGridState, Dict[str, jnp.ndarray]]:
+    """Apply a window of B frames with ONE set of table operations.
+
+    The map is touched once per batch instead of once per frame: all B*U
+    records sort by (voxel, frame), per-voxel update chains (at most B long,
+    consecutive lanes after the sort) are evaluated with B-1 rank-stepped
+    elementwise passes — exactly the sequential adaptive/clamped update the
+    reference applies frame by frame — and only the final per-voxel values
+    scatter into the table.
+
+    All-or-nothing: any overflow (batch unique budget, bucket, key range, or
+    an already-poisoned state) rejects the WHOLE batch (``overflowed`` true
+    for every frame) so the host can grow / fall back to per-frame apply;
+    per-frame semantics are preserved because rejection happens before any
+    write.
+    """
+    B, U = recs.hi.shape
+    capacity = state.key_hi.shape[0]
+    dtype = state.log_odds.dtype
+    if batch_budget is None:
+        batch_budget = min(B * U, 4 * U)
+    n = B * U
+
+    f = jnp.broadcast_to(
+        jnp.arange(B, dtype=jnp.uint32)[:, None], (B, U)
+    ).reshape(-1)
+    hi = recs.hi.reshape(-1)
+    lo = recs.lo.reshape(-1)
+    count = recs.count.reshape(-1)
+    n_occ = recs.n_occ.reshape(-1)
+    # invalid lanes already carry EMPTY_HI keys and zero counts (dedup_frame)
+
+    s_hi, s_lo, s_f, s_cnt, s_occ = jax.lax.sort(
+        (hi, lo, f, count, n_occ), num_keys=3
+    )
+    idx = jnp.arange(n, dtype=jnp.int32)
+    new_seg = jnp.concatenate(
+        [jnp.ones((1,), bool), (s_hi[1:] != s_hi[:-1]) | (s_lo[1:] != s_lo[:-1])]
+    )
+    seg_valid = s_hi != EMPTY_HI
+    rank = idx - _running_max(jnp.where(new_seg, idx, -1))
+    is_end = jnp.concatenate([new_seg[1:], jnp.ones((1,), bool)])
+    seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
+    rec_start = new_seg & seg_valid
+    n_unique = jnp.sum(rec_start).astype(jnp.int32)
+    batch_overflow = n_unique > batch_budget
+
+    # compact unique keys (stable sort keeps key order, so compacted lane
+    # index == seg_id of the segment)
+    not_rec = (~rec_start).astype(jnp.uint32)
+    _, c_hi, c_lo = jax.lax.sort((not_rec, s_hi, s_lo), num_keys=1)
+    ub = batch_budget
+
+    def take(x, fill):
+        if ub <= n:
+            return x[:ub]
+        return jnp.concatenate([x, jnp.full((ub - n,), fill, x.dtype)])
+
+    lane = jnp.arange(ub, dtype=jnp.int32)
+    valid_u = lane < n_unique
+    c_hi = jnp.where(valid_u, take(c_hi, EMPTY_HI), EMPTY_HI)
+    c_lo = jnp.where(valid_u, take(c_lo, EMPTY_HI), EMPTY_HI)
+
+    bucket, found, found_slot, fill = bucket_lookup(
+        state.key_hi, state.key_lo, c_hi, c_lo
+    )
+    need = valid_u & ~found
+    key_hi, key_lo, new_slots, ins_overflow, n_inserted = insert_unique(
+        state.key_hi, state.key_lo, c_hi, c_lo, need, bucket, fill
+    )
+    slots = jnp.where(found, found_slot, new_slots)
+    slots = jnp.where(valid_u, slots, capacity)
+
+    # per-lane chain evaluation
+    cur_unique = state.log_odds[jnp.minimum(slots, capacity - 1)]
+    cur = cur_unique[jnp.minimum(seg_id, ub - 1)]
+    cnt_d = s_cnt.astype(dtype)
+    occ_d = s_occ.astype(dtype)
+    lo_sum = occ_d * cfg.log_odds_occupied + (cnt_d - occ_d) * cfg.log_odds_free
+    occupied = s_occ > 0
+    v = finalize_voxel_updates(cur, lo_sum, cnt_d, occupied, cfg)
+    for s in range(1, B):
+        v_prev = jnp.concatenate([v[:1], v[:-1]])
+        v_s = finalize_voxel_updates(v_prev, lo_sum, cnt_d, occupied, cfg)
+        v = jnp.where(rank == s, v_s, v)
+
+    # final per-voxel values live at segment-end lanes -> compacted order
+    end_tgt = jnp.where(is_end & seg_valid, seg_id, ub)
+    new_unique = jnp.zeros((ub,), dtype).at[end_tgt].set(v, mode="drop")
+    new_lo = state.log_odds.at[slots].set(
+        jnp.where(valid_u, new_unique, 0), mode="drop"
+    )
+
+    range_fail = jnp.any(auxs.range_fail)
+    # per-frame unique-budget overflow: NOT the .overflowed property (that
+    # reads shape[0], which is B on the stacked tree, not the budget U)
+    frame_overflow = jnp.any(recs.n_unique > U)
+    failed = (
+        batch_overflow
+        | ins_overflow
+        | range_fail
+        | frame_overflow
+        | state.poisoned
+    )
+
+    inf = jnp.asarray(jnp.inf, dtype)
+    applied = state._replace(
+        key_hi=key_hi,
+        key_lo=key_lo,
+        log_odds=new_lo,
+        min_bounds=jnp.minimum(
+            state.min_bounds, jnp.min(auxs.cmin, axis=0).astype(dtype)
+        ),
+        max_bounds=jnp.maximum(
+            state.max_bounds, jnp.max(auxs.cmax, axis=0).astype(dtype)
+        ),
+        used=state.used + n_inserted,
+    )
+    del inf
+    poisoned_state = state._replace(poisoned=jnp.ones((), bool))
+    new_state = jax.tree_util.tree_map(
+        lambda a, b: jnp.where(failed, a, b), poisoned_state, applied
+    )
+
+    # per-frame stats from the (voxel, frame) lanes
+    fb = jnp.arange(B, dtype=jnp.uint32)[:, None]
+    lane_occ = (seg_valid & occupied)[None, :] & (s_f[None, :] == fb)
+    lane_free = (seg_valid & ~occupied)[None, :] & (s_f[None, :] == fb)
+    zeroB = jnp.zeros((B,), jnp.int32)
+    stats = {
+        "num_occupied": jnp.where(
+            failed, zeroB, jnp.sum(lane_occ, axis=1).astype(jnp.int32)
+        ),
+        "num_free": jnp.where(
+            failed, zeroB, jnp.sum(lane_free, axis=1).astype(jnp.int32)
+        ),
+        "num_candidates": jnp.where(failed, zeroB, auxs.n_valid),
+        "overflowed": jnp.broadcast_to(failed, (B,)),
+        "unique_overflow": jnp.broadcast_to(
+            batch_overflow | frame_overflow, (B,)
+        ),
+    }
+    return new_state, stats
+
+
 @partial(jax.jit, static_argnames=("new_capacity",))
 def _rehash_once(state: HashGridState, new_capacity: int):
     """Re-insert every occupied slot into a new table of the given capacity.

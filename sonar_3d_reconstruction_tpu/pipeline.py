@@ -135,6 +135,41 @@ def hash_ping_step(
 
 
 @partial(
+    jax.jit, static_argnames=("tables", "cfg", "dtype", "unique_budget")
+)
+def _records_single(
+    images,       # (P, R, B) full stacked sequence
+    transforms,   # (P, 4, 4)
+    idx,          # () int32 which ping
+    start,
+    stop,
+    *,
+    tables: FanTables,
+    cfg: MapperConfig,
+    dtype,
+    unique_budget: int,
+):
+    """State-independent half for ONE ping of a stacked sequence."""
+    from sonar_3d_reconstruction_tpu.ops.records import frame_records
+
+    image = jax.lax.dynamic_index_in_dim(images, idx, 0, keepdims=False)
+    T = jax.lax.dynamic_index_in_dim(transforms, idx, 0, keepdims=False)
+    frame_on = (idx >= start) & (idx < stop)
+    return frame_records(
+        image, T, tables, cfg, unique_budget, dtype, frame_on=frame_on
+    )
+
+
+@partial(jax.jit, static_argnames=("cfg", "batch_budget"))
+def _apply_batched(state, recs, auxs, *, cfg: MapperConfig, batch_budget: int):
+    from sonar_3d_reconstruction_tpu.grid.hash import apply_records_batched
+
+    return apply_records_batched(
+        state, recs, auxs, cfg, batch_budget=batch_budget
+    )
+
+
+@partial(
     jax.jit,
     static_argnames=("tables", "cfg", "dtype", "unique_budget", "window"),
 )
@@ -197,13 +232,15 @@ def scan_pings_hash(
     nothing (growth replay uses ``start``, chunked streaming pads with
     ``stop``).
 
-    ``window`` > 1 batches the state-independent records of that many pings
-    into one dispatch plus one unrolled sequential apply dispatch — fewer
-    dispatches, but the programs are ~window x bigger and the REMOTE
-    COMPILER's cost grows super-linearly (a window-8 pair was observed to
-    take >1 h to compile vs ~7 min for the per-ping step), so the default
-    stays per-ping.  Returns (final_state, per-ping stats dict of (P,)
-    arrays).
+    ``window`` > 1 switches to the BATCHED-APPLY engine: records for each
+    ping are computed by per-ping dispatches (state-independent), then the
+    whole window applies to the map with ONE set of table operations
+    (grid/hash.apply_records_batched) — per-voxel update chains inside the
+    window are evaluated with rank-stepped elementwise passes, preserving
+    exact sequential semantics.  A failed batch (any overflow) is replayed
+    per-frame, so behavior under growth matches window=1 exactly.
+
+    Returns (final_state, per-ping stats dict of (P,) arrays).
     """
     P = images.shape[0]
     if P == 0:
@@ -217,9 +254,10 @@ def scan_pings_hash(
 
         unique_budget = default_unique_budget(tables_n)
 
+    images_dev = jnp.asarray(images)
+    T_dev = jnp.asarray(transforms, dtype)
+
     if window == 1:
-        images_dev = jnp.asarray(images)
-        T_dev = jnp.asarray(transforms, dtype)
         per_step = []
         for i in range(P):
             state, stats = hash_ping_step(
@@ -232,39 +270,34 @@ def scan_pings_hash(
             k: jnp.stack([s[k] for s in per_step]) for k in per_step[0]
         }
 
-    images = np.asarray(images)
-    transforms = np.asarray(transforms)
-    pad = (-P) % window
-    if pad:
-        images = np.concatenate([images, np.zeros((pad,) + images.shape[1:],
-                                                  images.dtype)])
-        transforms = np.concatenate(
-            [transforms, np.tile(np.eye(4, dtype=transforms.dtype), (pad, 1, 1))]
+    per_frame_stats: list = [None] * P
+    for w in range(0, P, window):
+        frames = list(range(w, min(w + window, P)))
+        recs_list, auxs_list = [], []
+        for i in frames:
+            rec, aux = _records_single(
+                images_dev, T_dev, jnp.int32(i), start, stop,
+                tables=tables, cfg=cfg, dtype=dtype,
+                unique_budget=unique_budget,
+            )
+            recs_list.append(rec)
+            auxs_list.append(aux)
+        recs = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *recs_list)
+        auxs = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *auxs_list)
+        # NOTE: no per-window sync — a failed batch poisons the state
+        # (all-or-nothing, nothing applied) and every later frame reports
+        # overflowed, so the callers' standard grow+replay-from-first-failure
+        # logic recovers with exact window=1 semantics.
+        state, stats = _apply_batched(
+            state, recs, auxs, cfg=cfg,
+            batch_budget=min(len(frames) * unique_budget, 4 * unique_budget),
         )
-    images_dev = jnp.asarray(images)
-    T_dev = jnp.asarray(transforms, dtype)
-
-    per_window = []
-    for w in range(0, P + pad, window):
-        recs, auxs = _records_window(
-            images_dev[w : w + window],
-            T_dev[w : w + window],
-            jnp.int32(w),
-            start,
-            stop,
-            tables=tables,
-            cfg=cfg,
-            dtype=dtype,
-            unique_budget=unique_budget,
-            window=window,
-        )
-        state, stats = _apply_window(state, recs, auxs, cfg=cfg, window=window)
-        per_window.append(stats)
-    stacked = {
-        k: jnp.concatenate([s[k] for s in per_window])[:P]
-        for k in per_window[0]
+        for j, i in enumerate(frames):
+            per_frame_stats[i] = jax.tree_util.tree_map(lambda x: x[j], stats)
+    return state, {
+        k: jnp.stack([s[k] for s in per_frame_stats])
+        for k in per_frame_stats[0]
     }
-    return state, stacked
 
 
 @partial(jax.jit, static_argnames=("tables", "spec", "cfg", "dtype"))
@@ -329,6 +362,7 @@ def map_ping_sequence(
     state: Optional[Any] = None,
     dtype=jnp.float32,
     max_grow_retries: int = 12,
+    window: int = 1,
 ) -> Tuple[Any, Dict[str, np.ndarray]]:
     """Map a whole recorded ping sequence in one (or, after growth, few) scans.
 
@@ -373,6 +407,7 @@ def map_ping_sequence(
         new_st, stats = scan_pings_hash(
             st, images_dev, T_dev, jnp.int32(start),
             tables=tables, cfg=cfg, dtype=dtype, unique_budget=unique_budget,
+            window=window,
         )
         over = np.asarray(stats["overflowed"])
         # merge this attempt's stats for frames it actually applied

@@ -137,3 +137,47 @@ def test_dense_backend_scan(small_cfg):
     )
     g = golden_run(cfg, images, positions, quats)
     assert int(np.asarray(state.touched).sum()) == len(g.map.log_odds)
+
+
+def test_batched_window_engine_matches_per_frame(small_cfg):
+    """window>1 (batched apply: one table touch per window with per-voxel
+    sequential chains) must produce the identical map and stats as window=1."""
+    cfg = small_cfg
+    images, positions, quats = make_sequence(cfg, 7, seed=60)
+    ref_state, ref_stats = map_ping_sequence(
+        images, positions, quats, cfg, initial_capacity=1 << 14,
+        dtype=jnp.float64, window=1,
+    )
+    for window in (3, 7):
+        st, stats = map_ping_sequence(
+            images, positions, quats, cfg, initial_capacity=1 << 14,
+            dtype=jnp.float64, window=window,
+        )
+        a, b = hash_state_to_dict(st), hash_state_to_dict(ref_state)
+        assert a.keys() == b.keys(), window
+        for k in a:
+            assert abs(a[k] - b[k]) < 1e-12, (window, k)
+        for key in ("num_occupied", "num_free", "num_candidates"):
+            np.testing.assert_array_equal(
+                np.asarray(stats[key]), np.asarray(ref_stats[key]),
+                err_msg=f"window={window} {key}",
+            )
+
+
+def test_batched_window_growth_replay(small_cfg):
+    """Batched engine under capacity pressure: all-or-nothing batch
+    rejection + host growth must still converge to the exact map."""
+    cfg = small_cfg
+    images, positions, quats = make_sequence(cfg, 6, seed=61)
+    small, _ = map_ping_sequence(
+        images, positions, quats, cfg, initial_capacity=1 << 6,
+        dtype=jnp.float64, window=3,
+    )
+    big, _ = map_ping_sequence(
+        images, positions, quats, cfg, initial_capacity=1 << 14,
+        dtype=jnp.float64, window=1,
+    )
+    a, b = hash_state_to_dict(small), hash_state_to_dict(big)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-12
