@@ -1,0 +1,117 @@
+"""Randomized property tests for the sort-dedup and bucket-insert primitives
+against straightforward NumPy reference computations."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from sonar_3d_reconstruction_tpu.grid.hash import (
+    bucket_lookup,
+    init_hash_grid,
+    insert_unique,
+)
+from sonar_3d_reconstruction_tpu.ops.dedup import dedup_frame
+from sonar_3d_reconstruction_tpu.ops.packing import pack_keys, unpack_keys
+
+
+def naive_dedup(keys, occ, valid):
+    agg = {}
+    for k, o, v in zip(map(tuple, keys), occ, valid):
+        if not v:
+            continue
+        c, no = agg.get(k, (0, 0))
+        agg[k] = (c + 1, no + int(o))
+    return agg
+
+
+def test_dedup_frame_random_property():
+    rng = np.random.default_rng(7)
+    for trial in range(8):
+        n = int(rng.integers(10, 3000))
+        spread = int(rng.integers(2, 12))
+        keys = rng.integers(-spread, spread, (n, 3)).astype(np.int32)
+        occ = rng.random(n) < 0.4
+        valid = rng.random(n) < 0.8
+        hi, lo, _ = pack_keys(jnp.asarray(keys))
+        budget = 1 << int(np.ceil(np.log2(max(8, n))))
+        rec = dedup_frame(
+            hi, lo, jnp.asarray(occ), jnp.asarray(valid), budget
+        )
+        expect = naive_dedup(keys, occ, valid)
+        assert int(rec.n_unique) == len(expect), trial
+        uk = np.asarray(unpack_keys(rec.hi, rec.lo))
+        got = {}
+        for i in range(budget):
+            if bool(rec.valid[i]):
+                got[tuple(uk[i])] = (int(rec.count[i]), int(rec.n_occ[i]))
+        assert got == expect, trial
+
+
+def test_bucket_insert_random_property():
+    """Random unique key sets: every key inserted exactly once, findable,
+    distinct slots, bucket prefix-fill invariant maintained."""
+    rng = np.random.default_rng(11)
+    for trial in range(6):
+        capacity = 1 << int(rng.integers(6, 12))
+        n = int(rng.integers(1, max(2, capacity // 8)))
+        keys = rng.choice(10000, size=n, replace=False)
+        keys = np.stack([keys % 21 - 10, (keys // 21) % 23 - 11,
+                         keys // (21 * 23)], axis=-1).astype(np.int32)
+        hi, lo, _ = pack_keys(jnp.asarray(keys))
+        state = init_hash_grid(capacity)
+        bucket, found, _, fill = bucket_lookup(
+            state.key_hi, state.key_lo, hi, lo
+        )
+        assert not bool(found.any())
+        key_hi, key_lo, slots, ovf, n_ins = insert_unique(
+            state.key_hi, state.key_lo, hi, lo, jnp.ones(n, bool), bucket, fill
+        )
+        if bool(ovf):
+            continue  # legitimately full bucket at high load
+        slots = np.asarray(slots)
+        assert int(n_ins) == n
+        assert len(set(slots.tolist())) == n
+        # findable afterwards at the same slots
+        _, found2, found_slot2, _ = bucket_lookup(key_hi, key_lo, hi, lo)
+        assert bool(found2.all())
+        np.testing.assert_array_equal(np.asarray(found_slot2), slots)
+        # prefix-fill invariant: within each bucket, occupied slots form a
+        # prefix
+        rows = np.asarray(key_hi).reshape(-1, 8) != np.uint32(0xFFFFFFFF)
+        for r in rows:
+            k = int(r.sum())
+            assert r[:k].all() and not r[k:].any()
+
+
+def test_incremental_inserts_preserve_invariants():
+    """Multiple insert waves (as happens across frames) keep lookup exact."""
+    rng = np.random.default_rng(13)
+    capacity = 1 << 10
+    state = init_hash_grid(capacity)
+    key_hi, key_lo = state.key_hi, state.key_lo
+    all_keys = {}
+    for wave in range(5):
+        n = 40
+        keys = rng.integers(-40, 40, (n, 3)).astype(np.int32)
+        hi, lo, _ = pack_keys(jnp.asarray(keys))
+        bucket, found, found_slot, fill = bucket_lookup(key_hi, key_lo, hi, lo)
+        # previously inserted keys must be found at their original slots
+        for i, k in enumerate(map(tuple, keys)):
+            if k in all_keys:
+                assert bool(found[i]), (wave, k)
+                assert int(found_slot[i]) == all_keys[k]
+        # dedup within the wave (insert_unique expects mutually distinct)
+        seen = set()
+        need = []
+        for i, k in enumerate(map(tuple, keys)):
+            fresh = k not in all_keys and k not in seen
+            need.append(fresh)
+            if fresh:
+                seen.add(k)
+        key_hi, key_lo, slots, ovf, n_ins = insert_unique(
+            key_hi, key_lo, hi, lo, jnp.asarray(need), bucket, fill
+        )
+        assert not bool(ovf)
+        slots = np.asarray(slots)
+        for i, k in enumerate(map(tuple, keys)):
+            if need[i]:
+                all_keys[k] = int(slots[i])
