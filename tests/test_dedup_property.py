@@ -5,12 +5,13 @@ import numpy as np
 import jax.numpy as jnp
 
 from sonar_3d_reconstruction_tpu.grid.hash import (
+    BUCKET_SLOTS,
     bucket_lookup,
     init_hash_grid,
     insert_unique,
 )
 from sonar_3d_reconstruction_tpu.ops.dedup import dedup_frame
-from sonar_3d_reconstruction_tpu.ops.packing import pack_keys, unpack_keys
+from sonar_3d_reconstruction_tpu.ops.packing import EMPTY_HI, pack_keys, unpack_keys
 
 
 def naive_dedup(keys, occ, valid):
@@ -39,10 +40,13 @@ def test_dedup_frame_random_property():
         expect = naive_dedup(keys, occ, valid)
         assert int(rec.n_unique) == len(expect), trial
         uk = np.asarray(unpack_keys(rec.hi, rec.lo))
+        rvalid = np.asarray(rec.valid)
+        rcount = np.asarray(rec.count)
+        rocc = np.asarray(rec.n_occ)
         got = {}
         for i in range(budget):
-            if bool(rec.valid[i]):
-                got[tuple(uk[i])] = (int(rec.count[i]), int(rec.n_occ[i]))
+            if rvalid[i]:
+                got[tuple(uk[i])] = (int(rcount[i]), int(rocc[i]))
         assert got == expect, trial
 
 
@@ -50,6 +54,7 @@ def test_bucket_insert_random_property():
     """Random unique key sets: every key inserted exactly once, findable,
     distinct slots, bucket prefix-fill invariant maintained."""
     rng = np.random.default_rng(11)
+    ran = 0
     for trial in range(6):
         capacity = 1 << int(rng.integers(6, 12))
         n = int(rng.integers(1, max(2, capacity // 8)))
@@ -67,6 +72,7 @@ def test_bucket_insert_random_property():
         )
         if bool(ovf):
             continue  # legitimately full bucket at high load
+        ran += 1
         slots = np.asarray(slots)
         assert int(n_ins) == n
         assert len(set(slots.tolist())) == n
@@ -76,10 +82,11 @@ def test_bucket_insert_random_property():
         np.testing.assert_array_equal(np.asarray(found_slot2), slots)
         # prefix-fill invariant: within each bucket, occupied slots form a
         # prefix
-        rows = np.asarray(key_hi).reshape(-1, 8) != np.uint32(0xFFFFFFFF)
+        rows = np.asarray(key_hi).reshape(-1, BUCKET_SLOTS) != np.uint32(EMPTY_HI)
         for r in rows:
             k = int(r.sum())
             assert r[:k].all() and not r[k:].any()
+    assert ran >= 4, "too many trials skipped on overflow — check insert_unique"
 
 
 def test_incremental_inserts_preserve_invariants():
@@ -94,11 +101,13 @@ def test_incremental_inserts_preserve_invariants():
         keys = rng.integers(-40, 40, (n, 3)).astype(np.int32)
         hi, lo, _ = pack_keys(jnp.asarray(keys))
         bucket, found, found_slot, fill = bucket_lookup(key_hi, key_lo, hi, lo)
+        found_np = np.asarray(found)
+        found_slot_np = np.asarray(found_slot)
         # previously inserted keys must be found at their original slots
         for i, k in enumerate(map(tuple, keys)):
             if k in all_keys:
-                assert bool(found[i]), (wave, k)
-                assert int(found_slot[i]) == all_keys[k]
+                assert found_np[i], (wave, k)
+                assert int(found_slot_np[i]) == all_keys[k]
         # dedup within the wave (insert_unique expects mutually distinct)
         seen = set()
         need = []
