@@ -202,10 +202,14 @@ def extract_classified(
     occ_thr = np.log(cfg.min_probability / (1.0 - cfg.min_probability))
 
     out: Dict[str, Tuple[np.ndarray, np.ndarray]] = {}
+    # if/elif classification (reference 3d_mapper.py:169-176): mutually
+    # exclusive even when min_probability < 0.3 puts occ_thr below free_thr
+    free_m = touched & (lo < free_thr)
+    occ_m = touched & ~free_m & (lo > occ_thr)
     masks = {
-        "free": touched & (lo < free_thr),
-        "occupied": touched & (lo > occ_thr),
-        "unknown": touched & (lo >= free_thr) & (lo <= occ_thr),
+        "free": free_m,
+        "occupied": occ_m,
+        "unknown": touched & ~free_m & ~occ_m,
     }
     for name, m in masks.items():
         (flat_idx,) = np.nonzero(m)

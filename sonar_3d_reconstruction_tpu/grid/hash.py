@@ -43,7 +43,11 @@ import jax
 import jax.numpy as jnp
 
 from sonar_3d_reconstruction_tpu.config import MapperConfig
-from sonar_3d_reconstruction_tpu.ops.dedup import UniqueRecords, dedup_frame
+from sonar_3d_reconstruction_tpu.ops.dedup import (
+    UniqueRecords,
+    dedup_frame,
+    running_max as _running_max,
+)
 from sonar_3d_reconstruction_tpu.ops.logodds import finalize_voxel_updates
 from sonar_3d_reconstruction_tpu.ops.packing import (
     EMPTY_HI,
@@ -100,10 +104,6 @@ def init_hash_grid(capacity: int = 1 << 20, dtype=jnp.float32) -> HashGridState:
 def voxel_keys(points: jnp.ndarray, resolution: float) -> jnp.ndarray:
     """floor(world / resolution) integer keys (reference 3d_mapper.py:63-66)."""
     return jnp.floor(points / resolution).astype(jnp.int32)
-
-
-def _running_max(x: jnp.ndarray) -> jnp.ndarray:
-    return jax.lax.associative_scan(jnp.maximum, x)
 
 
 def bucket_lookup(
@@ -254,6 +254,9 @@ def apply_frame_records(
         "num_candidates": jnp.where(failed, zero, aux.n_valid),
         "overflowed": failed,
         "unique_overflow": rec.overflowed,
+        # distinguished so hosts do NOT respond to unpackable keys by
+        # growing the table (growth cannot fix a >±26 km world offset)
+        "range_fail": aux.range_fail,
     }
     return new_state, out
 
@@ -269,8 +272,11 @@ def update_hash_grid(
     ``candidates`` is the dict produced by ops.backproject.backproject_ping.
     If the frame overflows (unique budget, a bucket, or the key range) — or
     the state is already poisoned — the input state is returned unchanged
-    with ``poisoned`` set, so a host driver can grow and replay.
+    with ``poisoned`` set, so a host driver can grow and replay (or, on
+    ``range_fail``, abort: growth cannot fix an unpackable world offset).
     """
+    from sonar_3d_reconstruction_tpu.ops.records import FrameAux
+
     dtype = state.log_odds.dtype
     pts = candidates["points"]
     occ = candidates["is_occupied"]
@@ -285,35 +291,16 @@ def update_hash_grid(
     valid = valid & in_range
 
     rec = dedup_frame(hi, lo, occ, valid, unique_budget)
-    applied, stats, overflowed = apply_unique_records(state, rec, cfg)
-
     # bounds over updated voxel CENTERS (reference 3d_mapper.py:112-115, :560)
     centers = (keys.astype(dtype) + 0.5) * cfg.voxel_resolution
     inf = jnp.asarray(jnp.inf, dtype)
-    cmin = jnp.min(jnp.where(valid[:, None], centers, inf), axis=0)
-    cmax = jnp.max(jnp.where(valid[:, None], centers, -inf), axis=0)
-    applied = applied._replace(
-        min_bounds=jnp.minimum(state.min_bounds, cmin),
-        max_bounds=jnp.maximum(state.max_bounds, cmax),
+    aux = FrameAux(
+        cmin=jnp.min(jnp.where(valid[:, None], centers, inf), axis=0),
+        cmax=jnp.max(jnp.where(valid[:, None], centers, -inf), axis=0),
+        range_fail=range_fail,
+        n_valid=jnp.sum(valid).astype(jnp.int32),
     )
-
-    failed = overflowed | range_fail | state.poisoned
-    poisoned_state = state._replace(poisoned=jnp.ones((), bool))
-    new_state = jax.tree_util.tree_map(
-        lambda a, b: jnp.where(failed, a, b), poisoned_state, applied
-    )
-
-    zero = jnp.zeros((), jnp.int32)
-    stats = {
-        "num_occupied": jnp.where(failed, zero, stats["num_occupied"]),
-        "num_free": jnp.where(failed, zero, stats["num_free"]),
-        "num_candidates": jnp.where(
-            failed, zero, jnp.sum(valid).astype(jnp.int32)
-        ),
-        "overflowed": failed,
-        "unique_overflow": rec.overflowed,
-    }
-    return new_state, stats
+    return apply_frame_records(state, rec, aux, cfg)
 
 
 def apply_records_batched(
@@ -427,7 +414,6 @@ def apply_records_batched(
         | state.poisoned
     )
 
-    inf = jnp.asarray(jnp.inf, dtype)
     applied = state._replace(
         key_hi=key_hi,
         key_lo=key_lo,
@@ -440,7 +426,6 @@ def apply_records_batched(
         ),
         used=state.used + n_inserted,
     )
-    del inf
     poisoned_state = state._replace(poisoned=jnp.ones((), bool))
     new_state = jax.tree_util.tree_map(
         lambda a, b: jnp.where(failed, a, b), poisoned_state, applied
@@ -463,6 +448,7 @@ def apply_records_batched(
         "unique_overflow": jnp.broadcast_to(
             batch_overflow | frame_overflow, (B,)
         ),
+        "range_fail": auxs.range_fail,
     }
     return new_state, stats
 
@@ -515,7 +501,7 @@ def rehash(state: HashGridState, new_capacity: int) -> HashGridState:
 # ---------------------------------------------------------------------------
 
 def occupied_key_mask(state: HashGridState) -> np.ndarray:
-    return np.asarray(state.key_hi) != np.uint32(0xFFFFFFFF)
+    return np.asarray(state.key_hi) != np.uint32(EMPTY_HI)
 
 
 def extract_occupied_hash(
@@ -540,10 +526,15 @@ def extract_classified_hash(
     all_keys = np.asarray(state.keys)
     free_thr = np.log(0.3 / 0.7)
     occ_thr = np.log(cfg.min_probability / (1.0 - cfg.min_probability))
+    # if/elif classification (reference 3d_mapper.py:169-176): free wins,
+    # then occupied, else unknown — mutually exclusive even when
+    # min_probability < 0.3 puts occ_thr below free_thr
+    free_m = touched & (lo < free_thr)
+    occ_m = touched & ~free_m & (lo > occ_thr)
     masks = {
-        "free": touched & (lo < free_thr),
-        "occupied": touched & (lo > occ_thr),
-        "unknown": touched & (lo >= free_thr) & (lo <= occ_thr),
+        "free": free_m,
+        "occupied": occ_m,
+        "unknown": touched & ~free_m & ~occ_m,
     }
     out = {}
     for name, m in masks.items():

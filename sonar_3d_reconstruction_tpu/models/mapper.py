@@ -192,6 +192,12 @@ class SonarMapper:
                     unique_budget=self._unique_budget,
                 )
                 if bool(stats["overflowed"]):
+                    if bool(stats["range_fail"]):
+                        raise ValueError(
+                            "voxel keys outside the packable ±2^19-cell "
+                            "range (±26 km at 5 cm): check odometry frame "
+                            "offsets — growing the table cannot fix this"
+                        )
                     if bool(stats["unique_overflow"]):
                         self._unique_budget = (
                             self._unique_budget or DEFAULT_UNIQUE_BUDGET
@@ -211,7 +217,7 @@ class SonarMapper:
         out = {
             k: int(v)
             for k, v in stats.items()
-            if k not in ("overflowed", "unique_overflow")
+            if k not in ("overflowed", "unique_overflow", "range_fail")
         }
         self.last_processing_time = time.time() - t0
         self.total_processing_time += self.last_processing_time

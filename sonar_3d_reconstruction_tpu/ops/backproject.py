@@ -9,14 +9,17 @@ static-shape tensor program suitable for XLA/TPU:
   * occupied window -> static 50-wide window of bins gathered at first_hit + w
   * vertical fan    -> static (2*V_max+1)-wide fan with a per-range step mask
 
-All range- and angle-dependent quantities — bearing trig, per-bin ranges, the
-``int()``-truncated fan counts ``max(1, int(spread/(res*4)))`` /
-``max(2, int(spread/(res*1.5)))`` (reference :427, :463) and per-step vertical
-angles — depend only on the static config and image geometry, so they are
-precomputed on the host in float64 (bit-parity with the NumPy reference) and
-baked into the program as constant tables.  The device performs only:
-intensity compare, first-hit argmax, table gathers, three multiplies per point,
-and one batched SE(3) transform.
+The ``int()``-truncated fan counts ``max(1, int(spread/(res*4)))`` /
+``max(2, int(spread/(res*1.5)))`` (reference :427, :463) are precomputed on
+the host in float64 — exact truncation parity with the NumPy reference; a
+float32 device recompute can flip nv by one at truncation boundaries and move
+a whole fan.  The FREE path's fan trig is static (fixed bins) and baked in as
+constant tables; the OCCUPIED path's trig depends on the dynamic first-hit
+bin and is computed elementwise on device (cos/sin on the vector units —
+measured faster than gathering precomputed rows), using the gathered exact
+nv.  Beyond that the device performs only: intensity compare, first-hit
+argmax, small gathers, three multiplies per point, and one batched SE(3)
+transform.
 
 Emission order inside the flattened candidate axis is (ray, free-then-occupied
 bins, fan step) — irrelevant to the map result because per-frame accumulation
@@ -65,11 +68,13 @@ class FanTables:
     free_mask: np.ndarray       # (F, VF) bool: range>=min_range AND |step|<=nv(r)
 
     # Occupied candidates, indexed by ABSOLUTE bin (gathered at first_hit + w).
-    # Row R (one past the end) is an all-invalid sentinel row.
-    occ_r: np.ndarray           # (R+1,)
-    occ_cos_v: np.ndarray       # (R+1, VO)
-    occ_sin_v: np.ndarray       # (R+1, VO)
-    occ_mask: np.ndarray        # (R+1, VO) bool
+    # Per-bin fan count nv, truncated in float64 exactly like the reference's
+    # int() (:463) — the fan TRIG is computed on device, but nv must be this
+    # exact integer (a float32 recompute can flip by 1 at truncation
+    # boundaries, moving every point of the bin's fan).  Entry R (one past
+    # the end) is a sentinel for windows that run past the image.
+    occ_nv: np.ndarray          # (R+1,) int32
+    nvo_max: int                # static fan half-width (lanes = 2*nvo_max+1)
 
     @property
     def n_rays(self) -> int:
@@ -78,7 +83,7 @@ class FanTables:
     def candidates_per_ping(self, occupied_window: int = 50) -> int:
         f = self.free_mask.shape[0] * self.free_mask.shape[1]
         w = min(occupied_window, self.range_bins)
-        return self.n_rays * (f + w * self.occ_mask.shape[1])
+        return self.n_rays * (f + w * (2 * self.nvo_max + 1))
 
 
 def _fan_row(
@@ -140,17 +145,12 @@ def build_fan_tables(
         free_cos[i], free_sin[i] = c, s
         free_mask[i] = m & (r >= cfg.min_range)
 
-    # --- occupied rows per absolute bin + sentinel row (reference :449-463)
-    occ_r = np.arange(range_bins + 1, dtype=np.float64) * rres
-    occ_cos = np.zeros((range_bins + 1, vo))
-    occ_sin = np.zeros((range_bins + 1, vo))
-    occ_mask = np.zeros((range_bins + 1, vo), dtype=bool)
-    for i in range(range_bins):
-        r = occ_r[i]
-        c, s, m = _fan_row(r, half_ap, res, 1.5, 2, nvo_max)
-        occ_cos[i], occ_sin[i] = c, s
-        occ_mask[i] = m & (r >= cfg.min_range) & (r <= cfg.max_range)
-    occ_cos[range_bins] = 1.0  # sentinel row: mask stays all-False
+    # --- occupied per-bin fan counts, float64-truncated (reference :463);
+    # entry range_bins is the sentinel for windows past the image
+    occ_r_f64 = np.arange(range_bins + 1, dtype=np.float64) * rres
+    occ_nv = np.maximum(
+        2, (occ_r_f64 * math.tan(half_ap) / (res * 1.5)).astype(np.int64)
+    ).astype(np.int32)
 
     return FanTables(
         range_bins=range_bins,
@@ -163,10 +163,8 @@ def build_fan_tables(
         free_cos_v=free_cos,
         free_sin_v=free_sin,
         free_mask=free_mask,
-        occ_r=occ_r,
-        occ_cos_v=occ_cos,
-        occ_sin_v=occ_sin,
-        occ_mask=occ_mask,
+        occ_nv=occ_nv,
+        nvo_max=nvo_max,
     )
 
 
@@ -242,11 +240,11 @@ def backproject_ping(
     )
 
     # ---- occupied candidates: window bins first_hit + w (reference :449-459).
-    # The per-bin range / fan trig depend on the DYNAMIC first-hit bin, so
-    # instead of gathering precomputed rows (measured: dynamic table gathers
-    # dominated backprojection) everything is computed elementwise on device:
-    # r, the truncated fan count nv(r) = max(2, int(spread/(res*1.5))), the
-    # per-step vertical angles, and their sin/cos (VPU transcendentals).
+    # The per-bin fan trig depends on the DYNAMIC first-hit bin, so it is
+    # computed elementwise on device (measured: gathering precomputed trig
+    # rows dominated backprojection) — EXCEPT the truncated fan count nv
+    # (reference :463), which is gathered from a small float64-exact host
+    # table so f32 rounding can never flip it across an integer boundary.
     w_off = jnp.arange(W, dtype=jnp.int32)
     occ_bin = jnp.minimum(first_hit[:, None] + w_off[None, :], R)  # (n_rays, W)
     # intensity gate at the absolute bin (strict >, reference :452)
@@ -258,12 +256,8 @@ def backproject_ping(
     rres = cfg.max_range / R  # reference :404
     occ_r = occ_bin.astype(dtype)[:, :, None] * dtype(rres)
     half_ap = dtype(cfg.half_aperture_rad)
-    spread = occ_r * jnp.tan(half_ap)
-    nv = jnp.maximum(
-        jnp.asarray(2, jnp.int32),
-        jnp.floor(spread / dtype(cfg.voxel_resolution * 1.5)).astype(jnp.int32),
-    )  # reference :463 (int() truncation; spread >= 0 so floor == trunc)
-    nvo_max = (tables.occ_mask.shape[1] - 1) // 2
+    nv = jnp.asarray(tables.occ_nv)[occ_bin][:, :, None]  # (n_rays, W, 1)
+    nvo_max = tables.nvo_max
     steps = jnp.arange(-nvo_max, nvo_max + 1, dtype=jnp.int32)[None, None, :]
     vang = steps.astype(dtype) / nv.astype(dtype) * half_ap  # reference :466
     occ_cos_v = jnp.cos(vang)

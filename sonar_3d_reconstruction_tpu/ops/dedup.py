@@ -47,8 +47,13 @@ class UniqueRecords(NamedTuple):
         return self.n_unique > self.hi.shape[0]
 
 
-def _running_max(x: jnp.ndarray) -> jnp.ndarray:
+def running_max(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive running maximum (log-depth associative scan) — the segment
+    rebase/rank primitive shared by dedup and the bucket-insert ranking."""
     return jax.lax.associative_scan(jnp.maximum, x)
+
+
+_running_max = running_max  # internal alias
 
 
 def dedup_frame(

@@ -165,6 +165,7 @@ def _local_update(
         "unique_overflow": jax.lax.psum(
             rec.overflowed.astype(jnp.int32), axis_name
         ) > 0,
+        "range_fail": range_fail,
     }
     return new_state, out_stats
 
@@ -207,6 +208,7 @@ def make_sharded_ping_step(
                 "num_candidates": P(),
                 "overflowed": P(),
                 "unique_overflow": P(),
+                "range_fail": P(),
             },
         ),
         check_vma=False,

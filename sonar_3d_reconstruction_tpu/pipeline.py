@@ -421,6 +421,12 @@ def map_ping_sequence(
             return new_st, merged
         # grow and replay from the first failed frame
         start = applied_hi
+        if bool(np.asarray(stats["range_fail"])[applied_hi]):
+            raise ValueError(
+                f"frame {applied_hi}: voxel keys outside the packable "
+                "±2^19-cell range (±26 km at 5 cm) — check odometry frame "
+                "offsets; growing the table cannot fix this"
+            )
         if bool(np.asarray(stats["unique_overflow"])[applied_hi]):
             unique_budget = (unique_budget or DEFAULT_UNIQUE_BUDGET) * 2
             st = new_st._replace(poisoned=jnp.zeros((), bool))

@@ -182,6 +182,11 @@ class StreamingMapper:
                 self.state = new_state
                 break
             start = int(np.argmax(over))
+            if bool(np.asarray(stats["range_fail"])[start]):
+                raise ValueError(
+                    f"chunk frame {start}: voxel keys outside the packable "
+                    "±2^19-cell range — check odometry frame offsets"
+                )
             if bool(np.asarray(stats["unique_overflow"])[start]):
                 self._unique_budget = (
                     self._unique_budget or DEFAULT_UNIQUE_BUDGET

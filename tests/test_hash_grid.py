@@ -195,7 +195,7 @@ def run_hash_device(cfg, images, positions, quats, capacity=1 << 16):
             {
                 k: int(v)
                 for k, v in stats.items()
-                if k not in ("overflowed", "unique_overflow")
+                if k not in ("overflowed", "unique_overflow", "range_fail")
             }
         )
     return state, all_stats
@@ -256,3 +256,48 @@ def test_poisoned_state_skips_frames(small_cfg):
     st2, stats2 = update_hash_grid(st1, cand, cfg)
     assert bool(stats2["overflowed"])
     np.testing.assert_array_equal(np.asarray(st2.log_odds), np.asarray(tiny.log_odds))
+
+
+def test_classified_mutually_exclusive_low_min_probability(small_cfg):
+    """min_probability < 0.3 puts the occupied threshold below the free
+    threshold; classification must stay if/elif-exclusive (reference
+    3d_mapper.py:169-176), never double-counting a voxel."""
+    cfg = small_cfg.replace(min_probability=0.25)
+    g = GoldenMapper(cfg)
+    state = init_hash_grid(1 << 13, jnp.float64)
+    tables = build_fan_tables(cfg, cfg.image_height, cfg.image_width)
+    T = pose_matrix_from_rpy(
+        np.asarray(cfg.sonar_position), np.asarray(cfg.sonar_orientation)
+    )
+    img = synthetic_ping(cfg.image_height, cfg.image_width, seed=21)
+    for _ in range(2):  # free log-odds accumulate into the ambiguous band
+        cand = backproject_ping(
+            jnp.asarray(img), jnp.asarray(T), tables, cfg, jnp.float64
+        )
+        state, _ = update_hash_grid(state, cand, cfg)
+        g.process_ping(img, [0, 0, 0], [0, 0, 0, 1])
+    cls = extract_classified_hash(state, cfg)
+    gcls = g.map.classified(cfg.min_probability)
+    total = sum(len(cls[n][0]) for n in ("free", "occupied", "unknown"))
+    assert total == len(g.map.log_odds)  # every voxel exactly once
+    for name in ("free", "occupied", "unknown"):
+        assert len(cls[name][0]) == len(gcls[name]), name
+
+
+def test_range_fail_reported_distinctly(small_cfg):
+    """Unpackable keys (world offset beyond ±2^19 cells) must flag
+    range_fail so hosts don't grow the table forever."""
+    cfg = small_cfg
+    tables = build_fan_tables(cfg, cfg.image_height, cfg.image_width)
+    T = pose_matrix_from_rpy(
+        np.asarray(cfg.sonar_position), np.asarray(cfg.sonar_orientation)
+    ).copy()
+    T[0, 3] = 1e6  # ~1000 km offset: far outside the packable range
+    img = synthetic_ping(cfg.image_height, cfg.image_width, seed=22)
+    cand = backproject_ping(jnp.asarray(img), jnp.asarray(T), tables, cfg, jnp.float64)
+    state = init_hash_grid(1 << 13, jnp.float64)
+    new_state, stats = update_hash_grid(state, cand, cfg)
+    assert bool(stats["range_fail"])
+    assert bool(stats["overflowed"])
+    assert not bool(stats["unique_overflow"])
+    assert bool(new_state.poisoned)
