@@ -340,29 +340,48 @@ def load_bag_sequence(
     """Offline fast path: whole bag -> time-paired dense arrays.
 
     Returns (images (P, R, B) uint8, positions (P, 3), quaternions (P, 4),
-    stamps (P,)).  Uses the native batch CDR decoder + pairing
-    (io/native.py) when available; pure-Python fallback otherwise.  All
-    images must share one geometry (true for a fixed sonar)."""
+    stamps (P,)).  Accepts .db3 sqlite or .mcap containers (sniffed by
+    magic).  Uses the native batch CDR decoder + pairing (io/native.py) when
+    available; pure-Python fallback otherwise.  All images must share one
+    geometry (true for a fixed sonar)."""
     img_blobs: List[bytes] = []
     odo_blobs: List[bytes] = []
-    conn = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
-    topic_ids = {
-        name: (tid, typ)
-        for tid, name, typ in conn.execute("SELECT id, name, type FROM topics")
-    }
-    for want, typ_want, sink in (
-        (sonar_topic, IMAGE_TYPE, img_blobs),
-        (odometry_topic, ODOMETRY_TYPE, odo_blobs),
-    ):
-        if want not in topic_ids or topic_ids[want][1] != typ_want:
-            raise ValueError(f"topic {want!r} ({typ_want}) not in {path}")
-        tid = topic_ids[want][0]
-        for (blob,) in conn.execute(
-            "SELECT data FROM messages WHERE topic_id=? ORDER BY timestamp",
-            (tid,),
+    from sonar_3d_reconstruction_tpu.io.mcap import MAGIC as _MCAP_MAGIC
+
+    with open(path, "rb") as f:
+        is_mcap = f.read(len(_MCAP_MAGIC)) == _MCAP_MAGIC
+    if is_mcap:
+        from sonar_3d_reconstruction_tpu.io.mcap import McapReader
+
+        with McapReader(path) as r:
+            for topic, typ, _ts, blob in r.raw_messages(
+                [sonar_topic, odometry_topic]
+            ):
+                if topic == sonar_topic and typ == IMAGE_TYPE:
+                    img_blobs.append(blob)
+                elif topic == odometry_topic and typ == ODOMETRY_TYPE:
+                    odo_blobs.append(blob)
+    else:
+        conn = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+        topic_ids = {
+            name: (tid, typ)
+            for tid, name, typ in conn.execute(
+                "SELECT id, name, type FROM topics"
+            )
+        }
+        for want, typ_want, sink in (
+            (sonar_topic, IMAGE_TYPE, img_blobs),
+            (odometry_topic, ODOMETRY_TYPE, odo_blobs),
         ):
-            sink.append(blob)
-    conn.close()
+            if want not in topic_ids or topic_ids[want][1] != typ_want:
+                raise ValueError(f"topic {want!r} ({typ_want}) not in {path}")
+            tid = topic_ids[want][0]
+            for (blob,) in conn.execute(
+                "SELECT data FROM messages WHERE topic_id=? ORDER BY timestamp",
+                (tid,),
+            ):
+                sink.append(blob)
+        conn.close()
     if not img_blobs or not odo_blobs:
         raise ValueError(f"no messages for the requested topics in {path}")
 

@@ -235,9 +235,12 @@ class StreamingMapper:
         return self.stats
 
     def run_bag(self, bag_path: str) -> StreamStats:
-        """Replay a rosbag2 .db3 through the full streaming stack."""
+        """Replay a rosbag2 recording (.db3 sqlite or .mcap, sniffed by
+        magic) through the full streaming stack."""
+        from sonar_3d_reconstruction_tpu.io.mcap import open_bag
+
         sc = self.stream_cfg
-        with BagReader(bag_path) as bag:
+        with open_bag(bag_path) as bag:
             for topic, _bag_ts, msg in bag.messages(
                 [sc.sonar_topic, sc.odometry_topic]
             ):

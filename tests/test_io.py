@@ -271,3 +271,90 @@ def test_load_bag_sequence(tmp_path):
         np.testing.assert_allclose(pos, positions)
         np.testing.assert_allclose(qs, quats)
         assert (np.diff(stamps) > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# mcap container
+# ---------------------------------------------------------------------------
+
+def test_mcap_roundtrip(tmp_path):
+    from sonar_3d_reconstruction_tpu.io.bag import IMAGE_TYPE, ODOMETRY_TYPE
+    from sonar_3d_reconstruction_tpu.io.mcap import McapReader, McapWriter, open_bag
+
+    n = 4
+    images = np.stack([synthetic_ping(20, 16, seed=30 + i) for i in range(n)])
+    path = str(tmp_path / "rec.mcap")
+    with McapWriter(path) as w:
+        w.add_topic("/sensor/sonar/oculus/m750d/image", IMAGE_TYPE)
+        w.add_topic("/fast_lio/odometry", ODOMETRY_TYPE)
+        for i in range(n):
+            t = 500.0 + i
+            w.write(
+                "/sensor/sonar/oculus/m750d/image", t,
+                ImageMsg(t, "sonar_link", 20, 16, "mono8", False, 16,
+                         images[i].tobytes()),
+            )
+            w.write(
+                "/fast_lio/odometry", t,
+                OdometryMsg(t, "camera_init", "body",
+                            np.array([i * 0.1, 0.0, 0.0]),
+                            np.array([0.0, 0.0, 0.0, 1.0])),
+            )
+
+    with McapReader(path) as r:
+        names = r.topic_names()
+        assert names["/fast_lio/odometry"] == ODOMETRY_TYPE
+        imgs, odoms = [], []
+        for topic, ts, msg in r.messages():
+            (imgs if isinstance(msg, ImageMsg) else odoms).append(msg)
+    assert len(imgs) == n and len(odoms) == n
+    np.testing.assert_array_equal(
+        np.frombuffer(imgs[1].data, np.uint8).reshape(20, 16), images[1]
+    )
+    # open_bag sniffs the container
+    assert isinstance(open_bag(path), McapReader)
+
+
+def test_mcap_stream_and_offline_paths(tmp_path, small_cfg):
+    """An mcap recording maps identically through the streaming stack and
+    the offline loader."""
+    import jax.numpy as jnp
+
+    from sonar_3d_reconstruction_tpu.io.bag import (
+        IMAGE_TYPE, ODOMETRY_TYPE, load_bag_sequence,
+    )
+    from sonar_3d_reconstruction_tpu.io.mcap import McapWriter
+    from sonar_3d_reconstruction_tpu.stream import StreamingMapper
+
+    cfg = small_cfg
+    n = 4
+    images = np.stack(
+        [synthetic_ping(cfg.image_height, cfg.image_width, seed=40 + i)
+         for i in range(n)]
+    )
+    positions = np.cumsum(np.full((n, 3), 0.1), axis=0)
+    quats = np.tile([0.0, 0.0, 0.0, 1.0], (n, 1))
+    path = str(tmp_path / "rec.mcap")
+    with McapWriter(path) as w:
+        w.add_topic("/sensor/sonar/oculus/m750d/image", IMAGE_TYPE)
+        w.add_topic("/fast_lio/odometry", ODOMETRY_TYPE)
+        for i in range(n):
+            t = 700.0 + i
+            w.write(
+                "/sensor/sonar/oculus/m750d/image", t,
+                ImageMsg(t, "s", cfg.image_height, cfg.image_width, "mono8",
+                         False, cfg.image_width, images[i].tobytes()),
+            )
+            w.write(
+                "/fast_lio/odometry", t,
+                OdometryMsg(t, "camera_init", "body", positions[i], quats[i]),
+            )
+
+    sm = StreamingMapper(cfg, chunk_size=4, initial_capacity=1 << 13,
+                         dtype=jnp.float64)
+    stats = sm.run_bag(path)
+    assert stats.pairs == n
+
+    imgs, pos, qs, stamps = load_bag_sequence(path)
+    np.testing.assert_array_equal(imgs, images)
+    np.testing.assert_allclose(pos, positions)
