@@ -139,7 +139,7 @@ def _map_bag_offline(args, cfg, stream_cfg) -> int:
     t_load = time.perf_counter() - t0
     t0 = time.perf_counter()
     state, stats = map_ping_sequence(
-        images, positions, quats, cfg, dtype=jnp.float32
+        images, positions, quats, cfg, dtype=jnp.float32, window=args.window
     )
     t_map = time.perf_counter() - t0
     n = len(images)
@@ -219,8 +219,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--chunk", type=int, default=32)
     p.add_argument(
         "--offline", action="store_true",
-        help="batch path: native decode + whole-bag windowed mapping "
+        help="batch path: native decode + whole-bag mapping "
         "(fastest; no streaming publish)",
+    )
+    p.add_argument(
+        "--window", type=int, default=1,
+        help="offline engine window: >1 opts into the batched-apply engine "
+        "(one table interaction per window of pings)",
     )
     p.add_argument("--save-map", default=None, metavar="OUT.npz")
     p.add_argument("--save-cloud", default=None, metavar="OUT.pc2")

@@ -86,6 +86,25 @@ def quaternion_from_rpy(rpy: np.ndarray) -> np.ndarray:
     )
 
 
+def rotations_from_quaternions_np(q: np.ndarray) -> np.ndarray:
+    """Batched NumPy float64 (N, 4) xyzw quaternions -> (N, 3, 3) rotations
+    (same formula as rotation_from_quaternion; float64 for golden parity —
+    the host-side pose chains route through this)."""
+    q = np.asarray(q, np.float64)
+    x, y, z, w = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    R = np.empty((len(q), 3, 3), np.float64)
+    R[:, 0, 0] = 1 - 2 * (y * y + z * z)
+    R[:, 0, 1] = 2 * (x * y - w * z)
+    R[:, 0, 2] = 2 * (x * z + w * y)
+    R[:, 1, 0] = 2 * (x * y + w * z)
+    R[:, 1, 1] = 1 - 2 * (x * x + z * z)
+    R[:, 1, 2] = 2 * (y * z - w * x)
+    R[:, 2, 0] = 2 * (x * z - w * y)
+    R[:, 2, 1] = 2 * (y * z + w * x)
+    R[:, 2, 2] = 1 - 2 * (x * x + y * y)
+    return R
+
+
 # ---------------------------------------------------------------------------
 # JAX batched versions (device)
 # ---------------------------------------------------------------------------

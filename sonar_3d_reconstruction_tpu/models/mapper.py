@@ -236,11 +236,12 @@ class SonarMapper:
 
     # ------------------------------------------------------------------
     def map_sequence(
-        self, images, positions, quaternions
+        self, images, positions, quaternions, window: int = 1
     ) -> Dict[str, np.ndarray]:
-        """Batch API: map a whole recorded sequence through the windowed
-        pipeline (much faster than per-ping process_sonar_image for offline
-        replay).  Updates this mapper's state in place; returns per-ping
+        """Batch API: map a whole recorded sequence through the pipeline
+        (much faster than per-ping process_sonar_image for offline replay —
+        no per-frame host sync; ``window`` > 1 opts into the batched-apply
+        engine).  Updates this mapper's state in place; returns per-ping
         stats arrays.  Hash backend only."""
         if self.backend != "hash":
             raise ValueError("map_sequence requires the hash backend")
@@ -251,7 +252,7 @@ class SonarMapper:
         n = images.shape[0]
         self.state, stats = map_ping_sequence(
             images, positions, quaternions, self.cfg,
-            state=self.state, dtype=self.dtype,
+            state=self.state, dtype=self.dtype, window=window,
         )
         if self.track_update_counts:
             tables = self._tables_for(images.shape[1:])
@@ -292,10 +293,15 @@ class SonarMapper:
         budget = self._unique_budget or default_unique_budget(
             tables.candidates_per_ping(self.cfg.occupied_window)
         )
-        rec, _ = _frame_records_jit(
-            image_dev, T_dev, tables=tables, cfg=self.cfg,
-            unique_budget=budget, dtype=self.dtype,
-        )
+        while True:  # a too-small budget would silently truncate the counts
+            rec, _ = _frame_records_jit(
+                image_dev, T_dev, tables=tables, cfg=self.cfg,
+                unique_budget=budget, dtype=self.dtype,
+            )
+            if not bool(rec.overflowed):
+                break
+            budget *= 2
+            self._unique_budget = budget
         keys = np.asarray(unpack_keys(rec.hi, rec.lo))
         for k in map(tuple, keys[np.asarray(rec.valid)]):
             self.voxel_update_counts[k] = self.voxel_update_counts.get(k, 0) + 1

@@ -3,9 +3,14 @@ jax Mesh, with within-ping ray/candidate data parallelism (SURVEY.md 5.8)."""
 
 from sonar_3d_reconstruction_tpu.parallel.shard import (  # noqa: F401
     ShardedHashState,
+    gather_sharded_state,
     init_sharded_hash_grid,
     make_mesh,
-    sharded_ping_step,
+    rehash_sharded,
     scan_pings_sharded,
-    gather_sharded_state,
+    sharded_ping_step,
+)
+from sonar_3d_reconstruction_tpu.parallel.multihost import (  # noqa: F401
+    apply_record_segments,
+    records_for_segment,
 )

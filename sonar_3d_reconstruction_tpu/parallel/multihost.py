@@ -38,10 +38,30 @@ from sonar_3d_reconstruction_tpu.ops.backproject import build_fan_tables
 from sonar_3d_reconstruction_tpu.ops.dedup import UniqueRecords
 from sonar_3d_reconstruction_tpu.ops.records import FrameAux
 from sonar_3d_reconstruction_tpu.pipeline import (
-    _apply_window,
-    _records_window,
+    _apply_batched,
+    _records_single,
     batched_sonar_to_world,
 )
+
+
+def _empty_records(unique_budget: int, dtype) -> Tuple[UniqueRecords, FrameAux]:
+    u = unique_budget
+    return (
+        UniqueRecords(
+            hi=np.full((0, u), 0xFFFFFFFF, np.uint32),
+            lo=np.full((0, u), 0xFFFFFFFF, np.uint32),
+            count=np.zeros((0, u), np.int32),
+            n_occ=np.zeros((0, u), np.int32),
+            valid=np.zeros((0, u), bool),
+            n_unique=np.zeros((0,), np.int32),
+        ),
+        FrameAux(
+            cmin=np.zeros((0, 3)),
+            cmax=np.zeros((0, 3)),
+            range_fail=np.zeros((0,), bool),
+            n_valid=np.zeros((0,), np.int32),
+        ),
+    )
 
 
 def records_for_segment(
@@ -52,7 +72,6 @@ def records_for_segment(
     *,
     unique_budget: Optional[int] = None,
     dtype=jnp.float32,
-    window: int = 8,
 ) -> Tuple[UniqueRecords, FrameAux]:
     """Records for a contiguous bag segment (host-local, no map state).
 
@@ -60,44 +79,35 @@ def records_for_segment(
     pings, as HOST numpy pytrees ready to ship over DCN.
     """
     images = np.asarray(images)
-    P, R, B = images.shape
+    P = images.shape[0]
+    if P == 0:
+        return _empty_records(unique_budget or 8, dtype)
+    R, B = images.shape[1:]
     tables = build_fan_tables(cfg, R, B)
     if unique_budget is None:
         unique_budget = default_unique_budget(
             tables.candidates_per_ping(cfg.occupied_window)
         )
     T = batched_sonar_to_world(positions, quaternions, cfg)
-
-    window = min(window, P)
-    pad = (-P) % window
-    if pad:
-        images = np.concatenate(
-            [images, np.zeros((pad,) + images.shape[1:], images.dtype)]
-        )
-        T = np.concatenate([T, np.tile(np.eye(4), (pad, 1, 1))])
     images_dev = jnp.asarray(images)
     T_dev = jnp.asarray(T, dtype)
 
     chunks = []
-    for w in range(0, P + pad, window):
-        recs, auxs = _records_window(
-            images_dev[w : w + window],
-            T_dev[w : w + window],
-            jnp.int32(w),
-            jnp.int32(0),
-            jnp.int32(P),
-            tables=tables,
-            cfg=cfg,
-            dtype=dtype,
-            unique_budget=unique_budget,
-            window=window,
+    for i in range(P):
+        chunks.append(
+            _records_single(
+                images_dev, T_dev, jnp.int32(i), jnp.int32(0), jnp.int32(P),
+                tables=tables, cfg=cfg, dtype=dtype,
+                unique_budget=unique_budget,
+            )
         )
-        chunks.append((recs, auxs))
     recs = jax.tree_util.tree_map(
-        lambda *xs: np.concatenate([np.asarray(x) for x in xs])[:P], *[c[0] for c in chunks]
+        lambda *xs: np.stack([np.asarray(x) for x in xs]),
+        *[c[0] for c in chunks],
     )
     auxs = jax.tree_util.tree_map(
-        lambda *xs: np.concatenate([np.asarray(x) for x in xs])[:P], *[c[1] for c in chunks]
+        lambda *xs: np.stack([np.asarray(x) for x in xs]),
+        *[c[1] for c in chunks],
     )
     return UniqueRecords(*recs), FrameAux(*auxs)
 
@@ -119,6 +129,8 @@ def apply_record_segments(
     all_stats: List[dict] = []
     for recs, auxs in segments:
         P = recs.hi.shape[0]
+        if P == 0:
+            continue
         w = min(window, P)
         pad = (-P) % w
         if pad:
@@ -146,10 +158,14 @@ def apply_record_segments(
             )
         recs_dev = jax.tree_util.tree_map(jnp.asarray, recs)
         auxs_dev = jax.tree_util.tree_map(jnp.asarray, auxs)
+        u = recs.hi.shape[1]
         for b in range(0, P + pad, w):
             rec_w = jax.tree_util.tree_map(lambda x: x[b : b + w], recs_dev)
             aux_w = jax.tree_util.tree_map(lambda x: x[b : b + w], auxs_dev)
-            state, stats = _apply_window(state, rec_w, aux_w, cfg=cfg, window=w)
+            state, stats = _apply_batched(
+                state, rec_w, aux_w, cfg=cfg,
+                batch_budget=min(w * u, 4 * u),
+            )
             for i in range(min(w, P - b)):
                 all_stats.append(
                     {k: np.asarray(v)[i] for k, v in stats.items()}

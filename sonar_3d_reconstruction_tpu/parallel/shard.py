@@ -187,9 +187,11 @@ def make_sharded_ping_step(
     """Build the jitted sharded single-ping step:
     (state, image, T, frame_active) -> (state, stats)."""
     if unique_budget is None:
-        n = tables.candidates_per_ping(cfg.occupied_window)
-        unique_budget = 1 << max(3, min(n - 1, DEFAULT_UNIQUE_BUDGET - 1)).bit_length()
-        unique_budget = min(unique_budget, DEFAULT_UNIQUE_BUDGET)
+        from sonar_3d_reconstruction_tpu.grid.hash import default_unique_budget
+
+        unique_budget = default_unique_budget(
+            tables.candidates_per_ping(cfg.occupied_window)
+        )
 
     update = shard_map(
         partial(
@@ -295,6 +297,56 @@ def scan_pings_sharded(state, images, transforms, mesh, tables, cfg,
     """One-shot convenience wrapper over make_scan_pings_sharded."""
     scan = make_scan_pings_sharded(mesh, tables, cfg, dtype)
     return scan(state, images, transforms, jnp.int32(0))
+
+
+def rehash_sharded(
+    state: ShardedHashState, mesh: Mesh, new_local_capacity: int,
+    axis_name: str = "space",
+) -> ShardedHashState:
+    """Host-triggered grow of every per-shard sub-table (the sharded
+    equivalent of grid/hash.rehash): re-bucket each shard's entries into a
+    larger local table — ownership is a function of the key, so entries
+    never move between shards — and clear ``poisoned`` so the failed frame
+    can be replayed.  Doubles again until every bucket fits."""
+    from sonar_3d_reconstruction_tpu.grid.hash import bucket_lookup, insert_unique
+
+    while True:
+        def grow_block(blk):
+            hi, lo, lod = blk.key_hi[0], blk.key_lo[0], blk.log_odds[0]
+            occupied = hi != EMPTY_HI
+            fresh_hi = jnp.full((new_local_capacity,), EMPTY_HI, jnp.uint32)
+            fresh_lo = jnp.full((new_local_capacity,), EMPTY_HI, jnp.uint32)
+            bucket, found, _, fill = bucket_lookup(fresh_hi, fresh_lo, hi, lo)
+            nhi, nlo, slots, overflowed, n_ins = insert_unique(
+                fresh_hi, fresh_lo, hi, lo, occupied & ~found, bucket, fill
+            )
+            nlod = jnp.zeros((new_local_capacity,), lod.dtype).at[slots].set(
+                lod, mode="drop"
+            )
+            any_ovf = jax.lax.psum(overflowed.astype(jnp.int32), axis_name) > 0
+            return (
+                ShardedHashState(
+                    key_hi=nhi[None],
+                    key_lo=nlo[None],
+                    log_odds=nlod[None],
+                    used=n_ins[None],
+                    poisoned=jnp.zeros((1,), bool),
+                ),
+                any_ovf,
+            )
+
+        grown, overflowed = jax.jit(
+            shard_map(
+                grow_block,
+                mesh=mesh,
+                in_specs=(_state_specs(axis_name),),
+                out_specs=(_state_specs(axis_name), P()),
+                check_vma=False,
+            )
+        )(state)
+        if not bool(overflowed):
+            return grown
+        new_local_capacity *= 2
 
 
 def gather_sharded_state(state: ShardedHashState):

@@ -26,7 +26,10 @@ import jax
 import jax.numpy as jnp
 
 from sonar_3d_reconstruction_tpu.config import MapperConfig
-from sonar_3d_reconstruction_tpu.geometry import pose_matrix_from_rpy
+from sonar_3d_reconstruction_tpu.geometry import (
+    pose_matrix_from_rpy,
+    rotations_from_quaternions_np,
+)
 from sonar_3d_reconstruction_tpu.grid.dense import (
     DenseGridSpec,
     init_dense_grid,
@@ -60,19 +63,8 @@ def batched_sonar_to_world(
     T_sonar_to_world = T_base_to_world @ T_sonar_to_base
     (reference 3d_mapper.py:519-521, batched over the whole sequence)."""
     positions = np.asarray(positions, np.float64)
-    q = np.asarray(quaternions, np.float64)
-    x, y, z, w = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
-    P = len(q)
-    R = np.empty((P, 3, 3), np.float64)
-    R[:, 0, 0] = 1 - 2 * (y * y + z * z)
-    R[:, 0, 1] = 2 * (x * y - w * z)
-    R[:, 0, 2] = 2 * (x * z + w * y)
-    R[:, 1, 0] = 2 * (x * y + w * z)
-    R[:, 1, 1] = 1 - 2 * (x * x + z * z)
-    R[:, 1, 2] = 2 * (y * z - w * x)
-    R[:, 2, 0] = 2 * (x * z - w * y)
-    R[:, 2, 1] = 2 * (y * z + w * x)
-    R[:, 2, 2] = 1 - 2 * (x * x + y * y)
+    R = rotations_from_quaternions_np(quaternions)
+    P = len(R)
     T = np.zeros((P, 4, 4), np.float64)
     T[:, :3, :3] = R
     T[:, :3, 3] = positions
@@ -169,51 +161,6 @@ def _apply_batched(state, recs, auxs, *, cfg: MapperConfig, batch_budget: int):
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=("tables", "cfg", "dtype", "unique_budget", "window"),
-)
-def _records_window(
-    images,       # (window, R, B)
-    transforms,   # (window, 4, 4)
-    base,         # () int32 index of the window's first frame
-    start,
-    stop,
-    *,
-    tables: FanTables,
-    cfg: MapperConfig,
-    dtype,
-    unique_budget: int,
-    window: int,
-):
-    """State-independent half for a window of pings, one dispatch."""
-    from sonar_3d_reconstruction_tpu.ops.records import frame_records_batch
-
-    idxs = base + jnp.arange(window, dtype=jnp.int32)
-    frame_on = (idxs >= start) & (idxs < stop)
-    return frame_records_batch(
-        images, transforms, frame_on, tables, cfg, unique_budget, dtype
-    )
-
-
-@partial(jax.jit, static_argnames=("cfg", "window"))
-def _apply_window(state, recs, auxs, *, cfg: MapperConfig, window: int):
-    """Sequential half: apply a window of frame records in one dispatch
-    (Python-unrolled — NOT lax.scan, see the design note above)."""
-    from sonar_3d_reconstruction_tpu.grid.hash import apply_frame_records
-
-    per_frame = []
-    for b in range(window):
-        rec = jax.tree_util.tree_map(lambda x: x[b], recs)
-        aux = jax.tree_util.tree_map(lambda x: x[b], auxs)
-        state, stats = apply_frame_records(state, rec, aux, cfg)
-        per_frame.append(stats)
-    stacked = {
-        k: jnp.stack([s[k] for s in per_frame]) for k in per_frame[0]
-    }
-    return state, stacked
-
-
 def scan_pings_hash(
     state: HashGridState,
     images: jnp.ndarray,
@@ -270,6 +217,10 @@ def scan_pings_hash(
             k: jnp.stack([s[k] for s in per_step]) for k in per_step[0]
         }
 
+    # Records are computed with one dispatch per ping rather than a single
+    # vmapped window program: the window-batched records program (8 fused
+    # backproject+sort pipelines) took the remote compiler >1 h vs seconds
+    # of aggregate dispatch overhead saved.
     per_frame_stats: list = [None] * P
     for w in range(0, P, window):
         frames = list(range(w, min(w + window, P)))
@@ -377,6 +328,18 @@ def map_ping_sequence(
     cfg = cfg or MapperConfig()
     images = np.asarray(images)
     P, R, B = images.shape
+    if P == 0:
+        empty_i = np.zeros((0,), np.int32)
+        empty_b = np.zeros((0,), bool)
+        return (
+            state if state is not None
+            else init_hash_grid(initial_capacity, dtype),
+            {
+                "num_occupied": empty_i, "num_free": empty_i,
+                "num_candidates": empty_i, "overflowed": empty_b,
+                "unique_overflow": empty_b, "range_fail": empty_b,
+            },
+        )
     tables = build_fan_tables(cfg, R, B)
     T = batched_sonar_to_world(positions, quaternions, cfg)
 
@@ -419,15 +382,17 @@ def map_ping_sequence(
             arr[start:applied_hi] = np.asarray(v)[start:applied_hi]
         if not over.any():
             return new_st, merged
-        # grow and replay from the first failed frame
+        # grow and replay from the first failed frame.  With window > 1 the
+        # batch is rejected all-or-nothing, so the CAUSE flags may sit at a
+        # later frame than argmax(overflowed) — inspect the whole failed tail.
         start = applied_hi
-        if bool(np.asarray(stats["range_fail"])[applied_hi]):
+        if bool(np.asarray(stats["range_fail"])[applied_hi:].any()):
             raise ValueError(
-                f"frame {applied_hi}: voxel keys outside the packable "
+                f"frame >= {applied_hi}: voxel keys outside the packable "
                 "±2^19-cell range (±26 km at 5 cm) — check odometry frame "
                 "offsets; growing the table cannot fix this"
             )
-        if bool(np.asarray(stats["unique_overflow"])[applied_hi]):
+        if bool(np.asarray(stats["unique_overflow"])[applied_hi:].any()):
             unique_budget = (unique_budget or DEFAULT_UNIQUE_BUDGET) * 2
             st = new_st._replace(poisoned=jnp.zeros((), bool))
         else:

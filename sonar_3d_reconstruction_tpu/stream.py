@@ -165,7 +165,7 @@ class StreamingMapper:
         T_dev = jnp.asarray(T, self.dtype)
         t0 = time.perf_counter()
         start = 0
-        while True:
+        for _retry in range(12):
             new_state, stats = scan_pings_hash(
                 self.state,
                 images_dev,
@@ -195,6 +195,10 @@ class StreamingMapper:
             else:
                 self.state = rehash(new_state, self.state.key_hi.shape[0] * 2)
             self.stats.grows += 1
+        else:
+            raise RuntimeError(
+                "hash growth did not converge after 12 retries in one chunk"
+            )
         self.stats.device_time += time.perf_counter() - t0
         self.stats.frames_mapped += n
         self.stats.chunks += 1

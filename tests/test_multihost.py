@@ -33,11 +33,17 @@ def test_segmented_records_match_one_shot(small_cfg):
     cuts = [(0, 4), (4, 6), (6, 9)]
     segments = [
         records_for_segment(
-            images[a:b], positions[a:b], quats[a:b], cfg,
-            dtype=jnp.float64, window=3,
+            images[a:b], positions[a:b], quats[a:b], cfg, dtype=jnp.float64,
         )
         for a, b in cuts
     ]
+    # an empty segment (uneven multi-host split) must be a clean no-op
+    segments.insert(
+        1,
+        records_for_segment(
+            images[:0], positions[:0], quats[:0], cfg, dtype=jnp.float64,
+        ),
+    )
     state = init_hash_grid(1 << 16, jnp.float64)
     state, stats = apply_record_segments(state, segments, cfg, window=3)
     assert len(stats) == n

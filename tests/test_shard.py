@@ -132,3 +132,51 @@ def test_sharded_replay_start_skips_frames(small_cfg):
     assert a.keys() == b.keys()
     for k in a:
         assert abs(a[k] - b[k]) < 1e-12
+
+
+def test_sharded_rehash_grow_and_replay(small_cfg):
+    """Sharded growth: after a bucket/capacity overflow, rehash_sharded must
+    preserve contents, clear poison, and allow exact replay."""
+    from sonar_3d_reconstruction_tpu.parallel.shard import rehash_sharded
+
+    cfg = small_cfg
+    n = 3
+    images = np.stack(
+        [synthetic_ping(cfg.image_height, cfg.image_width, seed=90 + i)
+         for i in range(n)]
+    )
+    positions, quats = circular_trajectory(n)
+    T = batched_sonar_to_world(positions, quats, cfg)
+
+    mesh = make_mesh()
+    tables = build_fan_tables(cfg, cfg.image_height, cfg.image_width)
+    scan = make_scan_pings_sharded(mesh, tables, cfg, dtype=jnp.float64)
+
+    # small local capacity: first frames apply, a later one overflows
+    st = init_sharded_hash_grid(mesh, local_capacity=1 << 6, dtype=jnp.float64)
+    start = 0
+    for _ in range(12):
+        new_st, stats = scan(
+            st, jnp.asarray(images), jnp.asarray(T, jnp.float64),
+            jnp.int32(start),
+        )
+        over = np.asarray(stats["overflowed"])
+        if not over.any():
+            st = new_st
+            break
+        start = int(np.argmax(over))
+        st = rehash_sharded(
+            new_st, mesh, new_st.key_hi.shape[1] * 2
+        )
+    else:
+        raise AssertionError("sharded growth did not converge")
+
+    big = init_sharded_hash_grid(mesh, local_capacity=1 << 13, dtype=jnp.float64)
+    big, stats = scan(
+        big, jnp.asarray(images), jnp.asarray(T, jnp.float64), jnp.int32(0)
+    )
+    assert not np.asarray(stats["overflowed"]).any()
+    a, b = sharded_to_dict(st), sharded_to_dict(big)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-12
