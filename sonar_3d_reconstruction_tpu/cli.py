@@ -58,8 +58,8 @@ def cmd_selftest(args: argparse.Namespace) -> int:
         }
     )
     img = np.zeros((500, 512), np.uint8)
-    img[100:150, 200:300] = 100   # bright region (reference :667-669)
-    img[300:350, 100:200] = 150
+    img[100:150, 200:300] = 100   # bright regions (reference :667-669)
+    img[300:350, 100:150] = 150
     for i in range(3):
         stats = mapper.process_sonar_image(
             img, [i * 0.1, 0.0, 0.0], [0.0, 0.0, 0.0, 1.0]
@@ -89,13 +89,16 @@ def cmd_map_bag(args: argparse.Namespace) -> int:
     if args.offline:
         return _map_bag_offline(args, cfg, stream_cfg)
 
-    published = []
+    if args.window != 1:
+        print(
+            "warning: --window applies only with --offline (ignored)",
+            file=sys.stderr,
+        )
     mapper = StreamingMapper(
         cfg,
         stream_cfg,
         chunk_size=args.chunk,
         dtype=jnp.float32,
-        publish=published.append if args.save_cloud else None,
     )
     t0 = time.perf_counter()
     stats = mapper.run_bag(args.bag)
@@ -125,6 +128,13 @@ def _map_bag_offline(args, cfg, stream_cfg) -> int:
     """Batch path: native batch decode + pairing, whole bag as windowed
     device dispatches (pipeline.map_ping_sequence)."""
     import jax.numpy as jnp
+
+    if args.chunk != 32:
+        print(
+            "warning: --chunk applies only to the streaming path (ignored "
+            "with --offline)",
+            file=sys.stderr,
+        )
 
     from sonar_3d_reconstruction_tpu.io.bag import load_bag_sequence
     from sonar_3d_reconstruction_tpu.pipeline import map_ping_sequence
@@ -194,8 +204,21 @@ def cmd_make_bag(args: argparse.Namespace) -> int:
 
 
 def cmd_bench(args: argparse.Namespace) -> int:
-    import bench  # repo-root bench.py
+    import importlib.util
+    import os
 
+    # bench.py lives at the repo root (not inside the installed package)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bench.py",
+    )
+    if not os.path.exists(path):
+        raise SystemExit(
+            f"bench.py not found at {path} — run from a source checkout"
+        )
+    spec = importlib.util.spec_from_file_location("bench", path)
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
     bench.main()
     return 0
 

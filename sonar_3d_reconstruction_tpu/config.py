@@ -192,8 +192,9 @@ def load_config(
             raw = yaml.safe_load(f) or {}
         params = raw
         if isinstance(raw, Mapping) and "sonar_3d_mapper" in raw:
-            params = raw["sonar_3d_mapper"].get("ros__parameters", {})
-        merged.update(_flatten_yaml_params(params))
+            node_section = raw["sonar_3d_mapper"] or {}
+            params = node_section.get("ros__parameters") or {}
+        merged.update(_flatten_yaml_params(params or {}))
     if overrides:
         merged.update(_flatten_yaml_params(overrides))
 

@@ -353,14 +353,20 @@ def load_bag_sequence(
     if is_mcap:
         from sonar_3d_reconstruction_tpu.io.mcap import McapReader
 
+        img_t: List[Tuple[float, bytes]] = []
+        odo_t: List[Tuple[float, bytes]] = []
         with McapReader(path) as r:
-            for topic, typ, _ts, blob in r.raw_messages(
+            for topic, typ, ts, blob in r.raw_messages(
                 [sonar_topic, odometry_topic]
             ):
                 if topic == sonar_topic and typ == IMAGE_TYPE:
-                    img_blobs.append(blob)
+                    img_t.append((ts, blob))
                 elif topic == odometry_topic and typ == ODOMETRY_TYPE:
-                    odo_blobs.append(blob)
+                    odo_t.append((ts, blob))
+        # mcap chunks may be grouped per channel / out of log-time order;
+        # the pairing backends require sorted streams
+        img_blobs = [b for _, b in sorted(img_t, key=lambda x: x[0])]
+        odo_blobs = [b for _, b in sorted(odo_t, key=lambda x: x[0])]
     else:
         conn = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
         topic_ids = {

@@ -68,7 +68,7 @@ def _load() -> Optional[ctypes.CDLL]:
 def available() -> bool:
     try:
         return _load() is not None
-    except OSError:
+    except Exception:  # load failure OR ABI mismatch -> Python fallback
         return False
 
 
@@ -118,17 +118,25 @@ def image_decode_batch(
 def pair_streams(
     ping_stamps: np.ndarray, pose_stamps: np.ndarray, slop: float = 0.1
 ) -> List[Tuple[int, int]]:
-    """Native version of io.timesync.pair_streams (identical policy)."""
+    """Native version of io.timesync.pair_streams (identical policy).
+
+    The C routine requires time-sorted streams; unsorted inputs are sorted
+    here and the returned indices mapped back to the caller's order."""
     lib = _load()
     assert lib is not None, "native library not built (io.native.build())"
     ping_stamps = np.ascontiguousarray(ping_stamps, np.float64)
     pose_stamps = np.ascontiguousarray(pose_stamps, np.float64)
+    ping_order = np.argsort(ping_stamps, kind="stable")
+    pose_order = np.argsort(pose_stamps, kind="stable")
     out = np.empty((len(ping_stamps), 2), np.int64)
     n = lib.pair_streams(
-        ping_stamps, len(ping_stamps), pose_stamps, len(pose_stamps),
+        np.ascontiguousarray(ping_stamps[ping_order]), len(ping_stamps),
+        np.ascontiguousarray(pose_stamps[pose_order]), len(pose_stamps),
         slop, out.reshape(-1),
     )
-    return [tuple(p) for p in out[:n]]
+    return [
+        (int(ping_order[i]), int(pose_order[j])) for i, j in out[:n]
+    ]
 
 
 def pack_xyzi(points: np.ndarray, intensities: np.ndarray) -> bytes:

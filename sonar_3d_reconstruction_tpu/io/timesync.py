@@ -136,20 +136,22 @@ def pair_streams(
     ping_stamps = np.asarray(ping_stamps, np.float64)
     pose_stamps = np.asarray(pose_stamps, np.float64)
     order = np.argsort(ping_stamps, kind="stable")
-    idx = np.searchsorted(pose_stamps, ping_stamps[order])
+    pose_order = np.argsort(pose_stamps, kind="stable")
+    sorted_pose = pose_stamps[pose_order]
+    idx = np.searchsorted(sorted_pose, ping_stamps[order])
     pairs: List[Tuple[int, int]] = []
-    last_pose = -1
+    last_pose = -1  # index into the SORTED pose stream
     for k, i in enumerate(order):
         t = ping_stamps[i]
         j = idx[k]
         best: Optional[int] = None
         best_d = slop
         for cand in (j - 1, j):
-            if last_pose < cand < len(pose_stamps):
-                d = abs(pose_stamps[cand] - t)
+            if last_pose < cand < len(sorted_pose):
+                d = abs(sorted_pose[cand] - t)
                 if d <= best_d:
                     best, best_d = cand, d
         if best is not None:
-            pairs.append((int(i), int(best)))
+            pairs.append((int(i), int(pose_order[best])))
             last_pose = best
     return pairs

@@ -40,7 +40,7 @@ except ImportError:  # pragma: no cover
 
 from sonar_3d_reconstruction_tpu.config import MapperConfig, StreamConfig, load_config
 from sonar_3d_reconstruction_tpu.geometry import quaternion_from_rpy
-from sonar_3d_reconstruction_tpu.io.image import UnsupportedEncoding, decode_image
+from sonar_3d_reconstruction_tpu.io.image import decode_image
 from sonar_3d_reconstruction_tpu.io.pointcloud import (
     classified_markers,
     serialize_pointcloud2,
@@ -172,8 +172,8 @@ class SonarMapperNode(Node):  # pragma: no cover - needs a ROS2 environment
                 image_msg.step,
                 image_msg.is_bigendian,
             )
-        except UnsupportedEncoding as e:  # drop-and-log (reference node:311-316)
-            self.get_logger().error(str(e))
+        except Exception as e:  # drop-and-log ANY decode failure (node:313-316)
+            self.get_logger().error(f"image decode failed: {e}")
             return
         pos = odom_msg.pose.pose.position
         q = odom_msg.pose.pose.orientation

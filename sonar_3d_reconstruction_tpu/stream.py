@@ -30,7 +30,7 @@ from sonar_3d_reconstruction_tpu.grid.hash import (
     rehash,
 )
 from sonar_3d_reconstruction_tpu.io.bag import BagReader, ImageMsg, OdometryMsg
-from sonar_3d_reconstruction_tpu.io.image import UnsupportedEncoding, decode_image
+from sonar_3d_reconstruction_tpu.io.image import decode_image
 from sonar_3d_reconstruction_tpu.io.pointcloud import serialize_pointcloud2
 from sonar_3d_reconstruction_tpu.io.timesync import ApproximateTimeSync
 from sonar_3d_reconstruction_tpu.ops.backproject import build_fan_tables
@@ -125,8 +125,11 @@ class StreamingMapper:
                 image_msg.step,
                 image_msg.is_bigendian,
             )
-        except UnsupportedEncoding:
-            self.stats.decode_errors += 1  # drop-and-log policy (node:311-316)
+        except Exception:
+            # drop-and-log policy for ANY decode failure (unsupported
+            # encoding, truncated payload, ...) — reference node:313-316
+            # wraps conversion in a bare except and drops the frame
+            self.stats.decode_errors += 1
             return
         shape = img.shape
         if self._chunk_images and self._chunk_images[0].shape != shape:

@@ -358,3 +358,17 @@ def test_mcap_stream_and_offline_paths(tmp_path, small_cfg):
     imgs, pos, qs, stamps = load_bag_sequence(path)
     np.testing.assert_array_equal(imgs, images)
     np.testing.assert_allclose(pos, positions)
+
+
+def test_pair_streams_unsorted_inputs():
+    """Both pairing backends must handle unsorted stamp streams (mcap file
+    order) identically to the sorted case."""
+    rng = np.random.default_rng(5)
+    ping_t = rng.uniform(0, 50, 60)      # deliberately unsorted
+    pose_t = rng.uniform(0, 50, 55)
+    a = pair_streams(ping_t, pose_t, slop=0.3)
+    # equivalent to pairing the sorted streams then mapping indices back
+    ps, qs = np.argsort(ping_t), np.argsort(pose_t)
+    b_sorted = pair_streams(ping_t[ps], pose_t[qs], slop=0.3)
+    b = sorted((int(ps[i]), int(qs[j])) for i, j in b_sorted)
+    assert sorted(a) == b

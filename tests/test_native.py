@@ -105,3 +105,12 @@ def test_pack_xyzi_matches_python():
     intens = rng.uniform(size=100)
     msg = serialize_pointcloud2(pts, intens)
     assert native.pack_xyzi(pts, intens) == msg["data"]
+
+
+def test_native_pair_streams_unsorted_matches_python():
+    rng = np.random.default_rng(9)
+    ping_t = rng.uniform(0, 80, 120)
+    pose_t = rng.uniform(0, 80, 110)
+    assert sorted(native.pair_streams(ping_t, pose_t, 0.2)) == sorted(
+        py_pair(ping_t, pose_t, 0.2)
+    )
