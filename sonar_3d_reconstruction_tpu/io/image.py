@@ -49,6 +49,8 @@ def decode_image(
     row_bytes = width * itemsize
     if step is None:
         step = row_bytes
+    if step < row_bytes:
+        step = row_bytes  # tolerate under-reported step (native decoder ditto)
     if buf.size < height * step and buf.size == height * row_bytes:
         step = row_bytes  # tolerate senders that report a padded step
     rows = buf[: height * step].reshape(height, step)[:, :row_bytes]

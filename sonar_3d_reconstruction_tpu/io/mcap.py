@@ -55,6 +55,13 @@ def _records(buf: memoryview) -> Iterator[Tuple[int, memoryview]]:
     while pos + 9 <= end:
         op = buf[pos]
         (length,) = struct.unpack_from("<Q", buf, pos + 1)
+        if pos + 9 + length > end:
+            # a silently clamped record would present a truncated bag as a
+            # successfully (but partially) mapped one
+            raise ValueError(
+                f"truncated mcap record: op=0x{op:02x} at byte {pos} claims "
+                f"{length} payload bytes but only {end - pos - 9} remain"
+            )
         payload = buf[pos + 9 : pos + 9 + length]
         yield op, payload
         if op == OP_FOOTER:

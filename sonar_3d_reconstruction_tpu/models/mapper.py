@@ -199,9 +199,21 @@ class SonarMapper:
                             "offsets — growing the table cannot fix this"
                         )
                     if bool(stats["unique_overflow"]):
-                        self._unique_budget = (
-                            self._unique_budget or DEFAULT_UNIQUE_BUDGET
-                        ) * 2
+                        # double from the budget actually in effect — when
+                        # unset, the step used the snug per-geometry default,
+                        # often far below DEFAULT_UNIQUE_BUDGET
+                        from sonar_3d_reconstruction_tpu.grid.hash import (
+                            default_unique_budget,
+                        )
+
+                        self._unique_budget = 2 * (
+                            self._unique_budget
+                            or default_unique_budget(
+                                tables.candidates_per_ping(
+                                    self.cfg.occupied_window
+                                )
+                            )
+                        )
                         self.state = self.state._replace(
                             poisoned=jnp.zeros((), bool)
                         )
@@ -253,6 +265,7 @@ class SonarMapper:
         self.state, stats = map_ping_sequence(
             images, positions, quaternions, self.cfg,
             state=self.state, dtype=self.dtype, window=window,
+            unique_budget=self._unique_budget,
         )
         if self.track_update_counts:
             tables = self._tables_for(images.shape[1:])

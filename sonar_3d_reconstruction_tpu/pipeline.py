@@ -161,6 +161,46 @@ def _apply_batched(state, recs, auxs, *, cfg: MapperConfig, batch_budget: int):
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=("tables", "cfg", "dtype", "unique_budget", "window"),
+)
+def _records_window(
+    images,       # (P, R, B) full stacked sequence
+    transforms,   # (P, 4, 4)
+    w_start,      # () int32 first ping of the window
+    start,
+    stop,
+    *,
+    tables: FanTables,
+    cfg: MapperConfig,
+    dtype,
+    unique_budget: int,
+    window: int,
+):
+    """Records for a whole window of pings in ONE dispatch.
+
+    ``lax.map`` (a scan) compiles the per-ping records body once — unlike the
+    vmapped variant, whose batched-sort HLO took the remote compiler >1 h —
+    and runs it sequentially on device, which costs nothing extra here
+    because the per-ping bodies were already serialized by dispatch order.
+    Window frames past ``stop`` (tail padding) produce empty records via the
+    ``frame_on`` mask; the dynamic slice clamps their index reads.
+    """
+    from sonar_3d_reconstruction_tpu.ops.records import frame_records
+
+    def body(i):
+        idx = w_start + i
+        image = jax.lax.dynamic_index_in_dim(images, idx, 0, keepdims=False)
+        T = jax.lax.dynamic_index_in_dim(transforms, idx, 0, keepdims=False)
+        frame_on = (idx >= start) & (idx < stop)
+        return frame_records(
+            image, T, tables, cfg, unique_budget, dtype, frame_on=frame_on
+        )
+
+    return jax.lax.map(body, jnp.arange(window, dtype=jnp.int32))
+
+
 def scan_pings_hash(
     state: HashGridState,
     images: jnp.ndarray,
@@ -173,6 +213,7 @@ def scan_pings_hash(
     dtype=jnp.float32,
     unique_budget=None,
     window: int = 1,
+    batch_budget=None,
 ) -> Tuple[HashGridState, Dict[str, jnp.ndarray]]:
     """Whole ping sequence -> hashed map (host-driven chain of dispatches;
     see the design note above).  Frames outside [start, stop) contribute
@@ -217,37 +258,32 @@ def scan_pings_hash(
             k: jnp.stack([s[k] for s in per_step]) for k in per_step[0]
         }
 
-    # Records are computed with one dispatch per ping rather than a single
-    # vmapped window program: the window-batched records program (8 fused
-    # backproject+sort pipelines) took the remote compiler >1 h vs seconds
-    # of aggregate dispatch overhead saved.
-    per_frame_stats: list = [None] * P
+    # Batched-apply engine: TWO dispatches per window — one lax.map records
+    # program (all window pings, state-independent) and one batched apply.
+    # Tail windows are dispatched full-width with frames >= stop masked off
+    # (empty records), so every window reuses the same two compiled programs.
+    # NOTE: no per-window sync — a failed batch poisons the state
+    # (all-or-nothing, nothing applied) and every later frame reports
+    # overflowed, so the callers' standard grow+replay-from-first-failure
+    # logic recovers with exact window=1 semantics.
+    from sonar_3d_reconstruction_tpu.grid.hash import default_batch_budget
+
+    if batch_budget is None:
+        batch_budget = default_batch_budget(window, unique_budget)
+    window_stats = []
     for w in range(0, P, window):
-        frames = list(range(w, min(w + window, P)))
-        recs_list, auxs_list = [], []
-        for i in frames:
-            rec, aux = _records_single(
-                images_dev, T_dev, jnp.int32(i), start, stop,
-                tables=tables, cfg=cfg, dtype=dtype,
-                unique_budget=unique_budget,
-            )
-            recs_list.append(rec)
-            auxs_list.append(aux)
-        recs = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *recs_list)
-        auxs = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *auxs_list)
-        # NOTE: no per-window sync — a failed batch poisons the state
-        # (all-or-nothing, nothing applied) and every later frame reports
-        # overflowed, so the callers' standard grow+replay-from-first-failure
-        # logic recovers with exact window=1 semantics.
-        state, stats = _apply_batched(
-            state, recs, auxs, cfg=cfg,
-            batch_budget=min(len(frames) * unique_budget, 4 * unique_budget),
+        recs, auxs = _records_window(
+            images_dev, T_dev, jnp.int32(w), start, stop,
+            tables=tables, cfg=cfg, dtype=dtype,
+            unique_budget=unique_budget, window=window,
         )
-        for j, i in enumerate(frames):
-            per_frame_stats[i] = jax.tree_util.tree_map(lambda x: x[j], stats)
+        state, stats = _apply_batched(
+            state, recs, auxs, cfg=cfg, batch_budget=batch_budget
+        )
+        window_stats.append(stats)
     return state, {
-        k: jnp.stack([s[k] for s in per_frame_stats])
-        for k in per_frame_stats[0]
+        k: jnp.concatenate([s[k] for s in window_stats])[:P]
+        for k in window_stats[0]
     }
 
 
@@ -314,6 +350,7 @@ def map_ping_sequence(
     dtype=jnp.float32,
     max_grow_retries: int = 12,
     window: int = 1,
+    unique_budget: Optional[int] = None,
 ) -> Tuple[Any, Dict[str, np.ndarray]]:
     """Map a whole recorded ping sequence in one (or, after growth, few) scans.
 
@@ -365,12 +402,12 @@ def map_ping_sequence(
     st = state if state is not None else init_hash_grid(initial_capacity, dtype)
     merged: Dict[str, np.ndarray] = {}
     start = 0
-    unique_budget = None
+    batch_budget = None
     for _ in range(max_grow_retries):
         new_st, stats = scan_pings_hash(
             st, images_dev, T_dev, jnp.int32(start),
             tables=tables, cfg=cfg, dtype=dtype, unique_budget=unique_budget,
-            window=window,
+            window=window, batch_budget=batch_budget,
         )
         over = np.asarray(stats["overflowed"])
         # merge this attempt's stats for frames it actually applied
@@ -386,14 +423,35 @@ def map_ping_sequence(
         # batch is rejected all-or-nothing, so the CAUSE flags may sit at a
         # later frame than argmax(overflowed) — inspect the whole failed tail.
         start = applied_hi
-        if bool(np.asarray(stats["range_fail"])[applied_hi:].any()):
+        tail = slice(applied_hi, None)
+        if bool(np.asarray(stats["range_fail"])[tail].any()):
             raise ValueError(
                 f"frame >= {applied_hi}: voxel keys outside the packable "
                 "±2^19-cell range (±26 km at 5 cm) — check odometry frame "
                 "offsets; growing the table cannot fix this"
             )
-        if bool(np.asarray(stats["unique_overflow"])[applied_hi:].any()):
+        if bool(np.asarray(stats["unique_overflow"])[tail].any()):
+            # per-frame budget too small: double it and re-derive the batch
+            # budget from the new value
             unique_budget = (unique_budget or DEFAULT_UNIQUE_BUDGET) * 2
+            batch_budget = None
+            st = new_st._replace(poisoned=jnp.zeros((), bool))
+        elif "batch_overflow" in stats and bool(
+            np.asarray(stats["batch_overflow"])[tail].any()
+        ):
+            # cross-window budget too small: double only it (recompiles only
+            # the apply program, not the per-ping records pipeline)
+            if batch_budget is None:
+                from sonar_3d_reconstruction_tpu.grid.hash import (
+                    default_batch_budget,
+                    default_unique_budget,
+                )
+
+                ub = unique_budget or default_unique_budget(
+                    tables.candidates_per_ping(cfg.occupied_window)
+                )
+                batch_budget = default_batch_budget(window, ub)
+            batch_budget *= 2
             st = new_st._replace(poisoned=jnp.zeros((), bool))
         else:
             st = rehash(new_st, new_capacity=new_st.key_hi.shape[0] * 2)
