@@ -9,20 +9,31 @@ runtime, indexed ops cost ~8-10 ns/index while sorts/scans are 10-100x
 cheaper per element — the dedup-first design is what makes the map update
 ~25x faster than scattering raw candidates.
 
-Table layout: capacity C slots = C/8 buckets of 8 slots; keys stored as two
-(C,) uint32 words (ops/packing.py).  Buckets fill left-to-right and entries
-are never removed, so a bucket's occupancy is a prefix — "first empty slot"
-is just its fill count.
+Table layout: capacity C slots = C/128 buckets of 128 slots; keys stored
+INTERLEAVED as one (C/128, 256) uint32 array — row r holds bucket r's 128 hi
+words then its 128 lo words (ops/packing.py packing).  Buckets fill
+left-to-right and entries are never removed, so a bucket's occupancy is a
+prefix — "first empty slot" is just its fill count.
 
-  * LOOKUP is ONE 8-wide row gather per key word + elementwise compares —
-    no probe loop at all.
+The 128-slot bucket is a TPU LAYOUT decision: TPU tiles rank-2 arrays as
+(8, 128) sublane x lane tiles, so any minor dimension < 128 is padded to
+128 in memory — an (C/8, 16) 8-slot layout occupies 8x its logical bytes
+and every copy/select/gather of the table pays that (measured: ~1.9 ms
+copies and a 6 ms row gather per window).  With 256 = 2*128 lanes the rows
+are exactly tile-aligned: zero padding, the flat view used by the insert
+scatter is a free bitcast, and per-key compare work (2*256 lanes) is noise
+on the vector units.
+
+  * LOOKUP is ONE 256-wide row gather + elementwise compares — no probe
+    loop at all.  Row-gather cost is per ROW (~10 ns), so the wide bucket
+    costs the same number of indexed ops as a narrow one.
   * INSERT is collision-free by construction: new unique keys are sorted by
     bucket, ranked within equal buckets (running-max scan), and written at
-    slot = bucket*8 + fill + rank in a single scatter per key word.
-  * A bucket asked to exceed 8 entries fails the frame atomically (the
+    slot = bucket*128 + fill + rank in one scatter covering both key words.
+  * A bucket asked to exceed 128 entries fails the frame atomically (the
     ``poisoned`` flag) and the host grows capacity and replays — with the
-    load factor kept <= 0.25 (models/mapper.py) an 8-deep bucket is a
-    ~1e-8-per-bag event.
+    load factor kept <= 0.25 (models/mapper.py), 128-deep bucket overflow
+    is a practically-never event (Poisson tail at mean 32).
 
 Per-frame update semantics are EXACTLY the reference's averaged adaptive
 log-odds update (3d_mapper.py:523-567): per-voxel aggregates (count, n_occ)
@@ -56,8 +67,10 @@ from sonar_3d_reconstruction_tpu.ops.packing import (
     unpack_keys,
 )
 
-# Slots per bucket (one row gather resolves a whole bucket).
-BUCKET_SLOTS = 8
+# Slots per bucket (one row gather resolves a whole bucket).  128 so the
+# interleaved (C/128, 256) key rows are exactly TPU tile-aligned (see the
+# module docstring); per-row gather cost is width-independent.
+BUCKET_SLOTS = 128
 
 # Legacy unpacked-view marker: rows of the ``keys`` property for empty slots.
 EMPTY = np.int32(0x7FFFFFFF)
@@ -71,8 +84,7 @@ DEFAULT_UNIQUE_BUDGET = 1 << 17
 class HashGridState(NamedTuple):
     """Map state pytree. Capacity C is static per jitted program."""
 
-    key_hi: jnp.ndarray     # (C,) uint32, EMPTY_HI = free slot
-    key_lo: jnp.ndarray     # (C,) uint32
+    key_rows: jnp.ndarray   # (C/8, 16) uint32: [hi x8 | lo x8] per bucket
     log_odds: jnp.ndarray   # (C,) dtype
     min_bounds: jnp.ndarray  # (3,)
     max_bounds: jnp.ndarray  # (3,)
@@ -80,19 +92,39 @@ class HashGridState(NamedTuple):
     poisoned: jnp.ndarray   # () bool: a frame failed; later frames skipped
 
     @property
+    def capacity(self) -> int:
+        return self.key_rows.shape[0] * BUCKET_SLOTS
+
+    @property
+    def key_hi(self) -> jnp.ndarray:
+        """(C,) uint32 flat hi words (slot order); EMPTY_HI = free slot."""
+        return self.key_rows[:, :BUCKET_SLOTS].reshape(-1)
+
+    @property
+    def key_lo(self) -> jnp.ndarray:
+        """(C,) uint32 flat lo words (slot order)."""
+        return self.key_rows[:, BUCKET_SLOTS:].reshape(-1)
+
+    @property
     def keys(self) -> jnp.ndarray:
         """(C, 3) int32 unpacked view; empty slots read as [EMPTY]*3."""
-        k = unpack_keys(self.key_hi, self.key_lo)
-        return jnp.where((self.key_hi == EMPTY_HI)[:, None], EMPTY, k)
+        hi, lo = self.key_hi, self.key_lo
+        k = unpack_keys(hi, lo)
+        return jnp.where((hi == EMPTY_HI)[:, None], EMPTY, k)
+
+
+def empty_key_rows(capacity: int) -> jnp.ndarray:
+    assert capacity & (capacity - 1) == 0, "capacity must be a power of two"
+    assert capacity >= BUCKET_SLOTS
+    return jnp.full(
+        (capacity // BUCKET_SLOTS, 2 * BUCKET_SLOTS), EMPTY_HI, jnp.uint32
+    )
 
 
 def init_hash_grid(capacity: int = 1 << 20, dtype=jnp.float32) -> HashGridState:
-    assert capacity & (capacity - 1) == 0, "capacity must be a power of two"
-    assert capacity >= BUCKET_SLOTS
     big = jnp.asarray(jnp.inf, dtype)
     return HashGridState(
-        key_hi=jnp.full((capacity,), EMPTY_HI, jnp.uint32),
-        key_lo=jnp.full((capacity,), EMPTY_HI, jnp.uint32),
+        key_rows=empty_key_rows(capacity),
         log_odds=jnp.zeros((capacity,), dtype),
         min_bounds=jnp.full((3,), big, dtype),
         max_bounds=jnp.full((3,), -big, dtype),
@@ -107,22 +139,21 @@ def voxel_keys(points: jnp.ndarray, resolution: float) -> jnp.ndarray:
 
 
 def bucket_lookup(
-    key_hi: jnp.ndarray,
-    key_lo: jnp.ndarray,
+    key_rows: jnp.ndarray,
     u_hi: jnp.ndarray,
     u_lo: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Resolve keys against the table in one shot.
+    """Resolve keys against the table in ONE 16-wide row gather.
 
     Returns (bucket (U,), found (U,), found_slot (U,), fill (U,)) where
     ``fill`` is the bucket's current entry count (= its first empty
     position, by the prefix-fill invariant).
     """
-    capacity = key_hi.shape[0]
-    n_buckets = capacity // BUCKET_SLOTS
+    n_buckets = key_rows.shape[0]
     bucket = (mix2(u_hi, u_lo) & jnp.uint32(n_buckets - 1)).astype(jnp.int32)
-    rows_hi = key_hi.reshape(n_buckets, BUCKET_SLOTS)[bucket]  # (U, 8)
-    rows_lo = key_lo.reshape(n_buckets, BUCKET_SLOTS)[bucket]
+    rows = key_rows[bucket]                       # (U, 16)
+    rows_hi = rows[:, :BUCKET_SLOTS]
+    rows_lo = rows[:, BUCKET_SLOTS:]
     eq = (rows_hi == u_hi[:, None]) & (rows_lo == u_lo[:, None])
     found = jnp.any(eq, axis=1)
     found_slot = bucket * BUCKET_SLOTS + jnp.argmax(eq, axis=1).astype(jnp.int32)
@@ -130,24 +161,37 @@ def bucket_lookup(
     return bucket, found, found_slot, fill
 
 
-def insert_unique(
-    key_hi: jnp.ndarray,
-    key_lo: jnp.ndarray,
+class InsertPlan(NamedTuple):
+    """Collision-free insert plan (see ``plan_insert``): everything needed
+    to commit the writes, or to abort them without touching the table."""
+
+    s_hi: jnp.ndarray      # (U,) key words in bucket-sorted order
+    s_lo: jnp.ndarray
+    s_bkt: jnp.ndarray     # (U,) uint32 bucket (0xFFFFFFFF = inactive)
+    pos_c: jnp.ndarray     # (U,) int32 in-bucket position (clamped)
+    fits: jnp.ndarray      # (U,) bool key is active and fits its bucket
+    slots: jnp.ndarray     # (U,) int32 slots in RECORD order (capacity = none)
+    overflowed: jnp.ndarray  # () bool some bucket would exceed BUCKET_SLOTS
+    n_inserted: jnp.ndarray  # () int32
+
+
+def plan_insert(
+    key_rows: jnp.ndarray,
     u_hi: jnp.ndarray,
     u_lo: jnp.ndarray,
     need: jnp.ndarray,
     bucket: jnp.ndarray,
     fill: jnp.ndarray,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Insert mutually-distinct new keys, collision-free in one pass.
+) -> InsertPlan:
+    """Plan a collision-free insert of mutually-distinct new keys.
 
     Keys flagged by ``need`` (unique among themselves and absent from the
-    table) are sorted by bucket, ranked within equal buckets, and written at
-    bucket*8 + fill + rank.  Returns (key_hi, key_lo, slots (U,) int32 in
-    record order (capacity where not inserted), overflowed (), n_inserted ()).
-    """
-    capacity = key_hi.shape[0]
+    table) are sorted by bucket and ranked within equal buckets; key i's
+    slot is bucket*128 + fill + rank.  No table writes happen here — commit
+    with ``commit_insert`` (which can abort on a failure flag computed
+    between the two, e.g. a cross-shard any-overflow reduction)."""
     u = u_hi.shape[0]
+    capacity = key_rows.shape[0] * BUCKET_SLOTS
     maxu = jnp.uint32(0xFFFFFFFF)
     idx = jnp.arange(u, dtype=jnp.int32)
 
@@ -162,18 +206,58 @@ def insert_unique(
     pos = s_fill + rank
     fits = active & (pos < BUCKET_SLOTS)
     overflowed = jnp.any(active & ~fits)
-    slot = s_bkt.astype(jnp.int32) * BUCKET_SLOTS + jnp.minimum(
-        pos, BUCKET_SLOTS - 1
-    )
-    tgt = jnp.where(fits, slot, capacity)
-    key_hi = key_hi.at[tgt].set(s_hi, mode="drop")
-    key_lo = key_lo.at[tgt].set(s_lo, mode="drop")
+    pos_c = jnp.minimum(pos, BUCKET_SLOTS - 1)
+    slot = s_bkt.astype(jnp.int32) * BUCKET_SLOTS + pos_c
     # slots back in record order (dump lanes untouched -> capacity)
     slots = jnp.full((u,), capacity, jnp.int32).at[
         jnp.where(fits, s_orig, u)
     ].set(slot, mode="drop")
     n_inserted = jnp.sum(fits).astype(jnp.int32)
-    return key_hi, key_lo, slots, overflowed, n_inserted
+    return InsertPlan(
+        s_hi=s_hi, s_lo=s_lo, s_bkt=s_bkt, pos_c=pos_c, fits=fits,
+        slots=slots, overflowed=overflowed, n_inserted=n_inserted,
+    )
+
+
+def commit_insert(
+    key_rows: jnp.ndarray, plan: InsertPlan, abort=None
+) -> jnp.ndarray:
+    """Write a planned insert's key words (both in ONE scatter into the
+    interleaved rows — the flat view of the tile-aligned (C/128, 256) array
+    is a free bitcast).  ``abort`` (scalar bool) turns every write into a
+    dropped out-of-range scatter, leaving the table bit-identical — the
+    all-or-nothing path with no whole-table select/copy."""
+    n_buckets = key_rows.shape[0]
+    flat_n = n_buckets * 2 * BUCKET_SLOTS
+    write = plan.fits if abort is None else (plan.fits & ~abort)
+    base = plan.s_bkt.astype(jnp.int32) * (2 * BUCKET_SLOTS) + plan.pos_c
+    tgt_hi = jnp.where(write, base, flat_n)
+    tgt_lo = jnp.where(write, base + BUCKET_SLOTS, flat_n)
+    flat = key_rows.reshape(-1).at[
+        jnp.concatenate([tgt_hi, tgt_lo])
+    ].set(jnp.concatenate([plan.s_hi, plan.s_lo]), mode="drop")
+    return flat.reshape(n_buckets, 2 * BUCKET_SLOTS)
+
+
+def insert_unique(
+    key_rows: jnp.ndarray,
+    u_hi: jnp.ndarray,
+    u_lo: jnp.ndarray,
+    need: jnp.ndarray,
+    bucket: jnp.ndarray,
+    fill: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """plan_insert + commit_insert in one call (keys that fit are written
+    even when other buckets overflow — callers reject the frame as a whole
+    via the ``overflowed`` flag).  Returns (key_rows, slots, overflowed,
+    n_inserted)."""
+    plan = plan_insert(key_rows, u_hi, u_lo, need, bucket, fill)
+    return (
+        commit_insert(key_rows, plan),
+        plan.slots,
+        plan.overflowed,
+        plan.n_inserted,
+    )
 
 
 def apply_unique_records(
@@ -182,15 +266,15 @@ def apply_unique_records(
     """Lookup/insert the frame's unique records and apply the averaged
     adaptive log-odds update.  Returns (applied_state, partial stats,
     overflowed) — caller handles poisoning/bounds."""
-    capacity = state.key_hi.shape[0]
+    capacity = state.capacity
     dtype = state.log_odds.dtype
 
     bucket, found, found_slot, fill = bucket_lookup(
-        state.key_hi, state.key_lo, rec.hi, rec.lo
+        state.key_rows, rec.hi, rec.lo
     )
     need = rec.valid & ~found
-    key_hi, key_lo, new_slots, ins_overflow, n_inserted = insert_unique(
-        state.key_hi, state.key_lo, rec.hi, rec.lo, need, bucket, fill
+    key_rows, new_slots, ins_overflow, n_inserted = insert_unique(
+        state.key_rows, rec.hi, rec.lo, need, bucket, fill
     )
     slots = jnp.where(found, found_slot, new_slots)
     slots = jnp.where(rec.valid, slots, capacity)
@@ -208,8 +292,7 @@ def apply_unique_records(
 
     overflowed = jnp.logical_or(rec.overflowed, ins_overflow)
     applied = state._replace(
-        key_hi=key_hi,
-        key_lo=key_lo,
+        key_rows=key_rows,
         log_odds=new_lo,
         used=state.used + n_inserted,
     )
@@ -317,8 +400,13 @@ def apply_records_batched(
     auxs,   # ops.records.FrameAux stacked over B frames
     cfg: MapperConfig,
     batch_budget: Optional[int] = None,
+    fail_reduce=None,
 ) -> Tuple[HashGridState, Dict[str, jnp.ndarray]]:
     """Apply a window of B frames with ONE set of table operations.
+
+    ``fail_reduce`` (optional) maps the local () bool failure flag to the
+    EFFECTIVE one before any select — the sharded engine passes a psum so a
+    batch rejected on one shard is rejected on every shard atomically.
 
     The map is touched once per batch instead of once per frame: all B*U
     records sort by (voxel, frame), per-voxel update chains (at most B long,
@@ -327,18 +415,25 @@ def apply_records_batched(
     reference applies frame by frame — and only the final per-voxel values
     scatter into the table.
 
-    All-or-nothing: any overflow (batch unique budget, bucket, key range, or
-    an already-poisoned state) rejects the WHOLE batch (``overflowed`` true
-    for every frame) so the host can grow / fall back to per-frame apply;
-    per-frame semantics are preserved because rejection happens before any
-    write.
+    All-or-nothing: any overflow (batch unique budget, lane budget, bucket,
+    key range, or an already-poisoned state) rejects the WHOLE batch
+    (``overflowed`` true for every frame) so the host can grow / fall back
+    to per-frame apply; per-frame semantics are preserved because rejection
+    turns every table write into a dropped out-of-range scatter — the table
+    arrays come back bit-identical with NO whole-table select/copy.
     """
     B, U = recs.hi.shape
-    capacity = state.key_hi.shape[0]
+    capacity = state.capacity
     dtype = state.log_odds.dtype
     if batch_budget is None:
         batch_budget = default_batch_budget(B, U)
     n = B * U
+    # Per-(voxel,frame) record lanes carried into chain evaluation: the big
+    # sort puts every valid lane in a contiguous prefix, and distinct
+    # (voxel,frame) records across a window measure ~2x its distinct voxels
+    # (consecutive pings overlap), so 2*batch_budget lanes suffice; all
+    # per-lane indexed ops then run at Lb lanes instead of B*U.
+    Lb = min(n, 2 * batch_budget)
 
     f = jnp.broadcast_to(
         jnp.arange(B, dtype=jnp.uint32)[:, None], (B, U)
@@ -363,17 +458,25 @@ def apply_records_batched(
     rec_start = new_seg & seg_valid
     n_unique = jnp.sum(rec_start).astype(jnp.int32)
     batch_overflow = n_unique > batch_budget
+    n_valid_lanes = jnp.sum(seg_valid).astype(jnp.int32)
+    lanes_overflow = n_valid_lanes > Lb
+
+    # slice every per-lane array to the lane budget (valid-prefix property)
+    s_f, s_cnt, s_occ = s_f[:Lb], s_cnt[:Lb], s_occ[:Lb]
+    rank_l, is_end_l, seg_id_l = rank[:Lb], is_end[:Lb], seg_id[:Lb]
+    seg_valid_l = seg_valid[:Lb]
 
     # compact unique keys (stable sort keeps key order, so compacted lane
-    # index == seg_id of the segment)
-    not_rec = (~rec_start).astype(jnp.uint32)
-    _, c_hi, c_lo = jax.lax.sort((not_rec, s_hi, s_lo), num_keys=1)
+    # index == seg_id of the segment); record starts all live in the valid
+    # prefix, so the compaction sort also runs at Lb lanes
+    not_rec = (~rec_start[:Lb]).astype(jnp.uint32)
+    _, c_hi, c_lo = jax.lax.sort((not_rec, s_hi[:Lb], s_lo[:Lb]), num_keys=1)
     ub = batch_budget
 
     def take(x, fill):
-        if ub <= n:
+        if ub <= Lb:
             return x[:ub]
-        return jnp.concatenate([x, jnp.full((ub - n,), fill, x.dtype)])
+        return jnp.concatenate([x, jnp.full((ub - Lb,), fill, x.dtype)])
 
     lane = jnp.arange(ub, dtype=jnp.int32)
     valid_u = lane < n_unique
@@ -381,18 +484,33 @@ def apply_records_batched(
     c_lo = jnp.where(valid_u, take(c_lo, EMPTY_HI), EMPTY_HI)
 
     bucket, found, found_slot, fill = bucket_lookup(
-        state.key_hi, state.key_lo, c_hi, c_lo
+        state.key_rows, c_hi, c_lo
     )
     need = valid_u & ~found
-    key_hi, key_lo, new_slots, ins_overflow, n_inserted = insert_unique(
-        state.key_hi, state.key_lo, c_hi, c_lo, need, bucket, fill
+    plan = plan_insert(state.key_rows, c_hi, c_lo, need, bucket, fill)
+
+    range_fail = jnp.any(auxs.range_fail)
+    # per-frame unique-budget overflow: NOT the .overflowed property (that
+    # reads shape[0], which is B on the stacked tree, not the budget U)
+    frame_overflow = jnp.any(recs.n_unique > U)
+    failed = (
+        batch_overflow
+        | lanes_overflow
+        | plan.overflowed
+        | range_fail
+        | frame_overflow
+        | state.poisoned
     )
-    slots = jnp.where(found, found_slot, new_slots)
+    if fail_reduce is not None:
+        failed = fail_reduce(failed)
+
+    key_rows = commit_insert(state.key_rows, plan, abort=failed)
+    slots = jnp.where(found, found_slot, plan.slots)
     slots = jnp.where(valid_u, slots, capacity)
 
-    # per-lane chain evaluation
+    # per-lane chain evaluation (on the Lb-lane prefix)
     cur_unique = state.log_odds[jnp.minimum(slots, capacity - 1)]
-    cur = cur_unique[jnp.minimum(seg_id, ub - 1)]
+    cur = cur_unique[jnp.minimum(seg_id_l, ub - 1)]
     cnt_d = s_cnt.astype(dtype)
     occ_d = s_occ.astype(dtype)
     lo_sum = occ_d * cfg.log_odds_occupied + (cnt_d - occ_d) * cfg.log_odds_free
@@ -401,48 +519,43 @@ def apply_records_batched(
     for s in range(1, B):
         v_prev = jnp.concatenate([v[:1], v[:-1]])
         v_s = finalize_voxel_updates(v_prev, lo_sum, cnt_d, occupied, cfg)
-        v = jnp.where(rank == s, v_s, v)
+        v = jnp.where(rank_l == s, v_s, v)
 
     # final per-voxel values live at segment-end lanes -> compacted order
-    end_tgt = jnp.where(is_end & seg_valid, seg_id, ub)
+    end_tgt = jnp.where(is_end_l & seg_valid_l, seg_id_l, ub)
     new_unique = jnp.zeros((ub,), dtype).at[end_tgt].set(v, mode="drop")
-    new_lo = state.log_odds.at[slots].set(
+    # failure turns the value scatter into dropped writes too
+    w_slots = jnp.where(failed, capacity, slots)
+    new_lo = state.log_odds.at[w_slots].set(
         jnp.where(valid_u, new_unique, 0), mode="drop"
     )
 
-    range_fail = jnp.any(auxs.range_fail)
-    # per-frame unique-budget overflow: NOT the .overflowed property (that
-    # reads shape[0], which is B on the stacked tree, not the budget U)
-    frame_overflow = jnp.any(recs.n_unique > U)
-    failed = (
-        batch_overflow
-        | ins_overflow
-        | range_fail
-        | frame_overflow
-        | state.poisoned
-    )
-
-    applied = state._replace(
-        key_hi=key_hi,
-        key_lo=key_lo,
+    zero = jnp.zeros((), jnp.int32)
+    new_state = state._replace(
+        key_rows=key_rows,
         log_odds=new_lo,
-        min_bounds=jnp.minimum(
-            state.min_bounds, jnp.min(auxs.cmin, axis=0).astype(dtype)
+        min_bounds=jnp.where(
+            failed,
+            state.min_bounds,
+            jnp.minimum(
+                state.min_bounds, jnp.min(auxs.cmin, axis=0).astype(dtype)
+            ),
         ),
-        max_bounds=jnp.maximum(
-            state.max_bounds, jnp.max(auxs.cmax, axis=0).astype(dtype)
+        max_bounds=jnp.where(
+            failed,
+            state.max_bounds,
+            jnp.maximum(
+                state.max_bounds, jnp.max(auxs.cmax, axis=0).astype(dtype)
+            ),
         ),
-        used=state.used + n_inserted,
-    )
-    poisoned_state = state._replace(poisoned=jnp.ones((), bool))
-    new_state = jax.tree_util.tree_map(
-        lambda a, b: jnp.where(failed, a, b), poisoned_state, applied
+        used=state.used + jnp.where(failed, zero, plan.n_inserted),
+        poisoned=state.poisoned | failed,
     )
 
     # per-frame stats from the (voxel, frame) lanes
     fb = jnp.arange(B, dtype=jnp.uint32)[:, None]
-    lane_occ = (seg_valid & occupied)[None, :] & (s_f[None, :] == fb)
-    lane_free = (seg_valid & ~occupied)[None, :] & (s_f[None, :] == fb)
+    lane_occ = (seg_valid_l & occupied)[None, :] & (s_f[None, :] == fb)
+    lane_free = (seg_valid_l & ~occupied)[None, :] & (s_f[None, :] == fb)
     zeroB = jnp.zeros((B,), jnp.int32)
     stats = {
         "num_occupied": jnp.where(
@@ -455,8 +568,11 @@ def apply_records_batched(
         "overflowed": jnp.broadcast_to(failed, (B,)),
         "unique_overflow": jnp.broadcast_to(frame_overflow, (B,)),
         # batch budget exceeded: host should grow batch_budget only (a much
-        # cheaper recompile than doubling the per-frame unique budget)
-        "batch_overflow": jnp.broadcast_to(batch_overflow, (B,)),
+        # cheaper recompile than doubling the per-frame unique budget);
+        # lane-budget overflow is coupled to it (Lb = 2*batch_budget)
+        "batch_overflow": jnp.broadcast_to(
+            batch_overflow | lanes_overflow, (B,)
+        ),
         "range_fail": auxs.range_fail,
     }
     return new_state, stats
@@ -466,23 +582,19 @@ def apply_records_batched(
 def _rehash_once(state: HashGridState, new_capacity: int):
     """Re-insert every occupied slot into a new table of the given capacity.
     Returns (state, overflowed); on overflow the result table is invalid."""
-    occupied = state.key_hi != EMPTY_HI
-    fresh_hi = jnp.full((new_capacity,), EMPTY_HI, jnp.uint32)
-    fresh_lo = jnp.full((new_capacity,), EMPTY_HI, jnp.uint32)
-    bucket, found, _, fill = bucket_lookup(
-        fresh_hi, fresh_lo, state.key_hi, state.key_lo
-    )
-    key_hi, key_lo, slots, overflowed, n_inserted = insert_unique(
-        fresh_hi, fresh_lo, state.key_hi, state.key_lo,
-        occupied & ~found, bucket, fill,
+    old_hi, old_lo = state.key_hi, state.key_lo
+    occupied = old_hi != EMPTY_HI
+    fresh = empty_key_rows(new_capacity)
+    bucket, found, _, fill = bucket_lookup(fresh, old_hi, old_lo)
+    key_rows, slots, overflowed, n_inserted = insert_unique(
+        fresh, old_hi, old_lo, occupied & ~found, bucket, fill,
     )
     new_lo = jnp.zeros((new_capacity,), state.log_odds.dtype).at[slots].set(
         state.log_odds, mode="drop"
     )
     return (
         HashGridState(
-            key_hi=key_hi,
-            key_lo=key_lo,
+            key_rows=key_rows,
             log_odds=new_lo,
             min_bounds=state.min_bounds,
             max_bounds=state.max_bounds,

@@ -68,11 +68,9 @@ def load_map(
     assert bool(jnp.all(in_range | (n == 0))), "snapshot keys out of packable range"
     while True:
         state = init_hash_grid(capacity, dtype)
-        bucket, found, _, fill = bucket_lookup(
-            state.key_hi, state.key_lo, hi, lo_code
-        )
-        key_hi, key_lo, slots, overflowed, n_inserted = insert_unique(
-            state.key_hi, state.key_lo, hi, lo_code,
+        bucket, found, _, fill = bucket_lookup(state.key_rows, hi, lo_code)
+        key_rows, slots, overflowed, n_inserted = insert_unique(
+            state.key_rows, hi, lo_code,
             jnp.ones((n,), bool) & ~found, bucket, fill,
         )
         if not bool(overflowed):
@@ -81,8 +79,7 @@ def load_map(
     new_lo = state.log_odds.at[slots].set(jnp.asarray(lo, dtype), mode="drop")
     return (
         HashGridState(
-            key_hi=key_hi,
-            key_lo=key_lo,
+            key_rows=key_rows,
             log_odds=new_lo,
             min_bounds=jnp.asarray(min_bounds, dtype),
             max_bounds=jnp.asarray(max_bounds, dtype),

@@ -56,19 +56,17 @@ def test_bucket_insert_random_property():
     rng = np.random.default_rng(11)
     ran = 0
     for trial in range(6):
-        capacity = 1 << int(rng.integers(6, 12))
+        capacity = 1 << int(rng.integers(7, 13))
         n = int(rng.integers(1, max(2, capacity // 8)))
         keys = rng.choice(10000, size=n, replace=False)
         keys = np.stack([keys % 21 - 10, (keys // 21) % 23 - 11,
                          keys // (21 * 23)], axis=-1).astype(np.int32)
         hi, lo, _ = pack_keys(jnp.asarray(keys))
         state = init_hash_grid(capacity)
-        bucket, found, _, fill = bucket_lookup(
-            state.key_hi, state.key_lo, hi, lo
-        )
+        bucket, found, _, fill = bucket_lookup(state.key_rows, hi, lo)
         assert not bool(found.any())
-        key_hi, key_lo, slots, ovf, n_ins = insert_unique(
-            state.key_hi, state.key_lo, hi, lo, jnp.ones(n, bool), bucket, fill
+        key_rows, slots, ovf, n_ins = insert_unique(
+            state.key_rows, hi, lo, jnp.ones(n, bool), bucket, fill
         )
         if bool(ovf):
             continue  # legitimately full bucket at high load
@@ -77,12 +75,12 @@ def test_bucket_insert_random_property():
         assert int(n_ins) == n
         assert len(set(slots.tolist())) == n
         # findable afterwards at the same slots
-        _, found2, found_slot2, _ = bucket_lookup(key_hi, key_lo, hi, lo)
+        _, found2, found_slot2, _ = bucket_lookup(key_rows, hi, lo)
         assert bool(found2.all())
         np.testing.assert_array_equal(np.asarray(found_slot2), slots)
         # prefix-fill invariant: within each bucket, occupied slots form a
         # prefix
-        rows = np.asarray(key_hi).reshape(-1, BUCKET_SLOTS) != np.uint32(EMPTY_HI)
+        rows = np.asarray(key_rows)[:, :BUCKET_SLOTS] != np.uint32(EMPTY_HI)
         for r in rows:
             k = int(r.sum())
             assert r[:k].all() and not r[k:].any()
@@ -94,13 +92,13 @@ def test_incremental_inserts_preserve_invariants():
     rng = np.random.default_rng(13)
     capacity = 1 << 10
     state = init_hash_grid(capacity)
-    key_hi, key_lo = state.key_hi, state.key_lo
+    key_rows = state.key_rows
     all_keys = {}
     for wave in range(5):
         n = 40
         keys = rng.integers(-40, 40, (n, 3)).astype(np.int32)
         hi, lo, _ = pack_keys(jnp.asarray(keys))
-        bucket, found, found_slot, fill = bucket_lookup(key_hi, key_lo, hi, lo)
+        bucket, found, found_slot, fill = bucket_lookup(key_rows, hi, lo)
         found_np = np.asarray(found)
         found_slot_np = np.asarray(found_slot)
         # previously inserted keys must be found at their original slots
@@ -116,8 +114,8 @@ def test_incremental_inserts_preserve_invariants():
             need.append(fresh)
             if fresh:
                 seen.add(k)
-        key_hi, key_lo, slots, ovf, n_ins = insert_unique(
-            key_hi, key_lo, hi, lo, jnp.asarray(need), bucket, fill
+        key_rows, slots, ovf, n_ins = insert_unique(
+            key_rows, hi, lo, jnp.asarray(need), bucket, fill
         )
         assert not bool(ovf)
         slots = np.asarray(slots)

@@ -102,52 +102,53 @@ def test_insert_then_lookup_roundtrip():
     state = init_hash_grid(1 << 8)
     keys = jnp.asarray([[1, 2, 3], [4, 5, 6], [-7, 0, 9]], jnp.int32)
     hi, lo, _ = pack_keys(keys)
-    bucket, found, _, fill = bucket_lookup(state.key_hi, state.key_lo, hi, lo)
+    bucket, found, _, fill = bucket_lookup(state.key_rows, hi, lo)
     assert not bool(found.any())
-    key_hi, key_lo, slots, ovf, n_ins = insert_unique(
-        state.key_hi, state.key_lo, hi, lo, jnp.ones(3, bool), bucket, fill
+    key_rows, slots, ovf, n_ins = insert_unique(
+        state.key_rows, hi, lo, jnp.ones(3, bool), bucket, fill
     )
     assert not bool(ovf) and int(n_ins) == 3
     assert len(set(np.asarray(slots).tolist())) == 3
     # second lookup finds all three at the same slots
-    _, found2, found_slot2, _ = bucket_lookup(key_hi, key_lo, hi, lo)
+    _, found2, found_slot2, _ = bucket_lookup(key_rows, hi, lo)
     assert bool(found2.all())
     np.testing.assert_array_equal(np.asarray(found_slot2), np.asarray(slots))
 
 
 def test_insert_bucket_contention_ranks():
-    """Keys forced into one bucket (capacity 8 = 1 bucket) fill distinct
-    slots in one pass; a 9th key overflows."""
-    state = init_hash_grid(BUCKET_SLOTS)  # exactly one bucket
-    keys = jnp.asarray([[i, i, i] for i in range(8)], jnp.int32)
+    """Keys forced into one bucket (capacity = BUCKET_SLOTS = 1 bucket) fill
+    distinct slots in one pass; a (BUCKET_SLOTS+1)-th key overflows."""
+    B = BUCKET_SLOTS
+    state = init_hash_grid(B)  # exactly one bucket
+    keys = jnp.asarray([[i, i, i] for i in range(B)], jnp.int32)
     hi, lo, _ = pack_keys(keys)
-    bucket, found, _, fill = bucket_lookup(state.key_hi, state.key_lo, hi, lo)
-    key_hi, key_lo, slots, ovf, n_ins = insert_unique(
-        state.key_hi, state.key_lo, hi, lo, jnp.ones(8, bool), bucket, fill
+    bucket, found, _, fill = bucket_lookup(state.key_rows, hi, lo)
+    key_rows, slots, ovf, n_ins = insert_unique(
+        state.key_rows, hi, lo, jnp.ones(B, bool), bucket, fill
     )
-    assert not bool(ovf) and int(n_ins) == 8
-    assert sorted(np.asarray(slots).tolist()) == list(range(8))
+    assert not bool(ovf) and int(n_ins) == B
+    assert sorted(np.asarray(slots).tolist()) == list(range(B))
     # one more key cannot fit
-    k9_hi, k9_lo, _ = pack_keys(jnp.asarray([[99, 99, 99]], jnp.int32))
-    b9, f9, _, fill9 = bucket_lookup(key_hi, key_lo, k9_hi, k9_lo)
-    _, _, _, ovf9, _ = insert_unique(
-        key_hi, key_lo, k9_hi, k9_lo, jnp.ones(1, bool), b9, fill9
+    k9_hi, k9_lo, _ = pack_keys(jnp.asarray([[9999, 9999, 9999]], jnp.int32))
+    b9, f9, _, fill9 = bucket_lookup(key_rows, k9_hi, k9_lo)
+    _, _, ovf9, _ = insert_unique(
+        key_rows, k9_hi, k9_lo, jnp.ones(1, bool), b9, fill9
     )
     assert bool(ovf9)
 
 
 def test_inactive_keys_do_not_insert():
-    state = init_hash_grid(1 << 6)
+    state = init_hash_grid(1 << 8)
     keys = jnp.asarray([[1, 1, 1], [2, 2, 2]], jnp.int32)
     hi, lo, _ = pack_keys(keys)
-    bucket, _, _, fill = bucket_lookup(state.key_hi, state.key_lo, hi, lo)
-    key_hi, key_lo, slots, _, n_ins = insert_unique(
-        state.key_hi, state.key_lo, hi, lo,
+    bucket, _, _, fill = bucket_lookup(state.key_rows, hi, lo)
+    key_rows, slots, _, n_ins = insert_unique(
+        state.key_rows, hi, lo,
         jnp.asarray([True, False]), bucket, fill,
     )
     assert int(n_ins) == 1
-    assert int(np.asarray(slots)[1]) == 1 << 6  # dump value
-    assert int((np.asarray(key_hi) != np.uint32(0xFFFFFFFF)).sum()) == 1
+    assert int(np.asarray(slots)[1]) == 1 << 8  # dump value (= capacity)
+    assert int((np.asarray(key_rows)[:, :BUCKET_SLOTS] != np.uint32(0xFFFFFFFF)).sum()) == 1
 
 
 def test_rehash_preserves_contents(small_cfg):
@@ -248,7 +249,7 @@ def test_poisoned_state_skips_frames(small_cfg):
         )
     )
     cand = backproject_ping(jnp.asarray(img), T, tables, cfg, jnp.float64)
-    tiny = init_hash_grid(1 << 4, jnp.float64)  # guaranteed overflow
+    tiny = init_hash_grid(BUCKET_SLOTS, jnp.float64)  # guaranteed overflow
     st1, stats1 = update_hash_grid(tiny, cand, cfg)
     assert bool(stats1["overflowed"])
     assert bool(st1.poisoned)

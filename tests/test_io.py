@@ -128,7 +128,7 @@ def test_timesync_queue_bound():
     s = ApproximateTimeSync(lambda a, b: pairs.append((a, b)), queue_size=3, slop=0.01)
     for i in range(10):
         s.add_ping(i, float(i))  # no poses at all
-    assert len(s._queues[0]) <= 3
+    assert len(s.queues[0]) <= 3
     assert s.dropped >= 7
 
 
@@ -137,9 +137,78 @@ def test_pair_streams_offline():
     pose_t = np.array([0.02, 1.5, 2.95, 3.04])
     pairs = pair_streams(ping_t, pose_t, slop=0.1)
     assert (0, 0) in pairs
-    assert (3, 3) in pairs
+    # faithful ATS: ping 3.0 fires on arrival with the already-queued pose
+    # at 2.95 (delta 0.05) — the closer pose at 3.04 has not arrived yet
+    assert (3, 2) in pairs
     got_pings = [i for i, _ in pairs]
     assert 1 not in got_pings  # nothing within 0.1 of t=1.0
+
+
+# -- adversarial ATS boundary cases (message_filters parity) ---------------
+
+def test_timesync_exact_slop_never_fires():
+    """Spread exactly == slop survives the candidate scan but fails the
+    strict < slop spread check (message_filters behavior)."""
+    pairs = []
+    s = ApproximateTimeSync(lambda a, b: pairs.append((a, b)), slop=0.5)
+    s.add_ping("p", 1.0)
+    s.add_pose("q", 1.5)   # |delta| == slop exactly (both representable)
+    assert pairs == []
+    s.add_pose("q2", 1.25)  # strictly inside -> fires with the queued ping
+    assert pairs == [("p", "q2")]
+
+
+def test_timesync_out_of_order_arrivals():
+    """A late-arriving earlier-stamped pose still pairs with a queued ping
+    (no head dropping — messages only leave by pairing or eviction)."""
+    pairs = []
+    s = ApproximateTimeSync(lambda a, b: pairs.append((a, b)), slop=0.1)
+    s.add_ping("p0", 10.0)
+    s.add_pose("q_future", 10.5)   # out of slop; stays queued
+    s.add_pose("q_late", 9.95)     # arrives late, stamped before p0
+    assert pairs == [("p0", "q_late")]
+    # the far pose is still queued and can pair with a matching ping later
+    s.add_ping("p1", 10.48)
+    assert pairs[-1] == ("p1", "q_future")
+
+
+def test_timesync_eviction_removes_smallest_stamp():
+    """queue_size eviction removes the MINIMUM stamp, not the oldest
+    arrival (message_filters deletes min(queue))."""
+    pairs = []
+    s = ApproximateTimeSync(
+        lambda a, b: pairs.append((a, b)), queue_size=2, slop=0.05
+    )
+    s.add_ping("p_mid", 5.0)
+    s.add_ping("p_old", 1.0)   # arrives later but stamped earliest
+    s.add_ping("p_new", 9.0)   # exceeds queue_size -> evicts stamp 1.0
+    assert sorted(s.queues[0]) == [5.0, 9.0]
+    s.add_pose("q", 1.0)       # would only match the evicted ping
+    assert pairs == []
+
+
+def test_timesync_equal_stamp_overwrites():
+    """A message with an identical stamp replaces the queued one (the
+    upstream queue is a stamp-keyed dict)."""
+    pairs = []
+    s = ApproximateTimeSync(lambda a, b: pairs.append((a, b)), slop=0.1)
+    s.add_ping("first", 2.0)
+    s.add_ping("second", 2.0)
+    s.add_pose("q", 2.01)
+    assert pairs == [("second", "q")]
+
+
+def test_timesync_nearest_candidate_wins():
+    """On arrival the minimum-|delta| queued partner is chosen, not the
+    oldest one."""
+    pairs = []
+    s = ApproximateTimeSync(lambda a, b: pairs.append((a, b)), slop=0.1)
+    s.add_pose("q_far", 3.00)
+    s.add_pose("q_near", 3.06)
+    s.add_ping("p", 3.08)
+    assert pairs == [("p", "q_near")]
+    # q_far remains queued
+    assert 3.00 in s.queues[1]
 
 
 # ---------------------------------------------------------------------------

@@ -58,7 +58,7 @@ def test_dict_config_like_reference(small_cfg):
 def test_automatic_growth(small_cfg):
     """Start with a tiny table; the mapper must grow and still match golden."""
     cfg = small_cfg
-    m = SonarMapper(cfg, backend="hash", initial_capacity=1 << 6, dtype=jnp.float64)
+    m = SonarMapper(cfg, backend="hash", initial_capacity=1 << 7, dtype=jnp.float64)
     g = GoldenMapper(cfg)
     img = synthetic_ping(cfg.image_height, cfg.image_width, seed=77)
     stats = m.process_sonar_image(img, [0, 0, 0], [0, 0, 0, 1])

@@ -76,7 +76,7 @@ def test_scan_growth_and_replay(small_cfg):
     images, positions, quats = make_sequence(cfg, 6, seed=30)
     small, _ = map_ping_sequence(
         images, positions, quats, cfg,
-        initial_capacity=1 << 6, dtype=jnp.float64,
+        initial_capacity=1 << 7, dtype=jnp.float64,
     )
     big, _ = map_ping_sequence(
         images, positions, quats, cfg,
@@ -170,7 +170,7 @@ def test_batched_window_growth_replay(small_cfg):
     cfg = small_cfg
     images, positions, quats = make_sequence(cfg, 6, seed=61)
     small, _ = map_ping_sequence(
-        images, positions, quats, cfg, initial_capacity=1 << 6,
+        images, positions, quats, cfg, initial_capacity=1 << 7,
         dtype=jnp.float64, window=3,
     )
     big, _ = map_ping_sequence(

@@ -81,6 +81,17 @@ def test_sharded_scan_matches_single_chip(small_cfg):
     for k in a:
         assert abs(a[k] - b[k]) < 1e-9
 
+    # bounds parity: sharded state must reproduce the single-chip
+    # updated-voxel-center bounds (reference 3d_mapper.py:112-115)
+    from sonar_3d_reconstruction_tpu.parallel.shard import sharded_bounds
+
+    mn, mx = sharded_bounds(st)
+    np.testing.assert_allclose(mn, np.asarray(single.min_bounds), atol=1e-12)
+    np.testing.assert_allclose(mx, np.asarray(single.max_bounds), atol=1e-12)
+    # and every shard carries the identical (replicated) bounds
+    assert (np.asarray(st.min_bounds) == mn).all()
+    assert (np.asarray(st.max_bounds) == mx).all()
+
 
 def test_sharded_overflow_rejects_frame_atomically(small_cfg):
     """With a tiny per-shard capacity the frame must be rejected on EVERY
@@ -95,7 +106,7 @@ def test_sharded_overflow_rejects_frame_atomically(small_cfg):
 
     mesh = make_mesh()
     tables = build_fan_tables(cfg, cfg.image_height, cfg.image_width)
-    st = init_sharded_hash_grid(mesh, local_capacity=1 << 3, dtype=jnp.float64)
+    st = init_sharded_hash_grid(mesh, local_capacity=1 << 7, dtype=jnp.float64)
     st, stats = scan_pings_sharded(
         st, jnp.asarray(images), jnp.asarray(T, jnp.float64), mesh, tables, cfg,
         dtype=jnp.float64,
@@ -134,6 +145,76 @@ def test_sharded_replay_start_skips_frames(small_cfg):
         assert abs(a[k] - b[k]) < 1e-12
 
 
+def test_sharded_window_engine_matches_single_chip(small_cfg):
+    """The sharded batched-apply window engine must match the single-chip
+    window engine (and therefore window=1) bit-for-bit in float64,
+    including bounds."""
+    from sonar_3d_reconstruction_tpu.parallel.shard import (
+        map_ping_sequence_sharded,
+        sharded_bounds,
+    )
+
+    cfg = small_cfg
+    n = 7  # deliberately not a multiple of the window (tail masking)
+    images = np.stack(
+        [synthetic_ping(cfg.image_height, cfg.image_width, seed=200 + i)
+         for i in range(n)]
+    )
+    positions, quats = circular_trajectory(n, radius=0.8)
+
+    mesh = make_mesh()
+    st, stats = map_ping_sequence_sharded(
+        images, positions, quats, cfg, mesh=mesh,
+        local_capacity=1 << 13, dtype=jnp.float64, window=3,
+    )
+    assert not np.asarray(stats["overflowed"]).any()
+
+    single, sstats = map_ping_sequence(
+        images, positions, quats, cfg, initial_capacity=1 << 14,
+        dtype=jnp.float64, window=3,
+    )
+    a, b = sharded_to_dict(st), single_to_dict(single)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k], (k, a[k], b[k])  # bit-for-bit in float64
+    mn, mx = sharded_bounds(st)
+    np.testing.assert_array_equal(mn, np.asarray(single.min_bounds))
+    np.testing.assert_array_equal(mx, np.asarray(single.max_bounds))
+    for key in ("num_occupied", "num_free", "num_candidates"):
+        np.testing.assert_array_equal(stats[key], sstats[key])
+
+
+def test_sharded_window_grow_and_replay(small_cfg):
+    """map_ping_sequence_sharded with a tiny local capacity must grow and
+    replay to the same map as a large-capacity run (window engine)."""
+    from sonar_3d_reconstruction_tpu.parallel.shard import (
+        map_ping_sequence_sharded,
+    )
+
+    cfg = small_cfg
+    n = 4
+    images = np.stack(
+        [synthetic_ping(cfg.image_height, cfg.image_width, seed=230 + i)
+         for i in range(n)]
+    )
+    positions, quats = circular_trajectory(n)
+
+    mesh = make_mesh()
+    small, _ = map_ping_sequence_sharded(
+        images, positions, quats, cfg, mesh=mesh,
+        local_capacity=1 << 7, dtype=jnp.float64, window=2,
+    )
+    big, stats = map_ping_sequence_sharded(
+        images, positions, quats, cfg, mesh=mesh,
+        local_capacity=1 << 13, dtype=jnp.float64, window=2,
+    )
+    assert not np.asarray(stats["overflowed"]).any()
+    a, b = sharded_to_dict(small), sharded_to_dict(big)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k]
+
+
 def test_sharded_rehash_grow_and_replay(small_cfg):
     """Sharded growth: after a bucket/capacity overflow, rehash_sharded must
     preserve contents, clear poison, and allow exact replay."""
@@ -153,7 +234,7 @@ def test_sharded_rehash_grow_and_replay(small_cfg):
     scan = make_scan_pings_sharded(mesh, tables, cfg, dtype=jnp.float64)
 
     # small local capacity: first frames apply, a later one overflows
-    st = init_sharded_hash_grid(mesh, local_capacity=1 << 6, dtype=jnp.float64)
+    st = init_sharded_hash_grid(mesh, local_capacity=1 << 7, dtype=jnp.float64)
     start = 0
     for _ in range(12):
         new_st, stats = scan(

@@ -57,7 +57,7 @@ def test_stream_growth(tmp_path, small_cfg):
     cfg = small_cfg
     path, images, positions, quats = make_bag(tmp_path, cfg, 5, seed=200)
     sm = StreamingMapper(
-        cfg, chunk_size=5, initial_capacity=1 << 6, dtype=jnp.float64
+        cfg, chunk_size=5, initial_capacity=1 << 7, dtype=jnp.float64
     )
     sm.run_bag(path)
     assert sm.stats.grows >= 1
