@@ -15,6 +15,7 @@
 #include <cstdint>
 #include <cstring>
 #include <cmath>
+#include <vector>
 
 namespace {
 
@@ -190,36 +191,67 @@ int image_decode_batch(
 }
 
 // ---------------------------------------------------------------------------
-// Offline approximate time pairing (same policy as io/timesync.pair_streams):
-// for each ping in stamp order, the nearest not-yet-used pose within slop,
-// poses consumed in order.  out_pairs is (n_ping * 2) int64 (ping, pose);
-// returns the number of pairs.
+// Offline approximate time pairing — line-faithful simulation of ROS2
+// message_filters ApproximateTimeSynchronizer for two topics (identical
+// policy to io/timesync.pair_streams): both sorted streams are fed in
+// merged stamp order (pose first on ties); per-topic queues are
+// stamp-keyed and arrival-ordered, an equal stamp overwrites, and the
+// smallest stamp is evicted when a queue exceeds queue_size.  An arrival
+// pairs with the other queue's minimum-|delta| entry (ties -> earliest
+// arrival) iff that delta is STRICTLY below slop; both entries then leave
+// their queues.  out_pairs is (n_ping * 2) int64 (ping, pose) in emission
+// order; returns the number of pairs.
 // ---------------------------------------------------------------------------
 int64_t pair_streams(
     const double* ping_stamps, int64_t n_ping,
     const double* pose_stamps, int64_t n_pose,
-    double slop,
+    double slop, int64_t queue_size,
     int64_t* out_pairs)
 {
+    struct Entry { double t; int64_t idx; };
+    std::vector<Entry> queues[2];  // [0] ping, [1] pose; arrival order
     int64_t n_pairs = 0;
-    int64_t last_pose = -1;
-    int64_t j = 0;  // searchsorted cursor (both streams sorted)
-    for (int64_t i = 0; i < n_ping; ++i) {
-        double t = ping_stamps[i];
-        while (j < n_pose && pose_stamps[j] < t) ++j;
-        int64_t best = -1;
-        double best_d = slop;
-        for (int64_t cand = j - 1; cand <= j; ++cand) {
-            if (cand > last_pose && cand < n_pose) {
-                double d = std::fabs(pose_stamps[cand] - t);
-                if (d <= best_d) { best = cand; best_d = d; }
-            }
+    int64_t ip = 0, iq = 0;
+    while (ip < n_ping || iq < n_pose) {
+        int which;
+        if (iq < n_pose && (ip >= n_ping || pose_stamps[iq] <= ping_stamps[ip]))
+            which = 1;
+        else
+            which = 0;
+        double t;
+        int64_t idx;
+        if (which == 1) { t = pose_stamps[iq]; idx = iq; ++iq; }
+        else           { t = ping_stamps[ip]; idx = ip; ++ip; }
+
+        std::vector<Entry>& mine = queues[which];
+        bool replaced = false;
+        for (Entry& e : mine)
+            if (e.t == t) { e.idx = idx; replaced = true; break; }
+        if (!replaced) mine.push_back({t, idx});
+        while (static_cast<int64_t>(mine.size()) > queue_size) {
+            size_t mi = 0;
+            for (size_t k = 1; k < mine.size(); ++k)
+                if (mine[k].t < mine[mi].t) mi = k;
+            mine.erase(mine.begin() + mi);
         }
-        if (best >= 0) {
-            out_pairs[n_pairs * 2] = i;
-            out_pairs[n_pairs * 2 + 1] = best;
+
+        std::vector<Entry>& other = queues[1 - which];
+        if (other.empty()) continue;
+        size_t best = 0;
+        double best_d = std::fabs(other[0].t - t);
+        for (size_t k = 1; k < other.size(); ++k) {
+            double d = std::fabs(other[k].t - t);
+            if (d < best_d) { best = k; best_d = d; }  // strict: ties keep
+        }                                              // earliest arrival
+        if (best_d < slop) {
+            int64_t ping_i = which == 0 ? idx : other[best].idx;
+            int64_t pose_i = which == 0 ? other[best].idx : idx;
+            out_pairs[n_pairs * 2] = ping_i;
+            out_pairs[n_pairs * 2 + 1] = pose_i;
             ++n_pairs;
-            last_pose = best;
+            other.erase(other.begin() + best);
+            for (size_t k = 0; k < mine.size(); ++k)
+                if (mine[k].t == t) { mine.erase(mine.begin() + k); break; }
         }
     }
     return n_pairs;
@@ -242,6 +274,6 @@ void pack_xyzi(
     }
 }
 
-int sonar3d_native_abi_version() { return 1; }
+int sonar3d_native_abi_version() { return 2; }
 
 }  // extern "C"

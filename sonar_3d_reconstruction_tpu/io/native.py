@@ -55,12 +55,13 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.pair_streams.restype = ctypes.c_int64
     lib.pair_streams.argtypes = [
-        f64p, ctypes.c_int64, f64p, ctypes.c_int64, ctypes.c_double, i64p,
+        f64p, ctypes.c_int64, f64p, ctypes.c_int64, ctypes.c_double,
+        ctypes.c_int64, i64p,
     ]
     lib.pack_xyzi.restype = None
     lib.pack_xyzi.argtypes = [f64p, f64p, ctypes.c_int64, f32p]
     lib.sonar3d_native_abi_version.restype = ctypes.c_int
-    assert lib.sonar3d_native_abi_version() == 1
+    assert lib.sonar3d_native_abi_version() == 2
     _lib = lib
     return lib
 
@@ -116,9 +117,13 @@ def image_decode_batch(
 
 
 def pair_streams(
-    ping_stamps: np.ndarray, pose_stamps: np.ndarray, slop: float = 0.1
+    ping_stamps: np.ndarray,
+    pose_stamps: np.ndarray,
+    slop: float = 0.1,
+    queue_size: int = 10,
 ) -> List[Tuple[int, int]]:
-    """Native version of io.timesync.pair_streams (identical policy).
+    """Native version of io.timesync.pair_streams (identical policy: the
+    faithful ApproximateTimeSynchronizer simulation).
 
     The C routine requires time-sorted streams; unsorted inputs are sorted
     here and the returned indices mapped back to the caller's order."""
@@ -128,11 +133,11 @@ def pair_streams(
     pose_stamps = np.ascontiguousarray(pose_stamps, np.float64)
     ping_order = np.argsort(ping_stamps, kind="stable")
     pose_order = np.argsort(pose_stamps, kind="stable")
-    out = np.empty((len(ping_stamps), 2), np.int64)
+    out = np.empty((max(len(ping_stamps), 1), 2), np.int64)
     n = lib.pair_streams(
         np.ascontiguousarray(ping_stamps[ping_order]), len(ping_stamps),
         np.ascontiguousarray(pose_stamps[pose_order]), len(pose_stamps),
-        slop, out.reshape(-1),
+        slop, queue_size, out.reshape(-1),
     )
     return [
         (int(ping_order[i]), int(pose_order[j])) for i, j in out[:n]
