@@ -7,11 +7,13 @@ the mapper needs — CDR-encoded ``sensor_msgs/msg/Image`` and
 prefixed; Message payload = channel_id u16, sequence u32, log_time u64,
 publish_time u64, data).
 
-Uncompressed files and uncompressed chunks are fully supported;
-lz4/zstd-compressed chunks are decompressed when the optional codecs are
-importable and rejected with a clear error otherwise (this image ships
-neither).  The writer emits chunkless uncompressed files — used as the
-synthetic-fixture generator and for interop tests.
+Uncompressed files/chunks and lz4/zstd-compressed chunks are all supported:
+compressed chunks decode through the native library (io/native.py →
+native/sonar3d_io.cpp, which dlopens the system libzstd/liblz4 — rosbag2's
+mcap writer defaults to zstd chunks, so this is the real-field-data path),
+with the optional python ``zstandard``/``lz4`` modules as a fallback when
+present.  The writer emits uncompressed chunkless files by default and can
+emit compressed-chunk files (``chunk_compression=``) for fixtures/recording.
 """
 
 from __future__ import annotations
@@ -69,6 +71,59 @@ def _records(buf: memoryview) -> Iterator[Tuple[int, memoryview]]:
         pos += 9 + length
 
 
+def _decode_chunk(payload: memoryview) -> memoryview:
+    """Chunk record payload -> records bytes, decompressing if needed.
+
+    Decompression prefers the native library (system libzstd/liblz4 via
+    dlopen, no Python deps); the optional ``zstandard``/``lz4`` modules are
+    fallbacks.  The decoded length is validated against the chunk header's
+    uncompressed_size either way.
+    """
+    (uncompressed_size,) = struct.unpack_from("<Q", payload, 16)
+    pos = 8 + 8 + 8  # message start/end times, uncompressed_size
+    (_crc,) = struct.unpack_from("<I", payload, pos)
+    pos += 4
+    compression, pos = _read_str(payload, pos)
+    (rec_len,) = struct.unpack_from("<Q", payload, pos)
+    pos += 8
+    records = payload[pos : pos + rec_len]
+    if compression == "":
+        return records
+    if compression not in ("lz4", "zstd"):
+        raise NotImplementedError(f"mcap chunk compression {compression!r}")
+
+    from sonar_3d_reconstruction_tpu.io import native
+
+    if native.available() and native.codec_available(compression):
+        return memoryview(
+            native.decompress(compression, bytes(records), uncompressed_size)
+        )
+    if compression == "lz4":
+        try:
+            import lz4.frame  # type: ignore
+        except ImportError as e:
+            raise NotImplementedError(
+                "lz4-compressed mcap chunk; neither the native liblz4 codec "
+                "nor the python lz4 module is available"
+            ) from e
+        inner = lz4.frame.decompress(bytes(records))
+    else:
+        try:
+            import zstandard  # type: ignore
+        except ImportError as e:
+            raise NotImplementedError(
+                "zstd-compressed mcap chunk; neither the native libzstd "
+                "codec nor the python zstandard module is available"
+            ) from e
+        inner = zstandard.ZstdDecompressor().decompress(bytes(records))
+    if len(inner) != uncompressed_size:
+        raise ValueError(
+            f"corrupt {compression} mcap chunk: header claims "
+            f"{uncompressed_size} uncompressed bytes, got {len(inner)}"
+        )
+    return memoryview(inner)
+
+
 class McapReader:
     """Reads Image / Odometry messages from an mcap file."""
 
@@ -102,54 +157,19 @@ class McapReader:
                 (log_time,) = struct.unpack_from("<Q", payload, 6)
                 yield cid, log_time * 1e-9, bytes(payload[22:])
             elif op == OP_CHUNK:
-                pos = 8 + 8 + 8  # start/end times, uncompressed_size
-                (_crc,) = struct.unpack_from("<I", payload, pos)
-                pos += 4
-                compression, pos = _read_str(payload, pos)
-                (rec_len,) = struct.unpack_from("<Q", payload, pos)
-                pos += 8
-                records = payload[pos : pos + rec_len]
-                if compression == "":
-                    inner = records
-                elif compression == "lz4":
-                    try:
-                        import lz4.frame  # type: ignore
-                    except ImportError as e:
-                        raise NotImplementedError(
-                            "lz4-compressed mcap chunk; lz4 codec unavailable"
-                        ) from e
-                    inner = memoryview(lz4.frame.decompress(bytes(records)))
-                elif compression == "zstd":
-                    try:
-                        import zstandard  # type: ignore
-                    except ImportError as e:
-                        raise NotImplementedError(
-                            "zstd-compressed mcap chunk; zstandard unavailable"
-                        ) from e
-                    inner = memoryview(
-                        zstandard.ZstdDecompressor().decompress(bytes(records))
-                    )
-                else:
-                    raise NotImplementedError(
-                        f"mcap chunk compression {compression!r}"
-                    )
-                yield from self._iter_messages(inner)
+                yield from self._iter_messages(_decode_chunk(payload))
             elif op == OP_DATA_END:
                 return
 
     def topic_names(self) -> Dict[str, str]:
-        # metadata records may appear at top level or inside uncompressed
-        # chunks; walk both without decoding message payloads
+        # metadata records may appear at top level or inside chunks; walk
+        # both without decoding message payloads
         def walk(buf: memoryview) -> None:
             for op, payload in _records(buf):
                 if op in (OP_SCHEMA, OP_CHANNEL):
                     self._handle_meta(op, payload)
                 elif op == OP_CHUNK:
-                    pos = 8 + 8 + 8 + 4
-                    compression, pos = _read_str(payload, pos)
-                    (rec_len,) = struct.unpack_from("<Q", payload, pos)
-                    if compression == "":
-                        walk(payload[pos + 8 : pos + 8 + rec_len])
+                    walk(_decode_chunk(payload))
 
         walk(self._buf)
         return {
@@ -192,9 +212,29 @@ class McapReader:
 
 
 class McapWriter:
-    """Writes a chunkless uncompressed mcap file (fixtures / interop)."""
+    """Writes an mcap file (fixtures / interop / recording).
 
-    def __init__(self, path: str):
+    Default: chunkless uncompressed.  With ``chunk_compression`` in
+    {"zstd", "lz4"} all message records are buffered into compressed chunk
+    records (flushed every ``chunk_size`` bytes and at close) using the
+    native codecs — this is how rosbag2's default recordings look, and the
+    fixture used to test the compressed reader path.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        chunk_compression: str = "",
+        chunk_size: int = 1 << 22,
+    ):
+        if chunk_compression not in ("", "zstd", "lz4"):
+            raise ValueError(f"unsupported compression {chunk_compression!r}")
+        self._compression = chunk_compression
+        self._chunk_size = chunk_size
+        self._chunk_buf: List[bytes] = []
+        self._chunk_bytes = 0
+        self._chunk_t0: Optional[int] = None
+        self._chunk_t1 = 0
         self._f = open(path, "wb")
         self._f.write(MAGIC)
         self._write(OP_HEADER, self._str("ros2") + self._str("sonar3d-tpu"))
@@ -208,6 +248,41 @@ class McapWriter:
 
     def _write(self, op: int, payload: bytes) -> None:
         self._f.write(struct.pack("<BQ", op, len(payload)) + payload)
+
+    def _write_message(self, payload: bytes, t_ns: int) -> None:
+        if not self._compression:
+            self._write(OP_MESSAGE, payload)
+            return
+        self._chunk_buf.append(
+            struct.pack("<BQ", OP_MESSAGE, len(payload)) + payload
+        )
+        self._chunk_bytes += 9 + len(payload)
+        if self._chunk_t0 is None:
+            self._chunk_t0 = t_ns
+        self._chunk_t0 = min(self._chunk_t0, t_ns)
+        self._chunk_t1 = max(self._chunk_t1, t_ns)
+        if self._chunk_bytes >= self._chunk_size:
+            self._flush_chunk()
+
+    def _flush_chunk(self) -> None:
+        if not self._chunk_buf:
+            return
+        from sonar_3d_reconstruction_tpu.io import native
+
+        records = b"".join(self._chunk_buf)
+        compressed = native.compress(self._compression, records)
+        self._write(
+            OP_CHUNK,
+            struct.pack("<QQQI", self._chunk_t0 or 0, self._chunk_t1,
+                        len(records), 0)
+            + self._str(self._compression)
+            + struct.pack("<Q", len(compressed))
+            + compressed,
+        )
+        self._chunk_buf = []
+        self._chunk_bytes = 0
+        self._chunk_t0 = None
+        self._chunk_t1 = 0
 
     def add_topic(self, name: str, typ: str) -> int:
         if typ not in self._schema_ids:
@@ -234,14 +309,15 @@ class McapWriter:
             else encode_odometry_msg(msg)
         )
         t_ns = int(round(stamp_sec * 1e9))
-        self._write(
-            OP_MESSAGE,
+        self._write_message(
             struct.pack(
                 "<HIQQ", self._channel_ids[topic], 0, t_ns, t_ns
             ) + blob,
+            t_ns,
         )
 
     def close(self) -> None:
+        self._flush_chunk()
         self._write(OP_DATA_END, struct.pack("<I", 0))
         # minimal footer: no summary section
         self._write(OP_FOOTER, struct.pack("<QQI", 0, 0, 0))

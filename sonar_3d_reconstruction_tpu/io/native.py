@@ -60,8 +60,20 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.pack_xyzi.restype = None
     lib.pack_xyzi.argtypes = [f64p, f64p, ctypes.c_int64, f32p]
+    lib.s3d_codec_available.restype = ctypes.c_int
+    lib.s3d_codec_available.argtypes = [ctypes.c_int]
+    lib.s3d_decompress.restype = ctypes.c_int64
+    lib.s3d_decompress.argtypes = [
+        ctypes.c_int, u8p, ctypes.c_int64, u8p, ctypes.c_int64,
+    ]
+    lib.s3d_compress_bound.restype = ctypes.c_int64
+    lib.s3d_compress_bound.argtypes = [ctypes.c_int, ctypes.c_int64]
+    lib.s3d_compress.restype = ctypes.c_int64
+    lib.s3d_compress.argtypes = [
+        ctypes.c_int, u8p, ctypes.c_int64, u8p, ctypes.c_int64,
+    ]
     lib.sonar3d_native_abi_version.restype = ctypes.c_int
-    assert lib.sonar3d_native_abi_version() == 2
+    assert lib.sonar3d_native_abi_version() == 3
     _lib = lib
     return lib
 
@@ -142,6 +154,65 @@ def pair_streams(
     return [
         (int(ping_order[i]), int(pose_order[j])) for i, j in out[:n]
     ]
+
+
+_CODEC_IDS = {"zstd": 0, "lz4": 1}
+
+
+def codec_available(name: str) -> bool:
+    """True when the native library can (de)compress ``name`` chunks
+    (resolved from the system libzstd/liblz4 at first use via dlopen)."""
+    if name not in _CODEC_IDS:
+        return False
+    try:
+        lib = _load()
+    except Exception:
+        return False
+    return lib is not None and bool(lib.s3d_codec_available(_CODEC_IDS[name]))
+
+
+def decompress(name: str, data: bytes, uncompressed_size: int) -> bytes:
+    """Decompress one mcap chunk (zstd, or lz4 frame format)."""
+    lib = _load()
+    assert lib is not None, "native library not built (io.native.build())"
+    src = np.frombuffer(data, np.uint8)
+    if len(src) == 0:
+        src = np.zeros(1, np.uint8)
+    dst = np.empty(max(uncompressed_size, 1), np.uint8)
+    r = lib.s3d_decompress(
+        _CODEC_IDS[name], np.ascontiguousarray(src), len(data),
+        dst, uncompressed_size,
+    )
+    if r == -1:
+        raise NotImplementedError(f"native {name} codec unavailable")
+    if r != uncompressed_size:
+        raise ValueError(
+            f"corrupt {name} mcap chunk: expected {uncompressed_size} "
+            f"uncompressed bytes, decoder produced {r}"
+        )
+    return dst[:uncompressed_size].tobytes()
+
+
+def compress(name: str, data: bytes) -> bytes:
+    """Compress one mcap chunk body (fixture writer / recorder path)."""
+    lib = _load()
+    assert lib is not None, "native library not built (io.native.build())"
+    cid = _CODEC_IDS[name]
+    bound = lib.s3d_compress_bound(cid, len(data))
+    if bound < 0:
+        raise NotImplementedError(f"native {name} codec unavailable")
+    src = np.frombuffer(data, np.uint8)
+    if len(src) == 0:
+        src = np.zeros(1, np.uint8)
+    dst = np.empty(max(int(bound), 1), np.uint8)
+    r = lib.s3d_compress(
+        cid, np.ascontiguousarray(src), len(data), dst, int(bound)
+    )
+    if r == -1:
+        raise NotImplementedError(f"native {name} codec unavailable")
+    if r < 0:
+        raise ValueError(f"{name} compression failed")
+    return dst[: int(r)].tobytes()
 
 
 def pack_xyzi(points: np.ndarray, intensities: np.ndarray) -> bytes:

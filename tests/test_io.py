@@ -384,6 +384,90 @@ def test_mcap_roundtrip(tmp_path):
     assert isinstance(open_bag(path), McapReader)
 
 
+@pytest.mark.parametrize("compression", ["zstd", "lz4"])
+def test_mcap_compressed_chunk_roundtrip(tmp_path, compression):
+    """Compressed-chunk mcap files (rosbag2's default is zstd) roundtrip
+    through the native codecs (VERDICT r1 item 8)."""
+    from sonar_3d_reconstruction_tpu.io import native
+    from sonar_3d_reconstruction_tpu.io.bag import IMAGE_TYPE, ODOMETRY_TYPE
+    from sonar_3d_reconstruction_tpu.io.mcap import McapReader, McapWriter
+
+    if not (native.available() and native.codec_available(compression)):
+        pytest.skip(f"native {compression} codec unavailable")
+
+    n = 5
+    images = np.stack([synthetic_ping(20, 16, seed=60 + i) for i in range(n)])
+    path = str(tmp_path / f"rec_{compression}.mcap")
+    # small chunk_size so the file exercises multiple chunk records
+    with McapWriter(path, chunk_compression=compression, chunk_size=512) as w:
+        w.add_topic("/sensor/sonar/oculus/m750d/image", IMAGE_TYPE)
+        w.add_topic("/fast_lio/odometry", ODOMETRY_TYPE)
+        for i in range(n):
+            t = 900.0 + i
+            w.write(
+                "/sensor/sonar/oculus/m750d/image", t,
+                ImageMsg(t, "sonar_link", 20, 16, "mono8", False, 16,
+                         images[i].tobytes()),
+            )
+            w.write(
+                "/fast_lio/odometry", t,
+                OdometryMsg(t, "camera_init", "body",
+                            np.array([i * 0.1, 0.0, 0.0]),
+                            np.array([0.0, 0.0, 0.0, 1.0])),
+            )
+    # structurally: all messages live inside chunk records, none at top level
+    from sonar_3d_reconstruction_tpu.io.mcap import (
+        MAGIC, OP_CHUNK, OP_MESSAGE, _records,
+    )
+
+    raw = open(path, "rb").read()
+    top_ops = [op for op, _ in _records(memoryview(raw)[len(MAGIC):])]
+    assert top_ops.count(OP_CHUNK) >= 2  # chunk_size=512 forces several
+    assert OP_MESSAGE not in top_ops
+
+    with McapReader(path) as r:
+        assert r.topic_names()["/fast_lio/odometry"] == ODOMETRY_TYPE
+        imgs, odoms = [], []
+        for topic, ts, msg in r.messages():
+            (imgs if isinstance(msg, ImageMsg) else odoms).append(msg)
+    assert len(imgs) == n and len(odoms) == n
+    for i in range(n):
+        np.testing.assert_array_equal(
+            np.frombuffer(imgs[i].data, np.uint8).reshape(20, 16), images[i]
+        )
+    np.testing.assert_allclose(odoms[3].position, [0.3, 0.0, 0.0])
+
+
+def test_mcap_corrupt_compressed_chunk_rejected(tmp_path):
+    """A zstd chunk whose body is garbage must raise, not silently drop."""
+    from sonar_3d_reconstruction_tpu.io import native
+    from sonar_3d_reconstruction_tpu.io.bag import IMAGE_TYPE
+    from sonar_3d_reconstruction_tpu.io.mcap import McapReader, McapWriter
+
+    if not (native.available() and native.codec_available("zstd")):
+        pytest.skip("native zstd codec unavailable")
+
+    path = str(tmp_path / "corrupt.mcap")
+    with McapWriter(path, chunk_compression="zstd") as w:
+        w.add_topic("/sensor/sonar/oculus/m750d/image", IMAGE_TYPE)
+        img = synthetic_ping(20, 16, seed=77)
+        w.write(
+            "/sensor/sonar/oculus/m750d/image", 1000.0,
+            ImageMsg(1000.0, "s", 20, 16, "mono8", False, 16, img.tobytes()),
+        )
+    raw = bytearray(open(path, "rb").read())
+    # flip bytes in the zstd frame body (skip the 4-byte zstd magic after the
+    # chunk header fields + "zstd" string + u64 length)
+    zmagic = raw.find(b"\x28\xb5\x2f\xfd")
+    assert zmagic > 0
+    for k in range(zmagic + 8, min(zmagic + 24, len(raw))):
+        raw[k] ^= 0xFF
+    open(path, "wb").write(bytes(raw))
+    with pytest.raises((ValueError, NotImplementedError)):
+        with McapReader(path) as r:
+            list(r.messages())
+
+
 def test_mcap_stream_and_offline_paths(tmp_path, small_cfg):
     """An mcap recording maps identically through the streaming stack and
     the offline loader."""
