@@ -67,15 +67,18 @@ def main():
     images, positions, quats = make_inputs(cfg, n_pings)
     tables = build_fan_tables(cfg, cfg.image_height, cfg.image_width)
 
-    # warmup: compiles + discovers the capacity the sequence needs.
-    # 2^24 keeps Poisson bucket-overflow probability negligible for ~1M
-    # voxels (load 0.06) so the warm path needs exactly one compile.
+    # warmup: compiles + discovers the capacity AND budgets the sequence
+    # needs (growth doubles them; the timed runs must reuse the grown values
+    # or their first window overflows).  2^24 keeps Poisson bucket-overflow
+    # probability negligible for ~1M voxels (load 0.06) so the warm path
+    # needs exactly one compile.
+    effective = {}
     st, stats = map_ping_sequence(
         images, positions, quats, cfg,
         initial_capacity=int(os.environ.get("BENCH_CAPACITY", str(1 << 24))),
-        dtype=jnp.float32, window=window,
+        dtype=jnp.float32, window=window, effective=effective,
     )
-    capacity = st.key_hi.shape[0]
+    capacity = effective["capacity"]
     total_updates = int(np.asarray(stats["num_candidates"]).sum())
     # force the warmup's trailing work to settle before timing
     _ = int(st.used)
@@ -84,18 +87,14 @@ def main():
     # deployment pings reach the chip over PCIe (~GB/s, overlapped with
     # compute); re-uploading 16 MB of images through the ~30 MB/s axon debug
     # tunnel every rep would only measure the tunnel.
-    from sonar_3d_reconstruction_tpu.grid.hash import (
-        default_unique_budget,
-        init_hash_grid,
-    )
+    from sonar_3d_reconstruction_tpu.grid.hash import init_hash_grid
     from sonar_3d_reconstruction_tpu.pipeline import (
         batched_sonar_to_world,
         scan_pings_hash,
     )
 
-    unique_budget = default_unique_budget(
-        tables.candidates_per_ping(cfg.occupied_window)
-    )
+    unique_budget = effective["unique_budget"]
+    batch_budget = effective["batch_budget"]
     images_dev = jnp.asarray(images)
     T_dev = jnp.asarray(batched_sonar_to_world(positions, quats, cfg),
                         jnp.float32)
@@ -110,6 +109,7 @@ def main():
         st, stats = scan_pings_hash(
             st, imgs, T_dev, tables=tables, cfg=cfg, dtype=jnp.float32,
             unique_budget=unique_budget, window=window,
+            batch_budget=batch_budget,
         )
         assert not bool(np.asarray(stats["overflowed"]).any())
         return int(st.used)  # forces real completion (not just dispatch)

@@ -304,11 +304,14 @@ def apply_unique_records(
 
 
 def default_batch_budget(window: int, unique_budget: int) -> int:
-    """Snug cross-window unique budget.  Consecutive pings overlap heavily
-    (measured on the bench survey: an 8-ping window's distinct voxels are
-    ~0.3x the sum of per-ping budgets), so 2x one frame's budget covers a
-    window with headroom; hosts double it on ``batch_overflow``."""
-    return min(window * unique_budget, 2 * unique_budget)
+    """Snug cross-window unique budget.  Consecutive pings overlap heavily,
+    so a small multiple of one frame's budget covers a window: measured on
+    the 64-ping bench survey, the worst 8-ping window's distinct voxels
+    exceed 2x the per-frame budget (the yaw sweep keeps exposing new cells)
+    but every window fits in 3x.  Hosts double it on ``batch_overflow`` —
+    at minutes per recompile through the remote TPU toolchain that growth
+    path is expensive, so the default carries real headroom."""
+    return min(window * unique_budget, 3 * unique_budget)
 
 
 def default_unique_budget(n_candidates: int) -> int:

@@ -36,7 +36,6 @@ from sonar_3d_reconstruction_tpu.grid.dense import (
     update_dense_grid,
 )
 from sonar_3d_reconstruction_tpu.grid.hash import (
-    DEFAULT_UNIQUE_BUDGET,
     HashGridState,
     init_hash_grid,
     rehash,
@@ -351,6 +350,7 @@ def map_ping_sequence(
     max_grow_retries: int = 12,
     window: int = 1,
     unique_budget: Optional[int] = None,
+    effective: Optional[Dict[str, int]] = None,
 ) -> Tuple[Any, Dict[str, np.ndarray]]:
     """Map a whole recorded ping sequence in one (or, after growth, few) scans.
 
@@ -359,6 +359,10 @@ def map_ping_sequence(
       positions / quaternions: (P, 3) and (P, 4) odometry poses
         (reference /fast_lio/odometry stream).
       state: resume from an existing map state (default: fresh).
+      effective: optional dict the hash backend fills with the settings the
+        sequence settled on after growth ({unique_budget, batch_budget,
+        capacity}) — callers that re-drive scan_pings_hash directly (bench,
+        resumed replays) must reuse these or the first window overflows.
 
     Returns (final_state, per-ping stats dict of (P,) arrays).
     """
@@ -399,6 +403,29 @@ def map_ping_sequence(
     if backend != "hash":
         raise ValueError(f"unknown backend {backend!r}")
 
+    from sonar_3d_reconstruction_tpu.grid.hash import (
+        default_batch_budget,
+        default_unique_budget,
+    )
+
+    if unique_budget is None:
+        # resolve the snug default HERE so growth doubles from the budget
+        # actually in effect, not from DEFAULT_UNIQUE_BUDGET (which can
+        # over-allocate records lanes by >8x after one overflow)
+        unique_budget = default_unique_budget(
+            tables.candidates_per_ping(cfg.occupied_window)
+        )
+
+    def _report(final_state) -> None:
+        if effective is not None:
+            effective["unique_budget"] = unique_budget
+            effective["batch_budget"] = (
+                batch_budget
+                if batch_budget is not None
+                else default_batch_budget(min(window, P), unique_budget)
+            )
+            effective["capacity"] = final_state.key_hi.shape[0]
+
     st = state if state is not None else init_hash_grid(initial_capacity, dtype)
     merged: Dict[str, np.ndarray] = {}
     start = 0
@@ -418,6 +445,7 @@ def map_ping_sequence(
             )
             arr[start:applied_hi] = np.asarray(v)[start:applied_hi]
         if not over.any():
+            _report(new_st)
             return new_st, merged
         # grow and replay from the first failed frame.  With window > 1 the
         # batch is rejected all-or-nothing, so the CAUSE flags may sit at a
@@ -433,7 +461,7 @@ def map_ping_sequence(
         if bool(np.asarray(stats["unique_overflow"])[tail].any()):
             # per-frame budget too small: double it and re-derive the batch
             # budget from the new value
-            unique_budget = (unique_budget or DEFAULT_UNIQUE_BUDGET) * 2
+            unique_budget *= 2
             batch_budget = None
             st = new_st._replace(poisoned=jnp.zeros((), bool))
         elif "batch_overflow" in stats and bool(
@@ -442,15 +470,9 @@ def map_ping_sequence(
             # cross-window budget too small: double only it (recompiles only
             # the apply program, not the per-ping records pipeline)
             if batch_budget is None:
-                from sonar_3d_reconstruction_tpu.grid.hash import (
-                    default_batch_budget,
-                    default_unique_budget,
+                batch_budget = default_batch_budget(
+                    min(window, P), unique_budget
                 )
-
-                ub = unique_budget or default_unique_budget(
-                    tables.candidates_per_ping(cfg.occupied_window)
-                )
-                batch_budget = default_batch_budget(window, ub)
             batch_budget *= 2
             st = new_st._replace(poisoned=jnp.zeros((), bool))
         else:

@@ -1,0 +1,261 @@
+"""Exercise the ROS2 node's runtime body through the fake-rclpy shim.
+
+Round 1 only import-checked ``node.py`` (the image has no rclpy); these
+tests drive the actual callback/publish/TF/shutdown logic the reference node
+runs live (scripts/3d_mapper_node.py:294-556), with the ingest path going
+through the REAL ApproximateTimeSynchronizer port — the same pairing a live
+ROS graph would perform.
+"""
+
+import importlib
+
+import numpy as np
+import pytest
+
+import fake_rclpy
+from conftest import synthetic_ping
+
+# small geometry so the device programs compile fast on the CPU mesh
+_OVERRIDES = {
+    "image_width": 24,
+    "image_height": 32,
+    "voxel_resolution": 0.1,
+    "intensity_threshold": 30,
+    "min_probability": 0.6,
+    "max_range": 5.0,
+    "min_range": 0.5,
+    "z_filter_enabled": False,
+}
+
+
+@pytest.fixture
+def node_env():
+    """Install the shim, reload node.py against it, restore afterwards."""
+    displaced = fake_rclpy.install()
+    node_mod = fake_rclpy.reload_node()
+    assert node_mod._ROS2, "shim not picked up by node reload"
+    try:
+        yield node_mod
+    finally:
+        fake_rclpy.Node.parameter_overrides = {}
+        fake_rclpy.uninstall(displaced)
+        importlib.reload(node_mod)
+
+
+def _make_node(node_mod, **extra):
+    fake_rclpy.Node.parameter_overrides = {**_OVERRIDES, **extra}
+    return node_mod.SonarMapperNode()
+
+
+def _image_msg(img: np.ndarray, stamp: float) -> fake_rclpy.Image:
+    h, w = img.shape
+    return fake_rclpy.Image(
+        header=fake_rclpy.Header(
+            fake_rclpy.Stamp(int(stamp), int((stamp % 1.0) * 1e9)), "sonar_link"
+        ),
+        height=h, width=w, encoding="mono8", is_bigendian=False, step=w,
+        data=img.tobytes(),
+    )
+
+
+def _odom_msg(position, stamp: float) -> fake_rclpy.Odometry:
+    msg = fake_rclpy.Odometry(position=position)
+    msg.header.stamp = fake_rclpy.Stamp(int(stamp), int((stamp % 1.0) * 1e9))
+    return msg
+
+
+def _pubs_by_topic(node):
+    return {p.topic: p for p in node.publishers}
+
+
+def test_ingest_through_synchronizer_and_publish(node_env):
+    """Paired Image+Odometry arrivals map frames; the publish timer emits a
+    PointCloud2 whose XYZI payload matches the mapper's extraction."""
+    node = _make_node(node_env)
+    sonar_sub, odom_sub = node._sync.subscribers
+
+    n = 3
+    for i in range(n):
+        t = 50.0 + i
+        img = synthetic_ping(32, 24, seed=10 + i)
+        # arrivals 30 ms apart — within the 0.1 s slop, so every pair fires
+        sonar_sub.deliver(_image_msg(img, t))
+        odom_sub.deliver(_odom_msg((0.1 * i, 0.0, 0.0), t + 0.03))
+    assert node.mapper.frame_count == n
+
+    # the publish timer is registered at the configured rate
+    assert len(node.timers) == 1
+    assert node.timers[0].period_sec == pytest.approx(0.1)
+    node.timers[0].fire()
+
+    pc_pub = _pubs_by_topic(node)["/sonar_3d_map"]
+    assert len(pc_pub.published) == 1
+    msg = pc_pub.published[0]
+    cloud = node.mapper.get_point_cloud()
+    n_pts = len(np.asarray(cloud["points"]).reshape(-1, 3))
+    assert msg.width == n_pts and msg.height == 1
+    assert msg.point_step == 16 and msg.row_step == 16 * n_pts
+    assert [f.name for f in msg.fields] == ["x", "y", "z", "intensity"]
+    assert msg.header.frame_id == "map"
+    xyzi = np.frombuffer(msg.data, np.float32).reshape(-1, 4)
+    np.testing.assert_allclose(
+        xyzi[:, :3], np.asarray(cloud["points"], np.float32), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        xyzi[:, 3], np.asarray(cloud["probabilities"], np.float32), rtol=1e-6
+    )
+    assert (xyzi[:, 3] > 0.6).all()
+
+
+def test_unsynced_messages_never_map(node_env):
+    """Image/odometry stamps farther apart than slop never pair (reference
+    behavior: the synchronizer silently drops them)."""
+    node = _make_node(node_env)
+    sonar_sub, odom_sub = node._sync.subscribers
+    img = synthetic_ping(32, 24, seed=3)
+    sonar_sub.deliver(_image_msg(img, 10.0))
+    odom_sub.deliver(_odom_msg((0.0, 0.0, 0.0), 10.2))  # 0.2 s > slop 0.1
+    sonar_sub.deliver(_image_msg(img, 11.0))
+    odom_sub.deliver(_odom_msg((0.0, 0.0, 0.0), 11.10001))
+    assert node.mapper.frame_count == 0
+
+
+def test_decode_failure_drops_frame_and_logs(node_env):
+    """An undecodable image is dropped with an error log; mapping continues
+    with the next good pair (reference node:313-316 drop-and-log policy)."""
+    node = _make_node(node_env)
+    sonar_sub, odom_sub = node._sync.subscribers
+
+    bad = _image_msg(synthetic_ping(32, 24, seed=4), 20.0)
+    bad.encoding = "rgb8"  # rejected by decode_image
+    sonar_sub.deliver(bad)
+    odom_sub.deliver(_odom_msg((0.0, 0.0, 0.0), 20.0))
+    assert node.mapper.frame_count == 0
+    assert any(
+        lvl == "error" and "decode" in msg
+        for lvl, msg in node.get_logger().records
+    )
+
+    sonar_sub.deliver(_image_msg(synthetic_ping(32, 24, seed=5), 21.0))
+    odom_sub.deliver(_odom_msg((0.0, 0.0, 0.0), 21.0))
+    assert node.mapper.frame_count == 1
+
+
+def test_mono16_ingest_matches_mono8(node_env):
+    """mono16 images are decoded via /256 exactly like the reference
+    (node:308-310): a mono16 stream of v*256 maps identically to mono8 v."""
+    node8 = _make_node(node_env)
+    node16 = _make_node(node_env)
+    img = synthetic_ping(32, 24, seed=6)
+
+    s8, o8 = node8._sync.subscribers
+    s8.deliver(_image_msg(img, 30.0))
+    o8.deliver(_odom_msg((0.0, 0.0, 0.0), 30.0))
+
+    img16 = (img.astype(np.uint16) * 256)
+    msg16 = fake_rclpy.Image(
+        header=fake_rclpy.Header(fake_rclpy.Stamp(30, 0), "sonar_link"),
+        height=32, width=24, encoding="mono16", is_bigendian=False,
+        step=48, data=img16.tobytes(),
+    )
+    s16, o16 = node16._sync.subscribers
+    s16.deliver(msg16)
+    o16.deliver(_odom_msg((0.0, 0.0, 0.0), 30.0))
+
+    c8 = node8.mapper.get_point_cloud()
+    c16 = node16.mapper.get_point_cloud()
+    np.testing.assert_array_equal(
+        np.asarray(c8["points"]), np.asarray(c16["points"])
+    )
+
+
+def test_marker_path_publishes_classified_cubes(node_env):
+    """show_free_space=True publishes the three CUBE_LIST markers — the
+    INTENDED behavior behind the reference's marker.points.add() defect
+    (node:475): occupied red a=0.8, free blue a=0.3, unknown yellow a=0.5,
+    cube scale = voxel_resolution."""
+    node = _make_node(node_env, show_free_space=True)
+    sonar_sub, odom_sub = node._sync.subscribers
+    sonar_sub.deliver(_image_msg(synthetic_ping(32, 24, seed=7), 40.0))
+    odom_sub.deliver(_odom_msg((0.0, 0.0, 0.0), 40.0))
+    node.timers[0].fire()
+
+    marker_pub = _pubs_by_topic(node)["/sonar_3d_map_markers"]
+    assert len(marker_pub.published) == 1
+    arr = marker_pub.published[0]
+    by_ns = {m.ns.replace("sonar_3d_map_", ""): m for m in arr.markers}
+    assert set(by_ns) == {"occupied", "free", "unknown"}
+    res = node.mapper.cfg.voxel_resolution
+    for m in arr.markers:
+        assert (m.scale.x, m.scale.y, m.scale.z) == (res, res, res)
+    occ, free = by_ns["occupied"], by_ns["free"]
+    assert (occ.color.r, occ.color.a) == (1.0, 0.8)
+    assert (free.color.b, free.color.a) == (1.0, 0.3)
+    assert by_ns["unknown"].color.a == 0.5
+    # every marker point is a real Point at a voxel center
+    cloud = node.mapper.get_point_cloud(include_free=True)
+    occ_pts = np.asarray(cloud["occupied"][0]).reshape(-1, 3)
+    assert len(occ.points) == len(occ_pts)
+    got = np.array([[p.x, p.y, p.z] for p in occ.points])
+    np.testing.assert_allclose(
+        np.sort(got, axis=0), np.sort(occ_pts, axis=0), atol=1e-6
+    )
+    # the PointCloud2 publish still happened alongside the markers
+    assert len(_pubs_by_topic(node)["/sonar_3d_map"].published) == 1
+
+
+def test_static_tf_broadcast(node_env):
+    """publish_tf=True broadcasts base->sonar once with the RPY-derived
+    quaternion (reference node:359-391)."""
+    from sonar_3d_reconstruction_tpu.geometry import quaternion_from_rpy
+
+    node = _make_node(node_env, **{
+        "publish_tf": True,
+        "sonar_orientation.pitch": 90.0,
+        "sonar_position.z": -0.5,
+    })
+    bc = node.static_tf_broadcasters[0]
+    assert len(bc.sent) == 1
+    t = bc.sent[0]
+    assert t.header.frame_id == "base_link"
+    assert t.child_frame_id == "sonar_link"
+    assert t.transform.translation.z == -0.5
+    q = quaternion_from_rpy(np.array([0.0, np.pi / 2, 0.0]))
+    np.testing.assert_allclose(
+        [t.transform.rotation.x, t.transform.rotation.y,
+         t.transform.rotation.z, t.transform.rotation.w],
+        q, atol=1e-12,
+    )
+
+    node2 = _make_node(node_env, publish_tf=False)
+    assert not getattr(node2, "static_tf_broadcasters", [])
+
+
+def test_periodic_stats_log(node_env):
+    """Every 10th frame logs voxel count and measured sonar<->odom stamp skew
+    (reference node:345-357)."""
+    node = _make_node(node_env)
+    sonar_sub, odom_sub = node._sync.subscribers
+    for i in range(10):
+        t = 60.0 + i
+        sonar_sub.deliver(_image_msg(synthetic_ping(32, 24, seed=i), t))
+        odom_sub.deliver(_odom_msg((0.05 * i, 0.0, 0.0), t + 0.04))
+    infos = [m for lvl, m in node.get_logger().records if lvl == "info"]
+    assert any("frame 10" in m and "skew" in m for m in infos)
+
+
+def test_main_spin_and_shutdown_stats(node_env):
+    """main() spins, then logs final map stats and shuts down cleanly
+    (reference node:530-556)."""
+    import rclpy  # the shim
+
+    def drive(node):
+        sonar_sub, odom_sub = node._sync.subscribers
+        sonar_sub.deliver(_image_msg(synthetic_ping(32, 24, seed=9), 70.0))
+        odom_sub.deliver(_odom_msg((0.0, 0.0, 0.0), 70.0))
+        raise KeyboardInterrupt  # operator Ctrl-C
+
+    rclpy._state["hook"] = drive
+    fake_rclpy.Node.parameter_overrides = dict(_OVERRIDES)
+    node_env.main([])
+    assert rclpy._state["initialized"] and rclpy._state["shutdown"]
