@@ -456,8 +456,6 @@ def apply_records_batched(
     )
     seg_valid = s_hi != EMPTY_HI
     rank = idx - _running_max(jnp.where(new_seg, idx, -1))
-    is_end = jnp.concatenate([new_seg[1:], jnp.ones((1,), bool)])
-    seg_id = jnp.cumsum(new_seg.astype(jnp.int32)) - 1
     rec_start = new_seg & seg_valid
     n_unique = jnp.sum(rec_start).astype(jnp.int32)
     batch_overflow = n_unique > batch_budget
@@ -466,14 +464,21 @@ def apply_records_batched(
 
     # slice every per-lane array to the lane budget (valid-prefix property)
     s_f, s_cnt, s_occ = s_f[:Lb], s_cnt[:Lb], s_occ[:Lb]
-    rank_l, is_end_l, seg_id_l = rank[:Lb], is_end[:Lb], seg_id[:Lb]
+    rank_l = rank[:Lb]
     seg_valid_l = seg_valid[:Lb]
 
     # compact unique keys (stable sort keeps key order, so compacted lane
     # index == seg_id of the segment); record starts all live in the valid
-    # prefix, so the compaction sort also runs at Lb lanes
+    # prefix, so the compaction sort also runs at Lb lanes.  The lane
+    # position payload records where each unique's segment STARTS — that is
+    # what lets the chain seed be a ub-scatter and the result pickup a
+    # ub-gather below, instead of Lb-indexed ops (measured ~10 ns/index on
+    # v5e: the swap removes 2*(Lb-ub) indexed lanes per window).
     not_rec = (~rec_start[:Lb]).astype(jnp.uint32)
-    _, c_hi, c_lo = jax.lax.sort((not_rec, s_hi[:Lb], s_lo[:Lb]), num_keys=1)
+    lane_pos = jnp.arange(Lb, dtype=jnp.int32)
+    _, c_hi, c_lo, c_pos = jax.lax.sort(
+        (not_rec, s_hi[:Lb], s_lo[:Lb], lane_pos), num_keys=1
+    )
     ub = batch_budget
 
     def take(x, fill):
@@ -485,6 +490,7 @@ def apply_records_batched(
     valid_u = lane < n_unique
     c_hi = jnp.where(valid_u, take(c_hi, EMPTY_HI), EMPTY_HI)
     c_lo = jnp.where(valid_u, take(c_lo, EMPTY_HI), EMPTY_HI)
+    c_pos = jnp.where(valid_u, take(c_pos, 0), Lb)
 
     bucket, found, found_slot, fill = bucket_lookup(
         state.key_rows, c_hi, c_lo
@@ -511,9 +517,14 @@ def apply_records_batched(
     slots = jnp.where(found, found_slot, plan.slots)
     slots = jnp.where(valid_u, slots, capacity)
 
-    # per-lane chain evaluation (on the Lb-lane prefix)
+    # per-lane chain evaluation (on the Lb-lane prefix).  The pre-window
+    # table value is only needed at each segment's START lane (rank 0): a
+    # rank-s lane's final value comes from its left neighbor at pass s, so
+    # the initial v of rank>0 lanes never propagates.  Seeding by scattering
+    # the ub current values to the start lanes replaces the former Lb-wide
+    # seg_id gather.
     cur_unique = state.log_odds[jnp.minimum(slots, capacity - 1)]
-    cur = cur_unique[jnp.minimum(seg_id_l, ub - 1)]
+    cur = jnp.zeros((Lb,), dtype).at[c_pos].set(cur_unique, mode="drop")
     cnt_d = s_cnt.astype(dtype)
     occ_d = s_occ.astype(dtype)
     lo_sum = occ_d * cfg.log_odds_occupied + (cnt_d - occ_d) * cfg.log_odds_free
@@ -524,14 +535,17 @@ def apply_records_batched(
         v_s = finalize_voxel_updates(v_prev, lo_sum, cnt_d, occupied, cfg)
         v = jnp.where(rank_l == s, v_s, v)
 
-    # final per-voxel values live at segment-end lanes -> compacted order
-    end_tgt = jnp.where(is_end_l & seg_valid_l, seg_id_l, ub)
-    new_unique = jnp.zeros((ub,), dtype).at[end_tgt].set(v, mode="drop")
+    # final per-voxel values live at segment-END lanes; segments appear in
+    # compacted (key-sorted) order, so unique k ends where unique k+1 starts
+    # (the last one ends at the last valid lane) — a ub-gather instead of
+    # the former Lb-wide scatter
+    next_start = jnp.concatenate([c_pos[1:], jnp.full((1,), Lb, jnp.int32)])
+    end_pos = jnp.where(lane + 1 < n_unique, next_start - 1, n_valid_lanes - 1)
+    end_pos = jnp.clip(end_pos, 0, Lb - 1)
+    new_unique = jnp.where(valid_u, v[end_pos], 0)
     # failure turns the value scatter into dropped writes too
     w_slots = jnp.where(failed, capacity, slots)
-    new_lo = state.log_odds.at[w_slots].set(
-        jnp.where(valid_u, new_unique, 0), mode="drop"
-    )
+    new_lo = state.log_odds.at[w_slots].set(new_unique, mode="drop")
 
     zero = jnp.zeros((), jnp.int32)
     new_state = state._replace(

@@ -60,12 +60,19 @@ class FanTables:
     cos_b: np.ndarray
     sin_b: np.ndarray
 
-    # Free-space candidates (static bin indices 0, step, 2*step, ...)
-    free_idx: np.ndarray        # (F,) int32 absolute bin index
-    free_r: np.ndarray          # (F,) float range in meters
-    free_cos_v: np.ndarray      # (F, VF) fan vertical-angle cosines
-    free_sin_v: np.ndarray      # (F, VF)
-    free_mask: np.ndarray       # (F, VF) bool: range>=min_range AND |step|<=nv(r)
+    # Free-space candidates, laid out as a FLAT static lattice: the fan
+    # count nv(r) is static per free bin (it depends only on range), so
+    # instead of a rectangular (F, VF) grid masked to |step| <= nv(r) —
+    # which wastes (VF - (2nv+1)) lanes per short-range bin — each bin
+    # contributes exactly its 2*nv(r)+1 fan lanes.  For the production
+    # geometry this shrinks the free lattice ~43% (850 -> ~480 lanes/ray)
+    # and every downstream sort/scan with it (VERDICT r1 'flat free-fan
+    # lattice' backlog item).
+    free_idx: np.ndarray        # (L,) int32 absolute bin index per lane
+    free_r: np.ndarray          # (L,) float range in meters per lane
+    free_cos_v: np.ndarray      # (L,) fan vertical-angle cosines
+    free_sin_v: np.ndarray      # (L,)
+    free_mask: np.ndarray       # (L,) bool: range >= min_range
 
     # Occupied candidates, indexed by ABSOLUTE bin (gathered at first_hit + w).
     # Per-bin fan count nv, truncated in float64 exactly like the reference's
@@ -81,7 +88,7 @@ class FanTables:
         return int(self.ray_indices.shape[0])
 
     def candidates_per_ping(self, occupied_window: int = 50) -> int:
-        f = self.free_mask.shape[0] * self.free_mask.shape[1]
+        f = self.free_idx.shape[0]
         w = min(occupied_window, self.range_bins)
         return self.n_rays * (f + w * (2 * self.nvo_max + 1))
 
@@ -132,18 +139,27 @@ def build_fan_tables(
     max_spread = cfg.max_range * math.tan(half_ap)
     nvf_max = max(1, int(max_spread / (res * 4.0)))
     nvo_max = max(2, int(max_spread / (res * 1.5)))
-    vf, vo = 2 * nvf_max + 1, 2 * nvo_max + 1
 
-    # --- free-space bins: every `free_sampling_step`-th bin (reference :419-423)
-    free_idx = np.arange(0, range_bins, cfg.free_sampling_step, dtype=np.int32)
-    free_r = free_idx.astype(np.float64) * rres
-    free_cos = np.empty((len(free_idx), vf))
-    free_sin = np.empty((len(free_idx), vf))
-    free_mask = np.empty((len(free_idx), vf), dtype=bool)
-    for i, r in enumerate(free_r):
+    # --- free-space bins: every `free_sampling_step`-th bin (reference
+    # :419-423), flattened to exactly 2*nv(r)+1 lanes per bin (nv is static
+    # per bin, so the compaction is a host-side precomputation, not a mask)
+    free_bins = np.arange(0, range_bins, cfg.free_sampling_step, dtype=np.int32)
+    lane_idx, lane_r, lane_cos, lane_sin, lane_mask = [], [], [], [], []
+    for b in free_bins:
+        r = float(b) * rres
         c, s, m = _fan_row(r, half_ap, res, 4.0, 1, nvf_max)
-        free_cos[i], free_sin[i] = c, s
-        free_mask[i] = m & (r >= cfg.min_range)
+        keep = m  # |step| <= nv(r): drop the statically-dead lanes outright
+        k = int(keep.sum())
+        lane_idx.append(np.full(k, b, np.int32))
+        lane_r.append(np.full(k, r, np.float64))
+        lane_cos.append(c[keep])
+        lane_sin.append(s[keep])
+        lane_mask.append(np.full(k, r >= cfg.min_range, bool))
+    free_idx = np.concatenate(lane_idx)
+    free_r = np.concatenate(lane_r)
+    free_cos = np.concatenate(lane_cos)
+    free_sin = np.concatenate(lane_sin)
+    free_mask = np.concatenate(lane_mask)
 
     # --- occupied per-bin fan counts, float64-truncated (reference :463);
     # entry range_bins is the sentinel for windows past the image
@@ -203,7 +219,7 @@ def backproject_ping(
       T_sonar_to_world: (4, 4) in ``dtype``.
       tables: host-precomputed ``FanTables`` for this geometry.
 
-    Returns dict of flattened arrays over N = n_rays*(F*VF + W*VO) candidates:
+    Returns dict of flattened arrays over N = n_rays*(L_free + W*VO) candidates:
       points  (N, 3) world coordinates
       log_odds (N,)  per-candidate update value
       is_occupied (N,) bool
@@ -224,18 +240,19 @@ def backproject_ping(
 
     T = T_sonar_to_world.astype(dtype)
 
-    # ---- free-space candidates: (n_rays, F, VF)
-    free_r = jnp.asarray(tables.free_r, dtype)[None, :, None]
+    # ---- free-space candidates: (n_rays, L) flat lattice (2*nv(r)+1 lanes
+    # per free bin — the fan count is static per bin, precomputed flat)
+    free_r = jnp.asarray(tables.free_r, dtype)[None, :]
     fx, fy, fz = _local_points(
         free_r,
         jnp.asarray(tables.free_cos_v, dtype)[None],
         jnp.asarray(tables.free_sin_v, dtype)[None],
-        cos_b,
-        sin_b,
+        cos_b[:, :, 0],
+        sin_b[:, :, 0],
     )
     free_world = _to_world(fx, fy, fz, T)
     free_valid = (
-        (jnp.asarray(tables.free_idx)[None, :] < first_hit[:, None])[:, :, None]
+        (jnp.asarray(tables.free_idx)[None, :] < first_hit[:, None])
         & jnp.asarray(tables.free_mask)[None]
     )
 
@@ -276,7 +293,7 @@ def backproject_ping(
         free_valid = free_valid & (free_world[..., 2] >= zmin)
         occ_valid = occ_valid & (occ_world[..., 2] >= zmin)
 
-    n_free = free_world.shape[0] * free_world.shape[1] * free_world.shape[2]
+    n_free = free_world.shape[0] * free_world.shape[1]
     n_occ = occ_world.shape[0] * occ_world.shape[1] * occ_world.shape[2]
     points = jnp.concatenate(
         [free_world.reshape(n_free, 3), occ_world.reshape(n_occ, 3)], axis=0

@@ -62,6 +62,7 @@ def dedup_frame(
     occ: jnp.ndarray,
     valid: jnp.ndarray,
     unique_budget: int,
+    lane_budget: int = 0,
 ) -> UniqueRecords:
     """Candidates (N,) -> UniqueRecords (unique_budget,).
 
@@ -69,8 +70,22 @@ def dedup_frame(
     ``valid``: emission mask.  If a frame has more unique voxels than the
     budget the records are truncated and ``n_unique`` reports the excess
     (callers poison the frame and retry with a larger budget).
+
+    ``lane_budget`` (default ``min(n, 2*unique_budget)``): the compaction
+    sort — the second-most expensive op in the records program (measured
+    1.65 ms vs 0.4 ms sliced, at N=819k on v5e) — runs on only the first
+    ``lane_budget`` lanes.  Sort 1 puts every valid candidate in a
+    contiguous prefix, so this is exact whenever the frame's valid-candidate
+    count fits the budget; a frame that exceeds it is reported through
+    ``n_unique`` (the unique-budget overflow path — doubling the unique
+    budget doubles this budget with it, so the host's growth remedy is the
+    right one for both causes).
     """
     n = hi.shape[0]
+    if lane_budget <= 0:
+        lane_budget = min(n, 2 * unique_budget)
+    # the compacted arrays must cover the unique budget
+    lane_budget = min(n, max(lane_budget, unique_budget))
     big = EMPTY_HI
     hi = jnp.where(valid, hi, big)
     lo = jnp.where(valid, lo, big)
@@ -97,18 +112,26 @@ def dedup_frame(
     seg_valid = hi != big
     rec = is_end & seg_valid
     n_unique = jnp.sum(rec).astype(jnp.int32)
+    # valid lanes overflowing the compaction slice must reject the frame;
+    # report through the unique-overflow channel (see docstring)
+    n_valid = jnp.sum(seg_valid).astype(jnp.int32)
+    n_unique = jnp.where(
+        n_valid > lane_budget, jnp.int32(n + 1), n_unique
+    )
 
-    # compaction: stable sort on the one-bit "not a record" key
-    not_rec = (~rec).astype(jnp.uint32)
+    # compaction: stable sort on the one-bit "not a record" key, on the
+    # valid-prefix slice only
+    lb = lane_budget
+    not_rec = (~rec[:lb]).astype(jnp.uint32)
     _, c_hi, c_lo, c_count, c_occ = jax.lax.sort(
-        (not_rec, hi, lo, seg_count, seg_occ), num_keys=1
+        (not_rec, hi[:lb], lo[:lb], seg_count[:lb], seg_occ[:lb]), num_keys=1
     )
     u = unique_budget
 
     def take(x, fill):
-        if u <= n:
+        if u <= lb:
             return x[:u]
-        pad = jnp.full((u - n,), fill, x.dtype)
+        pad = jnp.full((u - lb,), fill, x.dtype)
         return jnp.concatenate([x, pad])
 
     lane = jnp.arange(u, dtype=jnp.int32)
