@@ -164,6 +164,43 @@ def test_batched_window_engine_matches_per_frame(small_cfg):
             )
 
 
+def test_effective_budgets_reported_and_reusable(small_cfg):
+    """map_ping_sequence(effective=) reports the settings the sequence
+    settled on; re-driving scan_pings_hash with them reproduces the map
+    without any overflow (the bench contract)."""
+    from sonar_3d_reconstruction_tpu.grid.hash import init_hash_grid
+    from sonar_3d_reconstruction_tpu.ops.backproject import build_fan_tables
+    from sonar_3d_reconstruction_tpu.pipeline import (
+        batched_sonar_to_world,
+        scan_pings_hash,
+    )
+
+    cfg = small_cfg
+    images, positions, quats = make_sequence(cfg, 6, seed=62)
+    eff = {}
+    ref, _ = map_ping_sequence(
+        images, positions, quats, cfg, initial_capacity=1 << 10,
+        dtype=jnp.float64, window=3, effective=eff,
+    )
+    assert set(eff) == {"unique_budget", "batch_budget", "capacity"}
+    assert eff["capacity"] == ref.key_hi.shape[0]
+
+    tables = build_fan_tables(cfg, cfg.image_height, cfg.image_width)
+    T = jnp.asarray(batched_sonar_to_world(positions, quats, cfg),
+                    jnp.float64)
+    st = init_hash_grid(eff["capacity"], jnp.float64)
+    st, stats = scan_pings_hash(
+        st, jnp.asarray(images), T, tables=tables, cfg=cfg,
+        dtype=jnp.float64, unique_budget=eff["unique_budget"],
+        window=3, batch_budget=eff["batch_budget"],
+    )
+    assert not bool(np.asarray(stats["overflowed"]).any())
+    a, b = hash_state_to_dict(st), hash_state_to_dict(ref)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k]
+
+
 def test_batched_window_growth_replay(small_cfg):
     """Batched engine under capacity pressure: all-or-nothing batch
     rejection + host growth must still converge to the exact map."""
