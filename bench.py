@@ -65,7 +65,14 @@ def main():
     window = int(os.environ.get("BENCH_WINDOW", "8"))
 
     images, positions, quats = make_inputs(cfg, n_pings)
-    tables = build_fan_tables(cfg, cfg.image_height, cfg.image_width)
+    # size the static occupied-fan width exactly for this survey (host gate;
+    # identical emissions, smaller candidate lattice — see PERFORMANCE.md)
+    from sonar_3d_reconstruction_tpu.ops.backproject import required_fan_cap
+
+    fan_cap = required_fan_cap(images, cfg, cfg.image_height)
+    tables = build_fan_tables(
+        cfg, cfg.image_height, cfg.image_width, fan_cap=fan_cap
+    )
 
     # warmup: compiles + discovers the capacity AND budgets the sequence
     # needs (growth doubles them; the timed runs must reuse the grown values

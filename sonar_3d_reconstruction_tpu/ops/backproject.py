@@ -80,8 +80,17 @@ class FanTables:
     # exact integer (a float32 recompute can flip by 1 at truncation
     # boundaries, moving every point of the bin's fan).  Entry R (one past
     # the end) is a sentinel for windows that run past the image.
-    occ_nv: np.ndarray          # (R+1,) int32
-    nvo_max: int                # static fan half-width (lanes = 2*nvo_max+1)
+    occ_nv: np.ndarray          # (R+1,) int32 — EXACT, never capped
+    nvo_max: int                # fan half-width sized at max_range (exact)
+    # Static fan half-width actually allocated (lanes = 2*nvo_cap+1).
+    # nvo_cap == nvo_max is always exact.  A SMALLER cap is a perf knob for
+    # data whose returns stop short of max_range (the occupied fan at 10 m
+    # needs 47 lanes, at 5 m only 23): correctness then relies on the HOST
+    # gate ``required_fan_cap`` — every quantity it needs (deepest
+    # above-threshold bin) is host-visible before dispatch, so no device
+    # overflow flag exists; emissions for a bin with nv > nvo_cap would be
+    # silently truncated.
+    nvo_cap: int
 
     @property
     def n_rays(self) -> int:
@@ -90,7 +99,7 @@ class FanTables:
     def candidates_per_ping(self, occupied_window: int = 50) -> int:
         f = self.free_idx.shape[0]
         w = min(occupied_window, self.range_bins)
-        return self.n_rays * (f + w * (2 * self.nvo_max + 1))
+        return self.n_rays * (f + w * (2 * self.nvo_cap + 1))
 
 
 def _fan_row(
@@ -111,13 +120,20 @@ def _fan_row(
 
 @functools.lru_cache(maxsize=64)
 def build_fan_tables(
-    cfg: MapperConfig, range_bins: int, bearing_bins: int
+    cfg: MapperConfig,
+    range_bins: int,
+    bearing_bins: int,
+    fan_cap: int = 0,
 ) -> FanTables:
     """Precompute all static tables for this config + image geometry.
 
-    Memoized on (cfg, geometry): FanTables hashes by identity (it is a jit
-    static argument), so returning the SAME instance for the same inputs is
-    what lets every caller share one compiled program per geometry.
+    Memoized on (cfg, geometry, fan_cap): FanTables hashes by identity (it
+    is a jit static argument), so returning the SAME instance for the same
+    inputs is what lets every caller share one compiled program per geometry.
+
+    ``fan_cap`` (0 = exact worst case): static occupied-fan half-width.
+    Callers with host-visible images size it with ``required_fan_cap`` —
+    see the FanTables.nvo_cap field note.
     """
     half_ap = cfg.half_aperture_rad
     res = cfg.voxel_resolution
@@ -168,6 +184,8 @@ def build_fan_tables(
         2, (occ_r_f64 * math.tan(half_ap) / (res * 1.5)).astype(np.int64)
     ).astype(np.int32)
 
+    nvo_cap = nvo_max if fan_cap <= 0 else max(2, min(fan_cap, nvo_max))
+
     return FanTables(
         range_bins=range_bins,
         bearing_bins=bearing_bins,
@@ -181,7 +199,36 @@ def build_fan_tables(
         free_mask=free_mask,
         occ_nv=occ_nv,
         nvo_max=nvo_max,
+        nvo_cap=nvo_cap,
     )
+
+
+def required_fan_cap(
+    images: np.ndarray, cfg: MapperConfig, range_bins: int
+) -> int:
+    """Exact host-side occupied-fan half-width for these images.
+
+    The fan count of an emitting bin is ``occ_nv[bin]`` (monotone in bin),
+    and only above-threshold bins emit occupied candidates, so the deepest
+    above-threshold bin bounds the needed width — conservatively over all
+    bearing columns (the subsampled rays are a subset) and over the whole
+    occupied window (later window bins only emit if themselves above the
+    threshold).  Tables built with this cap are exactly equivalent to the
+    uncapped ones for these images.
+    """
+    images = np.asarray(images)
+    hits = images > cfg.intensity_threshold
+    # deepest hit bin across every ping/column (axis -2 = range rows)
+    any_hit_per_bin = hits.any(axis=tuple(
+        i for i in range(hits.ndim) if i != hits.ndim - 2
+    ))
+    if not any_hit_per_bin.any():
+        return 2
+    deepest = int(np.max(np.nonzero(any_hit_per_bin)[0]))
+    rres = cfg.max_range / range_bins
+    r = deepest * rres
+    return max(2, int(r * math.tan(cfg.half_aperture_rad)
+                      / (cfg.voxel_resolution * 1.5)))
 
 
 def _local_points(r, cos_v, sin_v, cos_b, sin_b):
@@ -274,8 +321,8 @@ def backproject_ping(
     occ_r = occ_bin.astype(dtype)[:, :, None] * dtype(rres)
     half_ap = dtype(cfg.half_aperture_rad)
     nv = jnp.asarray(tables.occ_nv)[occ_bin][:, :, None]  # (n_rays, W, 1)
-    nvo_max = tables.nvo_max
-    steps = jnp.arange(-nvo_max, nvo_max + 1, dtype=jnp.int32)[None, None, :]
+    nvo_cap = tables.nvo_cap  # host gate guarantees nv <= cap on emitting bins
+    steps = jnp.arange(-nvo_cap, nvo_cap + 1, dtype=jnp.int32)[None, None, :]
     vang = steps.astype(dtype) / nv.astype(dtype) * half_ap  # reference :466
     occ_cos_v = jnp.cos(vang)
     occ_sin_v = jnp.sin(vang)

@@ -351,6 +351,7 @@ def map_ping_sequence(
     window: int = 1,
     unique_budget: Optional[int] = None,
     effective: Optional[Dict[str, int]] = None,
+    fan_cap: Any = "auto",
 ) -> Tuple[Any, Dict[str, np.ndarray]]:
     """Map a whole recorded ping sequence in one (or, after growth, few) scans.
 
@@ -361,8 +362,15 @@ def map_ping_sequence(
       state: resume from an existing map state (default: fresh).
       effective: optional dict the hash backend fills with the settings the
         sequence settled on after growth ({unique_budget, batch_budget,
-        capacity}) — callers that re-drive scan_pings_hash directly (bench,
-        resumed replays) must reuse these or the first window overflows.
+        capacity, fan_cap}) — callers that re-drive scan_pings_hash directly
+        (bench, resumed replays) must reuse these or the first window
+        overflows.
+      fan_cap: "auto" (default) sizes the static occupied-fan width exactly
+        for THESE images on the host (ops/backproject.required_fan_cap) —
+        returns that stop short of max_range shrink the candidate lattice
+        substantially; an int forces a width; 0/None uses the max_range
+        worst case.  All choices are exactly equivalent for the given
+        images; they differ only in compiled-program shape.
 
     Returns (final_state, per-ping stats dict of (P,) arrays).
     """
@@ -381,7 +389,13 @@ def map_ping_sequence(
                 "unique_overflow": empty_b, "range_fail": empty_b,
             },
         )
-    tables = build_fan_tables(cfg, R, B)
+    if fan_cap == "auto":
+        from sonar_3d_reconstruction_tpu.ops.backproject import (
+            required_fan_cap,
+        )
+
+        fan_cap = required_fan_cap(images, cfg, R) if P else 0
+    tables = build_fan_tables(cfg, R, B, fan_cap=int(fan_cap or 0))
     T = batched_sonar_to_world(positions, quaternions, cfg)
 
     images_dev = jnp.asarray(images)
@@ -425,6 +439,7 @@ def map_ping_sequence(
                 else default_batch_budget(min(window, P), unique_budget)
             )
             effective["capacity"] = final_state.key_hi.shape[0]
+            effective["fan_cap"] = tables.nvo_cap
 
     st = state if state is not None else init_hash_grid(initial_capacity, dtype)
     merged: Dict[str, np.ndarray] = {}

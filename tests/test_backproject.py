@@ -131,3 +131,63 @@ def test_narrow_fov_prod_config():
     # prod threshold is 120 so raise blob intensity
     image = np.where(image > 60, 200, image).astype(np.uint8)
     assert_same_emissions(cfg, image, [0.3, -0.2, 0.1], [0, 0, 0, 1])
+
+
+def test_required_fan_cap_and_capped_tables_equivalence(small_cfg):
+    """Tables capped by the host gate (required_fan_cap) emit EXACTLY the
+    same candidates as the max_range-sized worst case for the images the
+    cap was computed from (the perf knob must be invisible to the map)."""
+    import jax.numpy as jnp
+
+    from sonar_3d_reconstruction_tpu.ops.backproject import required_fan_cap
+    from sonar_3d_reconstruction_tpu.pipeline import map_ping_sequence
+
+    cfg = small_cfg
+    images = np.stack(
+        [synthetic_ping(cfg.image_height, cfg.image_width, seed=80 + i)
+         for i in range(5)]
+    )
+    positions = np.cumsum(np.full((5, 3), 0.08), axis=0)
+    quats = np.tile([0.0, 0.0, 0.0, 1.0], (5, 1))
+
+    cap = required_fan_cap(images, cfg, cfg.image_height)
+    t_full = build_fan_tables(cfg, cfg.image_height, cfg.image_width)
+    t_cap = build_fan_tables(
+        cfg, cfg.image_height, cfg.image_width, fan_cap=cap
+    )
+    assert 2 <= t_cap.nvo_cap <= t_full.nvo_max
+    assert t_cap.candidates_per_ping(cfg.occupied_window) <= \
+        t_full.candidates_per_ping(cfg.occupied_window)
+
+    st_a, stats_a = map_ping_sequence(
+        images, positions, quats, cfg, dtype=jnp.float64, fan_cap=None,
+        initial_capacity=1 << 14,
+    )
+    st_b, stats_b = map_ping_sequence(
+        images, positions, quats, cfg, dtype=jnp.float64, fan_cap="auto",
+        initial_capacity=1 << 14,
+    )
+    for k in ("num_occupied", "num_free", "num_candidates"):
+        np.testing.assert_array_equal(
+            np.asarray(stats_a[k]), np.asarray(stats_b[k]), err_msg=k
+        )
+    assert int(st_a.used) == int(st_b.used)
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(st_a.log_odds)), np.sort(np.asarray(st_b.log_odds))
+    )
+
+
+def test_required_fan_cap_edge_cases(small_cfg):
+    from sonar_3d_reconstruction_tpu.ops.backproject import required_fan_cap
+
+    cfg = small_cfg
+    R, B = cfg.image_height, cfg.image_width
+    # no hits anywhere -> minimum fan
+    assert required_fan_cap(np.zeros((3, R, B), np.uint8), cfg, R) == 2
+    # a hit in the LAST bin -> the exact worst case of the table builder
+    img = np.zeros((R, B), np.uint8)
+    img[R - 1, 0] = 255
+    t_full = build_fan_tables(cfg, R, B)
+    cap = required_fan_cap(img[None], cfg, R)
+    assert cap == int(t_full.occ_nv[R - 1])
+    assert cap <= t_full.nvo_max
