@@ -262,10 +262,14 @@ class SonarMapper:
         t0 = time.time()
         images = np.asarray(images)
         n = images.shape[0]
+        # exact (max_range-sized) fan tables: the stateful mapper may see
+        # many batches, and per-batch auto-capped tables would recompile the
+        # pipeline whenever a deeper return arrives; one-shot offline
+        # callers (cli map-bag --offline, bench) opt into fan_cap="auto"
         self.state, stats = map_ping_sequence(
             images, positions, quaternions, self.cfg,
             state=self.state, dtype=self.dtype, window=window,
-            unique_budget=self._unique_budget,
+            unique_budget=self._unique_budget, fan_cap=None,
         )
         if self.track_update_counts:
             tables = self._tables_for(images.shape[1:])
