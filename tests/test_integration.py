@@ -162,3 +162,41 @@ def test_float32_parity_vs_golden_1e5(small_cfg):
         p_gold = 1.0 / (1.0 + np.exp(-glo))
         worst = max(worst, abs(p_dev - p_gold))
     assert worst < 1e-5, f"worst probability deviation {worst}"
+
+
+def test_production_preset_tilt60_matches_golden():
+    """End-to-end exact (float64) golden parity on the PRODUCTION preset
+    semantics — 70 deg FOV, 60 deg down-tilt mount, 0.15 m voxels, min_range
+    1.0, z-filter enabled at -6.3, adaptive 0.5/0.3, log-odds 0.5/-0.1
+    clamped to [-10, 7] (config/kiro_tilt60.yaml = reference active
+    config) — at test-size image geometry."""
+    from sonar_3d_reconstruction_tpu.config import PRESETS
+
+    cfg = PRESETS["kiro_tilt60"].replace(image_width=64, image_height=80)
+    n = 4
+    images = np.stack(
+        [synthetic_ping(cfg.image_height, cfg.image_width, seed=700 + i)
+         for i in range(n)]
+    )
+    # shallow pass so the -6.3 z-filter actually clips part of the fan
+    positions = np.stack(
+        [0.2 * np.arange(n), np.zeros(n), np.full(n, -4.0)], axis=-1
+    )
+    quats = np.tile([0.0, 0.0, 0.0, 1.0], (n, 1))
+
+    st, stats = map_ping_sequence(
+        images, positions, quats, cfg, initial_capacity=1 << 14,
+        dtype=jnp.float64,
+    )
+    g = GoldenMapper(cfg)
+    for i in range(n):
+        gs = g.process_ping(images[i], positions[i], quats[i])
+        assert gs["num_occupied"] == int(np.asarray(stats["num_occupied"])[i])
+        assert gs["num_free"] == int(np.asarray(stats["num_free"])[i])
+    dev = hash_state_to_dict(st)
+    assert set(dev) == set(g.map.log_odds)
+    assert len(dev) > 50  # the scenario actually populated a map
+    for k, glo in g.map.log_odds.items():
+        assert abs(dev[k] - glo) < 1e-9
+    # the preset's tighter clamp [-10, 7] is respected
+    assert max(dev.values()) <= cfg.log_odds_max + 1e-12
