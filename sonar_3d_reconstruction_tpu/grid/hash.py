@@ -403,9 +403,18 @@ def apply_records_batched(
     auxs,   # ops.records.FrameAux stacked over B frames
     cfg: MapperConfig,
     batch_budget: Optional[int] = None,
+    lane_budget: Optional[int] = None,
     fail_reduce=None,
 ) -> Tuple[HashGridState, Dict[str, jnp.ndarray]]:
     """Apply a window of B frames with ONE set of table operations.
+
+    ``lane_budget`` (default 2*batch_budget) bounds the per-(voxel, frame)
+    record lanes carried into chain evaluation — it must cover the window's
+    summed per-frame unique records, while ``batch_budget`` only covers its
+    DISTINCT voxels.  Decoupling them lets hosts with measured statistics
+    run the expensive per-unique table ops at a much tighter width than the
+    lane prefix (both overflows reject the batch and report through
+    ``batch_overflow``).
 
     ``fail_reduce`` (optional) maps the local () bool failure flag to the
     EFFECTIVE one before any select — the sharded engine passes a psum so a
@@ -433,10 +442,10 @@ def apply_records_batched(
     n = B * U
     # Per-(voxel,frame) record lanes carried into chain evaluation: the big
     # sort puts every valid lane in a contiguous prefix, and distinct
-    # (voxel,frame) records across a window measure ~2x its distinct voxels
-    # (consecutive pings overlap), so 2*batch_budget lanes suffice; all
-    # per-lane indexed ops then run at Lb lanes instead of B*U.
-    Lb = min(n, 2 * batch_budget)
+    # (voxel,frame) records across a window measure ~2-3x its distinct
+    # voxels (consecutive pings overlap), so 2*batch_budget lanes are the
+    # default; all per-lane indexed ops then run at Lb lanes instead of B*U.
+    Lb = min(n, max(lane_budget or 2 * batch_budget, batch_budget))
 
     f = jnp.broadcast_to(
         jnp.arange(B, dtype=jnp.uint32)[:, None], (B, U)
@@ -586,10 +595,14 @@ def apply_records_batched(
         "unique_overflow": jnp.broadcast_to(frame_overflow, (B,)),
         # batch budget exceeded: host should grow batch_budget only (a much
         # cheaper recompile than doubling the per-frame unique budget);
-        # lane-budget overflow is coupled to it (Lb = 2*batch_budget)
+        # lane-budget overflow reports here too (its default is coupled,
+        # Lb = 2*batch_budget, and growth raises both)
         "batch_overflow": jnp.broadcast_to(
             batch_overflow | lanes_overflow, (B,)
         ),
+        # measured distinct voxels in this window (reported even on
+        # failure — hosts use it to size snug batch budgets from data)
+        "batch_n_unique": jnp.broadcast_to(n_unique, (B,)),
         "range_fail": auxs.range_fail,
     }
     return new_state, stats

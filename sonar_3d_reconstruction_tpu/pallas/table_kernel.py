@@ -79,10 +79,12 @@ def _kernel(khi_ref, klo_ref, upd_ref, rows_in, vals_in, rows_ref, vals_ref):
             # prefix-fill invariant: first empty slot == fill count
             fill = jnp.sum(row_hi == empty)
             first_empty = BUCKET_SLOTS - fill.astype(jnp.int32)
-            slot = jnp.where(
-                found, jnp.argmax(eq, axis=1)[0].astype(jnp.int32),
-                first_empty,
+            # matched slot via masked min-reduce (Mosaic's reduce-index
+            # lowering only supports f32; a plain int32 reduce does not)
+            eq_slot = jnp.min(
+                jnp.where(eq, lane_ids, jnp.int32(BUCKET_SLOTS))
             )
+            slot = jnp.where(found, eq_slot, first_empty)
             sel = lane_ids == slot                  # (1, 128)
 
             # insert-if-absent: full-row masked write (no scalar stores)

@@ -151,12 +151,16 @@ def _records_single(
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "batch_budget"))
-def _apply_batched(state, recs, auxs, *, cfg: MapperConfig, batch_budget: int):
+@partial(jax.jit, static_argnames=("cfg", "batch_budget", "lane_budget"))
+def _apply_batched(
+    state, recs, auxs, *, cfg: MapperConfig, batch_budget: int,
+    lane_budget=None,
+):
     from sonar_3d_reconstruction_tpu.grid.hash import apply_records_batched
 
     return apply_records_batched(
-        state, recs, auxs, cfg, batch_budget=batch_budget
+        state, recs, auxs, cfg, batch_budget=batch_budget,
+        lane_budget=lane_budget,
     )
 
 
@@ -213,6 +217,7 @@ def scan_pings_hash(
     unique_budget=None,
     window: int = 1,
     batch_budget=None,
+    lane_budget=None,
 ) -> Tuple[HashGridState, Dict[str, jnp.ndarray]]:
     """Whole ping sequence -> hashed map (host-driven chain of dispatches;
     see the design note above).  Frames outside [start, stop) contribute
@@ -277,7 +282,8 @@ def scan_pings_hash(
             unique_budget=unique_budget, window=window,
         )
         state, stats = _apply_batched(
-            state, recs, auxs, cfg=cfg, batch_budget=batch_budget
+            state, recs, auxs, cfg=cfg, batch_budget=batch_budget,
+            lane_budget=lane_budget,
         )
         window_stats.append(stats)
     return state, {

@@ -182,7 +182,9 @@ def test_effective_budgets_reported_and_reusable(small_cfg):
         images, positions, quats, cfg, initial_capacity=1 << 10,
         dtype=jnp.float64, window=3, effective=eff,
     )
-    assert set(eff) == {"unique_budget", "batch_budget", "capacity"}
+    assert set(eff) == {
+        "unique_budget", "batch_budget", "capacity", "fan_cap"
+    }
     assert eff["capacity"] == ref.key_hi.shape[0]
 
     tables = build_fan_tables(cfg, cfg.image_height, cfg.image_width)
