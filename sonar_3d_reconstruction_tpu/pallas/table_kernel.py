@@ -9,9 +9,11 @@ in the bucketized table and read-modify-write its value slot.
 
 Pallas design (one core, whole table resident in VMEM):
 
-  * the table must fit VMEM (~16 MB/core): capacity 2^20 slots = 8 MB of
-    interleaved key rows + 4 MB float32 values is the ceiling — ~4x smaller
-    than the 2^22+ tables the XLA path runs with in HBM.  A production
+  * the table must fit VMEM (~16 MB/core): capacity 2^19 slots = 4 MB of
+    interleaved key rows + 2 MB float32 values, and Mosaic materialises
+    both the (unused) aliased input blocks and the output blocks, doubling
+    that to 12 MB — ~8x smaller than the 2^22+ tables the XLA path runs
+    with in HBM.  A production
     kernel would shard the table by bucket range and pre-bin records (the
     dedup sort already yields them key-sorted), so the capacity limit is a
     partitioning cost, not a blocker.
@@ -47,9 +49,14 @@ BUCKET_SLOTS = 128  # matches grid/hash.py layout: rows are [hi x128 | lo x128]
 
 
 def _kernel(khi_ref, klo_ref, upd_ref, rows_in, vals_in, rows_ref, vals_ref):
-    """Sequential find-or-insert + accumulate over all records.
+    """Sequential find-or-insert + accumulate over one 1024-record chunk.
 
-    khi/klo/upd: (U/128, 128) record arrays (EMPTY_HI = inactive lane).
+    khi/klo/upd: (8, 128) record chunks in SMEM (EMPTY_HI = inactive lane)
+    — dynamic per-record scalar reads only lower from scalar memory, so the
+    grid streams the record arrays through SMEM in 1024-record blocks
+    (sublane block must be a multiple of 8) while the table blocks below
+    stay pinned in VMEM across all grid steps (constant index map).  The
+    TPU grid is sequential, preserving the record order.
     rows_in/vals_in are the aliased input views of the output refs (the
     kernel reads and writes through rows_ref/vals_ref only).
     rows: (NB, 256) interleaved key rows (aliased in/out).
@@ -116,25 +123,33 @@ def pallas_lookup_accumulate(
     """Find-or-insert every record and add its update to the value slot.
     Returns (new_key_rows, new_values)."""
     u = khi.shape[0]
-    assert u % 128 == 0, u
+    pad = (-u) % 1024  # SMEM record blocks are (8, 128); pad with inactive
+    if pad:
+        khi = jnp.concatenate(
+            [khi, jnp.full((pad,), EMPTY_HI, khi.dtype)]
+        )
+        klo = jnp.concatenate([klo, jnp.zeros((pad,), klo.dtype)])
+        upd = jnp.concatenate([upd, jnp.zeros((pad,), upd.dtype)])
+        u += pad
     shape2 = (u // 128, 128)
+    rec_spec = pl.BlockSpec(
+        (8, 128), lambda i: (i, 0), memory_space=pltpu.SMEM
+    )
+    rows_spec = pl.BlockSpec(
+        key_rows.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+    vals_spec = pl.BlockSpec(
+        values.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
     out = pl.pallas_call(
         _kernel,
+        grid=(u // 1024,),
         out_shape=(
             jax.ShapeDtypeStruct(key_rows.shape, key_rows.dtype),
             jax.ShapeDtypeStruct(values.shape, values.dtype),
         ),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ),
+        in_specs=[rec_spec, rec_spec, rec_spec, rows_spec, vals_spec],
+        out_specs=(rows_spec, vals_spec),
         input_output_aliases={3: 0, 4: 1},
         interpret=interpret,
     )(
