@@ -103,6 +103,7 @@ def main():
     unique_budget = effective["unique_budget"]
     batch_budget = effective["batch_budget"]
     lane_budget = None
+    insert_budget = None
 
     # Snug non-pow2 budgets measured from the warmup (deployments tune these
     # once per sensor/environment; growth protects correctness if exceeded).
@@ -134,6 +135,20 @@ def main():
             pad = (-len(uni)) % window
             win_lanes = np.pad(uni, (0, pad)).reshape(-1, window).sum(axis=1)
             lane_budget = max(_round_up(1.1 * int(win_lanes.max())), snug_b)
+        if "batch_n_need" in stats:
+            # all three insert-side scatters run at this width.  A fresh
+            # map's FIRST window inserts nearly all its uniques while later
+            # windows insert only newly-swept territory, so use a cold
+            # first-window budget + a snug budget for the rest (one compiled
+            # apply variant each; per-window stats are window-constant so
+            # reshape-max gives the per-window need)
+            need = np.asarray(stats["batch_n_need"]).astype(np.int64)
+            pad = (-len(need)) % window
+            win_need = np.pad(need, (0, pad)).reshape(-1, window).max(axis=1)
+            cold = min(_round_up(1.15 * int(win_need[0])), snug_b)
+            warm = min(_round_up(1.15 * int(win_need[1:].max())), cold) \
+                if len(win_need) > 1 else cold
+            insert_budget = [cold, warm]
         if snug_u < unique_budget or snug_b < batch_budget:
             unique_budget, batch_budget = snug_u, snug_b
 
@@ -152,6 +167,7 @@ def main():
             st, imgs, T_dev, tables=tables, cfg=cfg, dtype=jnp.float32,
             unique_budget=unique_budget, window=window,
             batch_budget=batch_budget, lane_budget=lane_budget,
+            insert_budget=insert_budget,
         )
         assert not bool(np.asarray(stats["overflowed"]).any())
         return int(st.used)  # forces real completion (not just dispatch)
@@ -164,6 +180,7 @@ def main():
         unique_budget = effective["unique_budget"]
         batch_budget = effective["batch_budget"]
         lane_budget = None
+        insert_budget = None
         run(0)
     best = float("inf")
     for rep in range(1, reps + 1):
@@ -192,6 +209,7 @@ def main():
                     "unique_budget": unique_budget,
                     "batch_budget": batch_budget,
                     "lane_budget": lane_budget,
+                    "insert_budget": insert_budget,
                     "fan_cap": tables.nvo_cap,
                 },
             }

@@ -1,0 +1,158 @@
+"""Phase-level wall-clock profile at the EXACT bench configuration.
+
+Reproduces bench.py's inputs and its warmup-measured snug budgets
+(unique=122880, batch=221184, lane=688128, fan_cap=10 on the default
+synthetic survey) and times each dispatch kind with chained async calls +
+one scalar sync (CLAUDE.md bench protocol), so the per-phase numbers add
+up to the bench's measured ms/ping.
+
+Sub-phases of the records program are timed as standalone jitted programs
+on one ping at the same shapes (their sum slightly exceeds the fused
+records program — XLA fuses the boundaries away).
+
+Usage: python scripts/profile_bench_phases.py
+"""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sonar_3d_reconstruction_tpu.utils.compile_cache import enable as _enable
+_enable()
+
+from sonar_3d_reconstruction_tpu.config import MapperConfig
+from sonar_3d_reconstruction_tpu.grid.hash import init_hash_grid
+from sonar_3d_reconstruction_tpu.ops.backproject import (
+    backproject_ping, build_fan_tables, required_fan_cap,
+)
+from sonar_3d_reconstruction_tpu.pipeline import (
+    _apply_batched, _records_window, batched_sonar_to_world, scan_pings_hash,
+)
+from bench import make_inputs
+
+cfg = MapperConfig()
+N_PINGS = 64
+WINDOW = 8
+UNIQUE, BATCH, LANE = 122880, 221184, 688128  # bench-measured snug budgets
+CAPACITY = 1 << 24
+
+images, positions, quats = make_inputs(cfg, N_PINGS)
+fan_cap = required_fan_cap(images, cfg, cfg.image_height)
+tables = build_fan_tables(cfg, cfg.image_height, cfg.image_width,
+                          fan_cap=fan_cap)
+lanes = tables.candidates_per_ping(cfg.occupied_window)
+images_dev = jnp.asarray(images)
+T_dev = jnp.asarray(batched_sonar_to_world(positions, quats, cfg),
+                    jnp.float32)
+jax.block_until_ready((images_dev, T_dev))
+print(f"lanes/ping={lanes} fan_cap={fan_cap} U={UNIQUE} B={BATCH} L={LANE} "
+      f"device={jax.devices()[0].platform}", flush=True)
+
+start, stop = jnp.int32(0), jnp.int32(N_PINGS)
+
+
+def timeit(label, fn, per=1, reps=5):
+    fn(0)
+    best = float("inf")
+    for r in range(1, reps + 1):
+        t0 = time.perf_counter()
+        fn(r)
+        best = min(best, time.perf_counter() - t0)
+    print(f"{label:52s} {best/per*1e3:8.2f} ms", flush=True)
+    return best / per
+
+
+# --- records program (the window's first dispatch), amortized per ping ---
+def rec_window(rep):
+    outs = []
+    for w in range(0, N_PINGS, WINDOW):
+        recs, auxs = _records_window(
+            images_dev.at[0, 0, 0].set(np.uint8(rep % 251)), T_dev,
+            jnp.int32(w), start, stop, tables=tables, cfg=cfg,
+            dtype=jnp.float32, unique_budget=UNIQUE, window=WINDOW)
+        outs.append(recs)
+    return int(outs[-1].n_unique[-1])
+
+timeit(f"records_window x{N_PINGS//WINDOW} (per ping)", rec_window,
+       per=N_PINGS)
+
+# one window of records for the apply timings
+recs, auxs = _records_window(
+    images_dev, T_dev, jnp.int32(0), start, stop, tables=tables, cfg=cfg,
+    dtype=jnp.float32, unique_budget=UNIQUE, window=WINDOW)
+jax.block_until_ready(recs)
+st0 = init_hash_grid(CAPACITY, jnp.float32)
+
+
+def apply_chain(rep):
+    st = st0._replace(used=st0.used + rep)
+    for _ in range(N_PINGS // WINDOW):
+        st, _stats = _apply_batched(st, recs, auxs, cfg=cfg,
+                                    batch_budget=BATCH, lane_budget=LANE)
+    return int(st.used)
+
+timeit(f"apply_batched x{N_PINGS//WINDOW} (per ping)", apply_chain,
+       per=N_PINGS)
+
+
+def full(rep):
+    st = init_hash_grid(CAPACITY, jnp.float32)
+    st, stats = scan_pings_hash(
+        st, images_dev.at[0, 0, 0].set(np.uint8(rep % 251)), T_dev,
+        tables=tables, cfg=cfg, dtype=jnp.float32, unique_budget=UNIQUE,
+        window=WINDOW, batch_budget=BATCH, lane_budget=LANE)
+    return int(st.used)
+
+timeit(f"full engine {N_PINGS} pings (per ping)", full, per=N_PINGS)
+
+# --- records sub-phases, standalone programs on ping 0 ---
+img0 = images_dev[0]
+T0 = T_dev[0]
+
+
+@jax.jit
+def bp_only(image, T):
+    cand = backproject_ping(image, T, tables, cfg, dtype=jnp.float32)
+    return cand["points"].sum() + cand["valid"].sum()
+
+
+def bp_chain(rep):
+    acc = None
+    for k in range(8):
+        acc = bp_only(img0.at[0, 0].set(np.uint8((rep * 8 + k) % 251)), T0)
+    return float(acc)
+
+timeit("  backproject_ping alone (per ping, x8 chain)", bp_chain, per=8)
+
+from sonar_3d_reconstruction_tpu.ops.dedup import dedup_frame
+from sonar_3d_reconstruction_tpu.ops.packing import pack_keys
+
+cand0 = jax.jit(
+    lambda im, T: backproject_ping(im, T, tables, cfg, dtype=jnp.float32)
+)(img0, T0)
+keys0 = jnp.floor(cand0["points"] / cfg.voxel_resolution).astype(jnp.int32)
+hi0, lo0, inr0 = jax.jit(pack_keys)(keys0)
+valid0 = cand0["valid"] & inr0
+occ0 = cand0["is_occupied"]
+jax.block_until_ready((hi0, lo0, valid0, occ0))
+
+
+@jax.jit
+def dd_only(hi, lo, occ, valid):
+    rec = dedup_frame(hi, lo, occ, valid, UNIQUE)
+    return rec.n_unique
+
+
+def dd_chain(rep):
+    acc = None
+    for k in range(8):
+        acc = dd_only(hi0 + np.uint32(0), lo0,
+                      occ0, valid0.at[rep * 8 + k].set(False))
+    return int(acc)
+
+timeit("  dedup_frame alone (per ping, x8 chain)", dd_chain, per=8)

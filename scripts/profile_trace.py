@@ -109,7 +109,8 @@ def parse_xplane_top_ops(path, top=25):
             yield fnum, wt, val
 
     totals = collections.Counter()
-    # XSpace.planes(1) -> XPlane{name(2), lines(3), event_metadata(5 map)}
+    # XSpace.planes(1) -> XPlane{name(2), lines(3), event_metadata(4 map),
+    # stat_metadata(5 map)}
     for f1, w1, plane in fields(data):
         if f1 != 1 or w1 != 2:
             continue
@@ -118,7 +119,7 @@ def parse_xplane_top_ops(path, top=25):
         for f2, w2, v2 in fields(plane):
             if f2 == 2 and w2 == 2:
                 plane_name = v2
-            elif f2 == 5 and w2 == 2:  # map<int64, XEventMetadata>
+            elif f2 == 4 and w2 == 2:  # map<int64, XEventMetadata>
                 k = None
                 name = b""
                 for f3, w3, v3 in fields(v2):

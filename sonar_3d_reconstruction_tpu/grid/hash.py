@@ -165,14 +165,17 @@ class InsertPlan(NamedTuple):
     """Collision-free insert plan (see ``plan_insert``): everything needed
     to commit the writes, or to abort them without touching the table."""
 
-    s_hi: jnp.ndarray      # (U,) key words in bucket-sorted order
+    s_hi: jnp.ndarray      # (Ib,) key words in bucket-sorted order
     s_lo: jnp.ndarray
-    s_bkt: jnp.ndarray     # (U,) uint32 bucket (0xFFFFFFFF = inactive)
-    pos_c: jnp.ndarray     # (U,) int32 in-bucket position (clamped)
-    fits: jnp.ndarray      # (U,) bool key is active and fits its bucket
+    s_bkt: jnp.ndarray     # (Ib,) uint32 bucket (0xFFFFFFFF = inactive)
+    pos_c: jnp.ndarray     # (Ib,) int32 in-bucket position (clamped)
+    fits: jnp.ndarray      # (Ib,) bool key is active and fits its bucket
     slots: jnp.ndarray     # (U,) int32 slots in RECORD order (capacity = none)
-    overflowed: jnp.ndarray  # () bool some bucket would exceed BUCKET_SLOTS
+    overflowed: jnp.ndarray  # () bool a bucket would exceed BUCKET_SLOTS, or
+    #                             the insert budget Ib was exceeded
     n_inserted: jnp.ndarray  # () int32
+    n_need: jnp.ndarray      # () int32 keys that REQUIRED insertion (host
+    #                             signal for sizing snug insert budgets)
 
 
 def plan_insert(
@@ -182,6 +185,7 @@ def plan_insert(
     need: jnp.ndarray,
     bucket: jnp.ndarray,
     fill: jnp.ndarray,
+    budget: Optional[int] = None,
 ) -> InsertPlan:
     """Plan a collision-free insert of mutually-distinct new keys.
 
@@ -189,15 +193,31 @@ def plan_insert(
     table) are sorted by bucket and ranked within equal buckets; key i's
     slot is bucket*128 + fill + rank.  No table writes happen here — commit
     with ``commit_insert`` (which can abort on a failure flag computed
-    between the two, e.g. a cross-shard any-overflow reduction)."""
+    between the two, e.g. a cross-shard any-overflow reduction).
+
+    ``budget`` (static, optional) slices the plan to its need-prefix: the
+    bucket sort keys inactive lanes to the end, so all needed keys occupy a
+    contiguous prefix and every commit-side indexed op (the slot unsort
+    scatter here, both key-word scatters in ``commit_insert``) runs at Ib
+    lanes instead of U.  On a warmed map the per-window insert count is a
+    small fraction of its unique count, so a host-measured snug budget
+    removes most of the insert cost; exceeding it sets ``overflowed``
+    (all-or-nothing — callers already reject and regrow on that flag)."""
     u = u_hi.shape[0]
+    Ib = u if budget is None else min(int(budget), u)
     capacity = key_rows.shape[0] * BUCKET_SLOTS
     maxu = jnp.uint32(0xFFFFFFFF)
-    idx = jnp.arange(u, dtype=jnp.int32)
+    idx = jnp.arange(Ib, dtype=jnp.int32)
 
     ins_key = jnp.where(need, bucket.astype(jnp.uint32), maxu)
     s_bkt, s_hi, s_lo, s_fill, s_orig = jax.lax.sort(
-        (ins_key, u_hi, u_lo, fill, idx), num_keys=1
+        (ins_key, u_hi, u_lo, fill, jnp.arange(u, dtype=jnp.int32)),
+        num_keys=1,
+    )
+    n_need = jnp.sum(need).astype(jnp.int32)
+    budget_overflow = n_need > Ib
+    s_bkt, s_hi, s_lo, s_fill, s_orig = (
+        s_bkt[:Ib], s_hi[:Ib], s_lo[:Ib], s_fill[:Ib], s_orig[:Ib]
     )
     new_b = jnp.concatenate([jnp.ones((1,), bool), s_bkt[1:] != s_bkt[:-1]])
     start = _running_max(jnp.where(new_b, idx, -1))
@@ -205,7 +225,7 @@ def plan_insert(
     active = s_bkt != maxu
     pos = s_fill + rank
     fits = active & (pos < BUCKET_SLOTS)
-    overflowed = jnp.any(active & ~fits)
+    overflowed = jnp.any(active & ~fits) | budget_overflow
     pos_c = jnp.minimum(pos, BUCKET_SLOTS - 1)
     slot = s_bkt.astype(jnp.int32) * BUCKET_SLOTS + pos_c
     # slots back in record order (dump lanes untouched -> capacity)
@@ -216,6 +236,7 @@ def plan_insert(
     return InsertPlan(
         s_hi=s_hi, s_lo=s_lo, s_bkt=s_bkt, pos_c=pos_c, fits=fits,
         slots=slots, overflowed=overflowed, n_inserted=n_inserted,
+        n_need=n_need,
     )
 
 
@@ -404,6 +425,7 @@ def apply_records_batched(
     cfg: MapperConfig,
     batch_budget: Optional[int] = None,
     lane_budget: Optional[int] = None,
+    insert_budget: Optional[int] = None,
     fail_reduce=None,
 ) -> Tuple[HashGridState, Dict[str, jnp.ndarray]]:
     """Apply a window of B frames with ONE set of table operations.
@@ -415,6 +437,13 @@ def apply_records_batched(
     run the expensive per-unique table ops at a much tighter width than the
     lane prefix (both overflows reject the batch and report through
     ``batch_overflow``).
+
+    ``insert_budget`` (default batch_budget) bounds the NEW keys a window
+    may insert; see ``plan_insert`` — on a warmed map inserts are a small
+    fraction of uniques, and the three insert-side scatters run at this
+    width.  Exceeding it rejects the batch (``insert_overflow`` stat tells
+    the host to grow just this budget); ``batch_n_need`` reports the
+    measured requirement for snug sizing.
 
     ``fail_reduce`` (optional) maps the local () bool failure flag to the
     EFFECTIVE one before any select — the sharded engine passes a psum so a
@@ -447,17 +476,18 @@ def apply_records_batched(
     # default; all per-lane indexed ops then run at Lb lanes instead of B*U.
     Lb = min(n, max(lane_budget or 2 * batch_budget, batch_budget))
 
-    f = jnp.broadcast_to(
-        jnp.arange(B, dtype=jnp.uint32)[:, None], (B, U)
-    ).reshape(-1)
     hi = recs.hi.reshape(-1)
     lo = recs.lo.reshape(-1)
     count = recs.count.reshape(-1)
     n_occ = recs.n_occ.reshape(-1)
     # invalid lanes already carry EMPTY_HI keys and zero counts (dedup_frame)
 
-    s_hi, s_lo, s_f, s_cnt, s_occ = jax.lax.sort(
-        (hi, lo, f, count, n_occ), num_keys=3
+    # The flattened lanes are frame-major and lax.sort is stable, so equal
+    # keys keep ascending frame order WITHOUT carrying a frame payload —
+    # one fewer 983k-lane sort array, and per-frame stats come straight
+    # from the stacked records below instead of B x Lb lane masks.
+    s_hi, s_lo, s_cnt, s_occ = jax.lax.sort(
+        (hi, lo, count, n_occ), num_keys=2
     )
     idx = jnp.arange(n, dtype=jnp.int32)
     new_seg = jnp.concatenate(
@@ -472,9 +502,8 @@ def apply_records_batched(
     lanes_overflow = n_valid_lanes > Lb
 
     # slice every per-lane array to the lane budget (valid-prefix property)
-    s_f, s_cnt, s_occ = s_f[:Lb], s_cnt[:Lb], s_occ[:Lb]
+    s_cnt, s_occ = s_cnt[:Lb], s_occ[:Lb]
     rank_l = rank[:Lb]
-    seg_valid_l = seg_valid[:Lb]
 
     # compact unique keys (stable sort keeps key order, so compacted lane
     # index == seg_id of the segment); record starts all live in the valid
@@ -505,7 +534,13 @@ def apply_records_batched(
         state.key_rows, c_hi, c_lo
     )
     need = valid_u & ~found
-    plan = plan_insert(state.key_rows, c_hi, c_lo, need, bucket, fill)
+    plan = plan_insert(
+        state.key_rows, c_hi, c_lo, need, bucket, fill,
+        budget=insert_budget,
+    )
+    insert_overflow = plan.n_need > (
+        ub if insert_budget is None else min(int(insert_budget), ub)
+    )
 
     range_fail = jnp.any(auxs.range_fail)
     # per-frame unique-budget overflow: NOT the .overflowed property (that
@@ -578,17 +613,18 @@ def apply_records_batched(
         poisoned=state.poisoned | failed,
     )
 
-    # per-frame stats from the (voxel, frame) lanes
-    fb = jnp.arange(B, dtype=jnp.uint32)[:, None]
-    lane_occ = (seg_valid_l & occupied)[None, :] & (s_f[None, :] == fb)
-    lane_free = (seg_valid_l & ~occupied)[None, :] & (s_f[None, :] == fb)
+    # per-frame stats straight from the stacked records (each valid record
+    # is one unique voxel of its frame; occupied-priority typing n_occ > 0)
+    rec_valid = recs.hi != jnp.uint32(EMPTY_HI)          # (B, U)
+    rec_occ = rec_valid & (recs.n_occ > 0)
     zeroB = jnp.zeros((B,), jnp.int32)
     stats = {
         "num_occupied": jnp.where(
-            failed, zeroB, jnp.sum(lane_occ, axis=1).astype(jnp.int32)
+            failed, zeroB, jnp.sum(rec_occ, axis=1).astype(jnp.int32)
         ),
         "num_free": jnp.where(
-            failed, zeroB, jnp.sum(lane_free, axis=1).astype(jnp.int32)
+            failed, zeroB,
+            jnp.sum(rec_valid & ~rec_occ, axis=1).astype(jnp.int32),
         ),
         "num_candidates": jnp.where(failed, zeroB, auxs.n_valid),
         "overflowed": jnp.broadcast_to(failed, (B,)),
@@ -600,9 +636,12 @@ def apply_records_batched(
         "batch_overflow": jnp.broadcast_to(
             batch_overflow | lanes_overflow, (B,)
         ),
-        # measured distinct voxels in this window (reported even on
-        # failure — hosts use it to size snug batch budgets from data)
+        # insert budget exceeded: host should grow insert_budget only
+        "insert_overflow": jnp.broadcast_to(insert_overflow, (B,)),
+        # measured distinct voxels / required inserts in this window
+        # (reported even on failure — hosts use them to size snug budgets)
         "batch_n_unique": jnp.broadcast_to(n_unique, (B,)),
+        "batch_n_need": jnp.broadcast_to(plan.n_need, (B,)),
         "range_fail": auxs.range_fail,
     }
     return new_state, stats

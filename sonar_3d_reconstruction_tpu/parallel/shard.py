@@ -435,13 +435,12 @@ def make_window_scan_sharded(
         stats = dict(stats)
         for k in ("num_occupied", "num_free", "num_candidates"):
             stats[k] = jax.lax.psum(stats[k], axis_name)
-        for k in ("unique_overflow", "batch_overflow"):
+        for k in ("unique_overflow", "batch_overflow", "insert_overflow"):
             stats[k] = jax.lax.psum(stats[k].astype(jnp.int32), axis_name) > 0
         # owner-partitioned shards hold disjoint voxels: the global window
-        # unique count is the sum of the per-shard ones
-        stats["batch_n_unique"] = jax.lax.psum(
-            stats["batch_n_unique"], axis_name
-        )
+        # unique / required-insert counts are sums of the per-shard ones
+        for k in ("batch_n_unique", "batch_n_need"):
+            stats[k] = jax.lax.psum(stats[k], axis_name)
         new_blk = ShardedHashState(
             key_rows=new_local.key_rows[None],
             log_odds=new_local.log_odds[None],
@@ -455,7 +454,8 @@ def make_window_scan_sharded(
     stats_specs = {
         "num_occupied": P(), "num_free": P(), "num_candidates": P(),
         "overflowed": P(), "unique_overflow": P(), "batch_overflow": P(),
-        "batch_n_unique": P(), "range_fail": P(),
+        "insert_overflow": P(), "batch_n_unique": P(), "batch_n_need": P(),
+        "range_fail": P(),
     }
     window_step = jax.jit(
         shard_map(

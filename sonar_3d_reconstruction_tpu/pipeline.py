@@ -151,16 +151,19 @@ def _records_single(
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "batch_budget", "lane_budget"))
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "batch_budget", "lane_budget", "insert_budget"),
+)
 def _apply_batched(
     state, recs, auxs, *, cfg: MapperConfig, batch_budget: int,
-    lane_budget=None,
+    lane_budget=None, insert_budget=None,
 ):
     from sonar_3d_reconstruction_tpu.grid.hash import apply_records_batched
 
     return apply_records_batched(
         state, recs, auxs, cfg, batch_budget=batch_budget,
-        lane_budget=lane_budget,
+        lane_budget=lane_budget, insert_budget=insert_budget,
     )
 
 
@@ -218,6 +221,7 @@ def scan_pings_hash(
     window: int = 1,
     batch_budget=None,
     lane_budget=None,
+    insert_budget=None,
 ) -> Tuple[HashGridState, Dict[str, jnp.ndarray]]:
     """Whole ping sequence -> hashed map (host-driven chain of dispatches;
     see the design note above).  Frames outside [start, stop) contribute
@@ -275,7 +279,16 @@ def scan_pings_hash(
     if batch_budget is None:
         batch_budget = default_batch_budget(window, unique_budget)
     window_stats = []
-    for w in range(0, P, window):
+    for wi, w in enumerate(range(0, P, window)):
+        # insert_budget may be per-window (a sequence): a fresh map's first
+        # window inserts nearly ALL its uniques while later windows insert
+        # only newly-swept territory, so deployments compile one "cold" and
+        # one snug "warm" apply variant (each distinct value = one program)
+        ib = (
+            insert_budget[min(wi, len(insert_budget) - 1)]
+            if isinstance(insert_budget, (list, tuple))
+            else insert_budget
+        )
         recs, auxs = _records_window(
             images_dev, T_dev, jnp.int32(w), start, stop,
             tables=tables, cfg=cfg, dtype=dtype,
@@ -283,7 +296,7 @@ def scan_pings_hash(
         )
         state, stats = _apply_batched(
             state, recs, auxs, cfg=cfg, batch_budget=batch_budget,
-            lane_budget=lane_budget,
+            lane_budget=lane_budget, insert_budget=ib,
         )
         window_stats.append(stats)
     return state, {

@@ -220,3 +220,65 @@ def test_batched_window_growth_replay(small_cfg):
     assert a.keys() == b.keys()
     for k in a:
         assert abs(a[k] - b[k]) < 1e-12
+
+
+def test_insert_budget_snug_and_overflow(small_cfg):
+    """Host-gated insert budget (grid/hash.plan_insert budget slicing):
+    a snug per-window budget list reproduces the map bit-for-bit; an
+    undersized budget rejects the batch all-or-nothing and reports
+    insert_overflow + the measured batch_n_need for host sizing."""
+    from sonar_3d_reconstruction_tpu.grid.hash import init_hash_grid
+    from sonar_3d_reconstruction_tpu.ops.backproject import build_fan_tables
+    from sonar_3d_reconstruction_tpu.pipeline import (
+        batched_sonar_to_world,
+        scan_pings_hash,
+    )
+
+    cfg = small_cfg
+    images, positions, quats = make_sequence(cfg, 6, seed=63)
+    eff = {}
+    ref, ref_stats = map_ping_sequence(
+        images, positions, quats, cfg, dtype=jnp.float64, window=3,
+        effective=eff,
+    )
+    tables = build_fan_tables(
+        cfg, cfg.image_height, cfg.image_width, fan_cap=eff["fan_cap"]
+    )
+    T = jnp.asarray(batched_sonar_to_world(positions, quats, cfg),
+                    jnp.float64)
+
+    def run(insert_budget):
+        st = init_hash_grid(eff["capacity"], jnp.float64)
+        return scan_pings_hash(
+            st, jnp.asarray(images), T, tables=tables, cfg=cfg,
+            dtype=jnp.float64, unique_budget=eff["unique_budget"], window=3,
+            batch_budget=eff["batch_budget"], insert_budget=insert_budget,
+        )
+
+    # measure the per-window requirement, then re-run snug (cold + warm)
+    st0, stats0 = run(None)
+    assert not bool(np.asarray(stats0["overflowed"]).any())
+    need = np.asarray(stats0["batch_n_need"]).astype(np.int64)
+    win_need = need.reshape(-1, 3).max(axis=1)
+    assert win_need[0] > 0
+    snug = [int(win_need[0]), int(max(win_need[1:].max(), 1))]
+    st1, stats1 = run(snug)
+    assert not bool(np.asarray(stats1["overflowed"]).any())
+    a, b = hash_state_to_dict(st1), hash_state_to_dict(st0)
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-12, k
+    for key in ("num_occupied", "num_free"):
+        np.testing.assert_array_equal(
+            np.asarray(stats1[key]), np.asarray(ref_stats[key]), key
+        )
+
+    # one short of the first window's need: all-or-nothing rejection with
+    # cause attribution, nothing written
+    st2, stats2 = run(int(win_need[0]) - 1)
+    assert bool(np.asarray(stats2["overflowed"]).all())
+    assert bool(np.asarray(stats2["insert_overflow"])[:3].any())
+    assert int(np.asarray(st2.used)) == 0
+    assert bool(np.asarray(st2.poisoned))
+    np.testing.assert_array_equal(
+        np.asarray(stats2["batch_n_need"])[:3], need[:3]
+    )
