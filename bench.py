@@ -76,13 +76,16 @@ def main():
 
     # warmup: compiles + discovers the capacity AND budgets the sequence
     # needs (growth doubles them; the timed runs must reuse the grown values
-    # or their first window overflows).  2^24 keeps Poisson bucket-overflow
-    # probability negligible for ~1M voxels (load 0.06) so the warm path
-    # needs exactly one compile.
+    # or their first window overflows).  2^22 holds the survey's ~940k
+    # voxels at load 0.22 (Poisson bucket-overflow still negligible at mean
+    # fill 29/128) and measures 17% faster per-window apply than 2^24 —
+    # smaller tables mean smaller non-donated state copies and better
+    # scatter locality (scripts/profile_donate.py).  Growth replays if a
+    # longer survey exceeds it.
     effective = {}
     st, stats = map_ping_sequence(
         images, positions, quats, cfg,
-        initial_capacity=int(os.environ.get("BENCH_CAPACITY", str(1 << 24))),
+        initial_capacity=int(os.environ.get("BENCH_CAPACITY", str(1 << 22))),
         dtype=jnp.float32, window=window, effective=effective,
     )
     capacity = effective["capacity"]

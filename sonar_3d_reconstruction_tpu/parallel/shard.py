@@ -358,6 +358,8 @@ def make_window_scan_sharded(
     unique_budget: Optional[int] = None,
     window: int = 8,
     batch_budget: Optional[int] = None,
+    lane_budget: Optional[int] = None,
+    insert_budget: Optional[int] = None,
 ):
     """Build the sharded window-engine sequence runner:
     (state, images (P,R,B), transforms (P,4,4), start) -> (state, stats).
@@ -428,6 +430,7 @@ def make_window_scan_sharded(
         )
         new_local, stats = apply_records_batched(
             local, recs, auxs, cfg, batch_budget=batch_budget,
+            lane_budget=lane_budget, insert_budget=insert_budget,
             fail_reduce=lambda f: jax.lax.psum(
                 f.astype(jnp.int32), axis_name
             ) > 0,

@@ -261,3 +261,59 @@ def test_sharded_rehash_grow_and_replay(small_cfg):
     assert a.keys() == b.keys()
     for k in a:
         assert abs(a[k] - b[k]) < 1e-12
+
+
+def test_sharded_window_engine_snug_budgets(small_cfg):
+    """Sharded window engine with snug lane/insert budgets (grid/hash.py
+    budget gating) must be bit-identical to the unbudgeted sharded run;
+    per-shard needs psum to global batch_n_need for host sizing."""
+    from sonar_3d_reconstruction_tpu.parallel.shard import (
+        init_sharded_hash_grid,
+        make_window_scan_sharded,
+    )
+
+    cfg = small_cfg
+    n = 6
+    images = np.stack(
+        [synthetic_ping(cfg.image_height, cfg.image_width, seed=300 + i)
+         for i in range(n)]
+    )
+    positions, quats = circular_trajectory(n, radius=0.8)
+    T = batched_sonar_to_world(positions, quats, cfg)
+
+    mesh = make_mesh()
+    tables = build_fan_tables(cfg, cfg.image_height, cfg.image_width)
+
+    def run(lane_budget, insert_budget):
+        scan = make_window_scan_sharded(
+            mesh, tables, cfg, dtype=jnp.float64, window=3,
+            lane_budget=lane_budget, insert_budget=insert_budget,
+        )
+        st = init_sharded_hash_grid(
+            mesh, local_capacity=1 << 13, dtype=jnp.float64
+        )
+        return scan(st, jnp.asarray(images), jnp.asarray(T, jnp.float64))
+
+    st0, stats0 = run(None, None)
+    assert not np.asarray(stats0["overflowed"]).any()
+    # global (psum'd) per-window requirements measured by the run itself;
+    # per-SHARD budgets must cover the worst shard, bounded by the global
+    need = int(np.asarray(stats0["batch_n_need"]).max())
+    lanes = int(
+        (np.asarray(stats0["num_occupied"])
+         + np.asarray(stats0["num_free"])).reshape(-1, 3).sum(axis=1).max()
+    )
+    st1, stats1 = run(lanes + 8, need + 8)
+    assert not np.asarray(stats1["overflowed"]).any()
+    a, b = sharded_to_dict(st1), sharded_to_dict(st0)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k]
+
+    # an undersized insert budget must reject the window on EVERY shard
+    # (atomic all-or-nothing across the mesh)
+    st2, stats2 = run(None, 0)
+    assert np.asarray(stats2["overflowed"]).all()
+    assert np.asarray(stats2["insert_overflow"]).any()
+    assert np.asarray(st2.poisoned).all()
+    assert (np.asarray(st2.keys) == EMPTY).all()
