@@ -220,3 +220,23 @@ def extract_classified(
         probs = 1.0 / (1.0 + np.exp(-lo[flat_idx].astype(np.float64)))
         out[name] = (points, probs)
     return out
+
+
+def query_probability_dense(
+    state: DenseGridState, points, spec: DenseGridSpec, cfg
+) -> np.ndarray:
+    """Batched point query on the dense grid: (N, 3) world coords -> (N,)
+    occupancy probabilities; untouched / out-of-bounds voxels answer 0.5
+    (reference SimpleOctree.get_probability, 3d_mapper.py:122-126 — the
+    dict's 0.0 log-odds default)."""
+    pts = np.asarray(points, np.float64).reshape(-1, 3)
+    keys = np.floor(pts / spec.resolution).astype(np.int64)
+    idx3 = keys - np.asarray(spec.origin_key, np.int64)
+    shape = np.asarray(spec.shape, np.int64)
+    in_b = np.all((idx3 >= 0) & (idx3 < shape), axis=-1)
+    lin = (idx3[:, 0] * spec.shape[1] + idx3[:, 1]) * spec.shape[2] + idx3[:, 2]
+    lin = np.where(in_b, lin, 0)
+    lo = np.asarray(state.log_odds).astype(np.float64)[lin]
+    touched = np.asarray(state.touched)[lin]
+    lo = np.where(in_b & touched, lo, 0.0)
+    return 1.0 / (1.0 + np.exp(-lo))

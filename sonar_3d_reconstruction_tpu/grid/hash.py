@@ -732,3 +732,42 @@ def extract_classified_hash(
         probs = 1.0 / (1.0 + np.exp(-lo[m].astype(np.float64)))
         out[name] = (points, probs)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Point queries (reference SimpleOctree.get_log_odds / get_probability,
+# 3d_mapper.py:117-126, and the world_to_key / key_to_world pair :53-81) —
+# batched: the reference answers one coordinate per call from a Python
+# dict; the TPU-shaped equivalent resolves N query points in one bucket
+# row gather.
+# ---------------------------------------------------------------------------
+
+def query_log_odds(
+    state: HashGridState, points, cfg: MapperConfig
+) -> np.ndarray:
+    """Batched point query: (N, 3) world coords -> (N,) float log-odds,
+    0.0 where the voxel was never updated."""
+    pts = jnp.asarray(points, state.log_odds.dtype).reshape(-1, 3)
+    keys = voxel_keys(pts, cfg.voxel_resolution)
+    hi, lo_w, in_range = pack_keys(keys)
+    _, found, found_slot, _ = bucket_lookup(state.key_rows, hi, lo_w)
+    vals = state.log_odds[
+        jnp.minimum(found_slot, state.capacity - 1)
+    ]
+    zero = jnp.zeros((), state.log_odds.dtype)
+    return np.asarray(jnp.where(found & in_range, vals, zero))
+
+
+def query_probability(
+    state: HashGridState, points, cfg: MapperConfig
+) -> np.ndarray:
+    """Batched (N, 3) -> (N,) occupancy probabilities (reference
+    3d_mapper.py:122-126); never-updated voxels answer 0.5."""
+    lo = query_log_odds(state, points, cfg).astype(np.float64)
+    return 1.0 / (1.0 + np.exp(-lo))
+
+
+def keys_to_world(keys, resolution: float) -> np.ndarray:
+    """Voxel keys -> voxel CENTER coordinates (reference key_to_world,
+    3d_mapper.py:68-81: (key + 0.5) * resolution)."""
+    return (np.asarray(keys, np.float64) + 0.5) * resolution

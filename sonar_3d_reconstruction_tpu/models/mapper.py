@@ -388,6 +388,44 @@ class SonarMapper:
             "processed_count": self.processed_frame_count,
         }
 
+    def query_probabilities(self, points) -> np.ndarray:
+        """Batched point query: (N, 3) world coords -> (N,) occupancy
+        probabilities; never-updated voxels answer 0.5.  The TPU-shaped
+        form of the reference's per-point SimpleOctree.get_probability
+        (3d_mapper.py:122-126): one bucket row gather resolves every
+        query."""
+        if self.backend == "dense":
+            from sonar_3d_reconstruction_tpu.grid.dense import (
+                query_probability_dense,
+            )
+
+            return query_probability_dense(
+                self.state, points, self.dense_spec, self.cfg
+            )
+        from sonar_3d_reconstruction_tpu.grid.hash import query_probability
+
+        return query_probability(self.state, points, self.cfg)
+
+    def get_probability(self, x: float, y: float, z: float) -> float:
+        """Occupancy probability of the voxel containing (x, y, z)
+        (reference SimpleOctree.get_probability, 3d_mapper.py:122-126)."""
+        return float(self.query_probabilities([[x, y, z]])[0])
+
+    def get_log_odds(self, x: float, y: float, z: float) -> float:
+        """Log-odds of the voxel containing (x, y, z); 0.0 if never
+        updated (reference SimpleOctree.get_log_odds, 3d_mapper.py:117-120)."""
+        if self.backend == "dense":
+            p = self.get_probability(x, y, z)
+            return float(np.log(p / (1.0 - p)))
+        from sonar_3d_reconstruction_tpu.grid.hash import query_log_odds
+
+        return float(query_log_odds(self.state, [[x, y, z]], self.cfg)[0])
+
+    def clear(self) -> None:
+        """Alias of reset_map (reference SimpleOctree.clear,
+        3d_mapper.py:190-194)."""
+        self.reset_map()
+
     def reset_map(self) -> None:
         """Clear the map (reference reset_map, 3d_mapper.py:644-650)."""
         if self.backend == "dense":

@@ -155,3 +155,52 @@ def test_map_sequence_matches_per_ping(small_cfg):
     np.testing.assert_allclose(
         np.sort(c1["points"], axis=0), np.sort(c2["points"], axis=0)
     )
+
+
+def test_point_queries_match_golden(small_cfg):
+    """get_probability / get_log_odds / query_probabilities (reference
+    SimpleOctree 3d_mapper.py:117-126) on both backends vs the oracle."""
+    from conftest import circular_trajectory, synthetic_ping
+    from sonar_3d_reconstruction_tpu.golden import GoldenMapper
+    from sonar_3d_reconstruction_tpu.grid.hash import keys_to_world
+    from sonar_3d_reconstruction_tpu.models import SonarMapper
+
+    cfg = small_cfg
+    n = 3
+    images = [synthetic_ping(cfg.image_height, cfg.image_width, seed=400 + i)
+              for i in range(n)]
+    positions, quats = circular_trajectory(n)
+
+    g = GoldenMapper(cfg)
+    m = SonarMapper(cfg, dtype=jnp.float64)
+    md = SonarMapper(cfg, backend="dense", dtype=jnp.float64)
+    for img, p, q in zip(images, positions, quats):
+        g.process_ping(img, p, q)
+        m.process_sonar_image(img, p, q)
+        md.process_sonar_image(img, p, q)
+
+    keys = list(g.map.log_odds.keys())[:64]
+    pts = keys_to_world(np.asarray(keys), cfg.voxel_resolution)
+    want_lo = np.array([g.map.log_odds[k] for k in keys])
+    want_p = 1.0 / (1.0 + np.exp(-want_lo))
+
+    np.testing.assert_allclose(m.query_probabilities(pts), want_p,
+                               rtol=0, atol=1e-12)
+    np.testing.assert_allclose(md.query_probabilities(pts), want_p,
+                               rtol=0, atol=1e-12)
+    x, y, z = pts[0]
+    assert abs(m.get_probability(x, y, z) - want_p[0]) < 1e-12
+    assert abs(m.get_log_odds(x, y, z) - want_lo[0]) < 1e-12
+    assert abs(md.get_log_odds(x, y, z) - want_lo[0]) < 1e-9
+
+    # never-updated voxel -> log-odds 0.0 / probability 0.5 (reference
+    # voxels.get(key, 0.0)); far out-of-bounds on the dense backend too
+    far = np.array([[123.4, -345.6, 78.9]])
+    assert float(m.query_probabilities(far)[0]) == 0.5
+    assert float(md.query_probabilities(far)[0]) == 0.5
+    assert m.get_log_odds(*far[0]) == 0.0
+
+    # clear() is the reference SimpleOctree.clear alias
+    m.clear()
+    assert m.num_voxels == 0
+    assert float(m.query_probabilities(pts[:1])[0]) == 0.5
