@@ -89,15 +89,11 @@ def cmd_map_bag(args: argparse.Namespace) -> int:
     if args.offline:
         return _map_bag_offline(args, cfg, stream_cfg)
 
-    if args.window != 1:
-        print(
-            "warning: --window applies only with --offline (ignored)",
-            file=sys.stderr,
-        )
     mapper = StreamingMapper(
         cfg,
         stream_cfg,
         chunk_size=args.chunk,
+        window=args.window,
         dtype=jnp.float32,
     )
     t0 = time.perf_counter()
@@ -246,9 +242,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         "(fastest; no streaming publish)",
     )
     p.add_argument(
-        "--window", type=int, default=1,
-        help="offline engine window: >1 opts into the batched-apply engine "
-        "(one table interaction per window of pings)",
+        "--window", type=int, default=8,
+        help="batched-apply engine window (both streaming and --offline): "
+        "one set of table interactions per window of pings; 1 = per-ping",
     )
     p.add_argument("--save-map", default=None, metavar="OUT.npz")
     p.add_argument("--save-cloud", default=None, metavar="OUT.pc2")

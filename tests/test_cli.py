@@ -1,0 +1,55 @@
+"""CLI end-to-end: make-bag -> map-bag (streaming + offline) in-process.
+
+Mirrors the user commands from README Quick start; runs a small geometry
+so the CPU programs compile in seconds.  Streaming (windowed chunks) and
+the offline batch path must agree on the final cloud.
+"""
+
+import json
+
+import numpy as np
+
+from sonar_3d_reconstruction_tpu.cli import main
+from sonar_3d_reconstruction_tpu.io.checkpoint import load_map
+
+
+def run(capsys, *argv):
+    rc = main(list(argv))
+    out = capsys.readouterr().out
+    assert rc == 0, (argv, out)
+    return out
+
+
+def test_cli_make_map_roundtrip(tmp_path, capsys):
+    bag = str(tmp_path / "survey.db3")
+    run(capsys, "make-bag", bag, "--pings", "6", "--range-bins", "60",
+        "--bearing-bins", "48")
+
+    common = [
+        "--param", "max_range=5.0",
+        "--param", "voxel_resolution=0.1",
+    ]
+    cloud_s = str(tmp_path / "stream.pc2")
+    map_s = str(tmp_path / "stream.npz")
+    out = run(capsys, "map-bag", bag, *common, "--chunk", "4",
+              "--window", "2", "--save-cloud", cloud_s, "--save-map", map_s)
+    stats = json.loads(out.splitlines()[-1])
+    assert stats["frames_mapped"] == 6
+
+    cloud_o = str(tmp_path / "offline.pc2")
+    out = run(capsys, "map-bag", bag, *common, "--offline", "--window", "2",
+              "--save-cloud", cloud_o)
+    stats_o = json.loads(out.splitlines()[-1])
+    assert stats_o["pairs"] == 6
+
+    # streaming and offline replay the same frame set -> identical clouds
+    a = np.fromfile(cloud_s, np.float32).reshape(-1, 4)
+    b = np.fromfile(cloud_o, np.float32).reshape(-1, 4)
+    a = a[np.lexsort(a.T)]
+    b = b[np.lexsort(b.T)]
+    assert a.shape == b.shape and a.shape[0] > 0
+    np.testing.assert_array_equal(a, b)
+
+    # the saved checkpoint restores to the same number of voxels
+    state, meta = load_map(map_s)
+    assert int(np.asarray(state.used)) > 0

@@ -98,3 +98,25 @@ def test_stream_publish_callback(tmp_path, small_cfg):
     assert ((probs > 0) & (probs <= 1)).all()
     # occupied threshold honored: all published probabilities above min_probability
     assert (probs > cfg.min_probability).all()
+
+
+def test_stream_window_engine_matches_per_ping(tmp_path, small_cfg):
+    """Streaming with the windowed batched-apply engine (default) must be
+    bit-identical to window=1 per-ping streaming, including under growth
+    pressure (tiny initial capacity)."""
+    cfg = small_cfg
+    path, images, positions, quats = make_bag(tmp_path, cfg, 7, seed=140)
+    runs = {}
+    for window in (1, 3):
+        sm = StreamingMapper(
+            cfg, chunk_size=3, window=window, initial_capacity=1 << 7,
+            dtype=jnp.float64,
+        )
+        st = sm.run_bag(path)
+        assert st.frames_mapped == 7
+        runs[window] = (to_dict(sm.state), st.grows)
+    a, b = runs[1][0], runs[3][0]
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k]
+    assert runs[3][1] > 0  # growth actually exercised under window > 1
