@@ -16,6 +16,10 @@ for the non-ROS workflow:
       Generate a synthetic KIRO-style recording (test fixture; the real
       dataset is not distributable).
 
+  python -m sonar_3d_reconstruction_tpu query MAP.npz X,Y,Z [X,Y,Z ...]
+      Occupancy probability at world points from a saved snapshot
+      (reference SimpleOctree.get_probability semantics).
+
   python -m sonar_3d_reconstruction_tpu bench
       Run the headline benchmark (same as bench.py at the repo root).
 
@@ -199,6 +203,25 @@ def cmd_make_bag(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_query(args: argparse.Namespace) -> int:
+    """Point-query a saved map snapshot (reference SimpleOctree
+    get_probability semantics: never-updated voxels answer p=0.5)."""
+    from sonar_3d_reconstruction_tpu.grid.hash import query_probability
+    from sonar_3d_reconstruction_tpu.io.checkpoint import load_map
+
+    state, cfg = load_map(args.map)
+    pts = np.asarray(
+        [[float(v) for v in p.split(",")] for p in args.points], np.float64
+    )
+    if pts.shape[1] != 3:
+        print("each --point must be x,y,z", file=sys.stderr)
+        return 2
+    probs = query_probability(state, pts, cfg)
+    for p, pr in zip(pts, probs):
+        print(json.dumps({"point": list(p), "probability": float(pr)}))
+    return 0
+
+
 def cmd_bench(args: argparse.Namespace) -> int:
     import importlib.util
     import os
@@ -249,6 +272,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--save-map", default=None, metavar="OUT.npz")
     p.add_argument("--save-cloud", default=None, metavar="OUT.pc2")
 
+    p = sub.add_parser(
+        "query", help="occupancy probability at world points from a saved map"
+    )
+    p.add_argument("map", help=".npz snapshot from map-bag --save-map")
+    p.add_argument(
+        "points", nargs="+", metavar="X,Y,Z", help="query points (repeatable)"
+    )
+
     p = sub.add_parser("make-bag", help="generate a synthetic recording")
     p.add_argument("out")
     p.add_argument("--pings", type=int, default=60)
@@ -267,6 +298,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         "selftest": cmd_selftest,
         "map-bag": cmd_map_bag,
         "make-bag": cmd_make_bag,
+        "query": cmd_query,
         "bench": cmd_bench,
     }[args.cmd](args)
 

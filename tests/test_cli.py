@@ -53,3 +53,21 @@ def test_cli_make_map_roundtrip(tmp_path, capsys):
     # the saved checkpoint restores to the same number of voxels
     state, meta = load_map(map_s)
     assert int(np.asarray(state.used)) > 0
+
+
+def test_cli_query_saved_map(tmp_path, capsys):
+    bag = str(tmp_path / "q.db3")
+    run(capsys, "make-bag", bag, "--pings", "4", "--range-bins", "60",
+        "--bearing-bins", "48")
+    map_p = str(tmp_path / "q.npz")
+    run(capsys, "map-bag", bag, "--param", "max_range=5.0",
+        "--param", "voxel_resolution=0.1", "--offline", "--save-map", map_p)
+
+    state, cfg = load_map(map_p)
+    from sonar_3d_reconstruction_tpu.grid.hash import extract_occupied_hash
+    pts, probs = extract_occupied_hash(state, cfg)
+    x, y, z = pts[0]
+    out = run(capsys, "query", map_p, f"{x},{y},{z}", "99.0,99.0,99.0")
+    rows = [json.loads(l) for l in out.splitlines()]
+    assert abs(rows[0]["probability"] - probs[0]) < 1e-6
+    assert rows[1]["probability"] == 0.5
