@@ -1,10 +1,11 @@
 """Phase-level wall-clock profile at the EXACT bench configuration.
 
 Reproduces bench.py's inputs and its warmup-measured snug budgets
-(unique=122880, batch=221184, lane=688128, fan_cap=10 on the default
-synthetic survey) and times each dispatch kind with chained async calls +
-one scalar sync (CLAUDE.md bench protocol), so the per-phase numbers add
-up to the bench's measured ms/ping.
+(unique=122880, batch=221184, lane=688128, insert=[221184, 122880],
+fan_cap=10, capacity 2^22 on the default synthetic survey) and times each
+dispatch kind with chained async calls + one scalar sync (CLAUDE.md bench
+protocol), so the per-phase numbers add up to the bench's measured
+ms/ping.
 
 Sub-phases of the records program are timed as standalone jitted programs
 on one ping at the same shapes (their sum slightly exceeds the fused
@@ -39,7 +40,8 @@ cfg = MapperConfig()
 N_PINGS = 64
 WINDOW = 8
 UNIQUE, BATCH, LANE = 122880, 221184, 688128  # bench-measured snug budgets
-CAPACITY = 1 << 24
+IB = [221184, 122880]  # cold / warm insert budgets (bench default)
+CAPACITY = 1 << 22     # bench default capacity
 
 images, positions, quats = make_inputs(cfg, N_PINGS)
 fan_cap = required_fan_cap(images, cfg, cfg.image_height)
@@ -91,10 +93,13 @@ st0 = init_hash_grid(CAPACITY, jnp.float32)
 
 def apply_chain(rep):
     st = st0._replace(used=st0.used + rep)
-    for _ in range(N_PINGS // WINDOW):
-        st, _stats = _apply_batched(st, recs, auxs, cfg=cfg,
-                                    batch_budget=BATCH, lane_budget=LANE)
-    return int(st.used)
+    for w in range(N_PINGS // WINDOW):
+        st, stats = _apply_batched(
+            st, recs, auxs, cfg=cfg, batch_budget=BATCH, lane_budget=LANE,
+            insert_budget=IB[0] if w == 0 else IB[1])
+    used = int(st.used)
+    assert used > rep and not bool(np.asarray(stats["overflowed"]).any())
+    return used
 
 timeit(f"apply_batched x{N_PINGS//WINDOW} (per ping)", apply_chain,
        per=N_PINGS)

@@ -210,12 +210,19 @@ def cmd_query(args: argparse.Namespace) -> int:
     from sonar_3d_reconstruction_tpu.io.checkpoint import load_map
 
     state, cfg = load_map(args.map)
-    pts = np.asarray(
-        [[float(v) for v in p.split(",")] for p in args.points], np.float64
-    )
-    if pts.shape[1] != 3:
-        print("each --point must be x,y,z", file=sys.stderr)
-        return 2
+    rows = []
+    for p in args.points:
+        parts = p.split(",")
+        if len(parts) != 3:
+            print(f"point {p!r}: expected X,Y,Z", file=sys.stderr)
+            return 2
+        try:
+            rows.append([float(v) for v in parts])
+        except ValueError:
+            print(f"point {p!r}: coordinates must be numbers",
+                  file=sys.stderr)
+            return 2
+    pts = np.asarray(rows, np.float64)
     probs = query_probability(state, pts, cfg)
     for p, pr in zip(pts, probs):
         print(json.dumps({"point": list(p), "probability": float(pr)}))

@@ -88,6 +88,23 @@ def voxel_keys(points: jnp.ndarray, resolution: float) -> jnp.ndarray:
     return jnp.floor(points / resolution).astype(jnp.int32)
 
 
+def linearize_keys(keys, spec: DenseGridSpec):
+    """Integer voxel keys -> (in_bounds mask, linear cell index).
+
+    The single implementation of the grid's key -> cell mapping, shared by
+    the update scatter path and the point-query path (works on jnp or np
+    arrays — both expose the same indexing ops)."""
+    if isinstance(keys, np.ndarray):
+        origin, shape = np.asarray(spec.origin_key), np.asarray(spec.shape)
+    else:
+        origin = jnp.asarray(spec.origin_key, jnp.int32)
+        shape = jnp.asarray(spec.shape, jnp.int32)
+    idx3 = keys - origin
+    in_bounds = (idx3 >= 0).all(axis=-1) & (idx3 < shape).all(axis=-1)
+    lin = (idx3[..., 0] * spec.shape[1] + idx3[..., 1]) * spec.shape[2]         + idx3[..., 2]
+    return in_bounds, lin
+
+
 def update_dense_grid(
     state: DenseGridState,
     candidates: Dict[str, jnp.ndarray],
@@ -108,13 +125,10 @@ def update_dense_grid(
     valid = candidates["valid"]
 
     keys = voxel_keys(pts, spec.resolution)
-    idx3 = keys - jnp.asarray(spec.origin_key, jnp.int32)
-    shape = jnp.asarray(spec.shape, jnp.int32)
-    in_bounds = jnp.all((idx3 >= 0) & (idx3 < shape), axis=-1)
+    in_bounds, lin = linearize_keys(keys, spec)
     ok = valid & in_bounds
 
     n = spec.num_cells
-    lin = (idx3[:, 0] * spec.shape[1] + idx3[:, 1]) * spec.shape[2] + idx3[:, 2]
     # route dropped candidates one-past-the-end; every scatter uses mode='drop'
     lin = jnp.where(ok, lin, n)
 
@@ -231,10 +245,7 @@ def query_probability_dense(
     dict's 0.0 log-odds default)."""
     pts = np.asarray(points, np.float64).reshape(-1, 3)
     keys = np.floor(pts / spec.resolution).astype(np.int64)
-    idx3 = keys - np.asarray(spec.origin_key, np.int64)
-    shape = np.asarray(spec.shape, np.int64)
-    in_b = np.all((idx3 >= 0) & (idx3 < shape), axis=-1)
-    lin = (idx3[:, 0] * spec.shape[1] + idx3[:, 1]) * spec.shape[2] + idx3[:, 2]
+    in_b, lin = linearize_keys(keys, spec)
     lin = np.where(in_b, lin, 0)
     lo = np.asarray(state.log_odds).astype(np.float64)[lin]
     touched = np.asarray(state.touched)[lin]

@@ -176,6 +176,8 @@ class InsertPlan(NamedTuple):
     n_inserted: jnp.ndarray  # () int32
     n_need: jnp.ndarray      # () int32 keys that REQUIRED insertion (host
     #                             signal for sizing snug insert budgets)
+    budget_overflow: jnp.ndarray  # () bool n_need exceeded the plan budget
+    #                             (also folded into ``overflowed``)
 
 
 def plan_insert(
@@ -236,7 +238,7 @@ def plan_insert(
     return InsertPlan(
         s_hi=s_hi, s_lo=s_lo, s_bkt=s_bkt, pos_c=pos_c, fits=fits,
         slots=slots, overflowed=overflowed, n_inserted=n_inserted,
-        n_need=n_need,
+        n_need=n_need, budget_overflow=budget_overflow,
     )
 
 
@@ -538,9 +540,7 @@ def apply_records_batched(
         state.key_rows, c_hi, c_lo, need, bucket, fill,
         budget=insert_budget,
     )
-    insert_overflow = plan.n_need > (
-        ub if insert_budget is None else min(int(insert_budget), ub)
-    )
+    insert_overflow = plan.budget_overflow
 
     range_fail = jnp.any(auxs.range_fail)
     # per-frame unique-budget overflow: NOT the .overflowed property (that
@@ -746,9 +746,21 @@ def query_log_odds(
     state: HashGridState, points, cfg: MapperConfig
 ) -> np.ndarray:
     """Batched point query: (N, 3) world coords -> (N,) float log-odds,
-    0.0 where the voxel was never updated."""
-    pts = jnp.asarray(points, state.log_odds.dtype).reshape(-1, 3)
-    keys = voxel_keys(pts, cfg.voxel_resolution)
+    0.0 where the voxel was never updated.
+
+    Quantization happens on the HOST in float64 (reference world_to_key
+    3d_mapper.py:53-66 is float64 NumPy): flooring query coordinates in
+    the map's compute dtype (f32 in production) would resolve
+    voxel-boundary points to a neighboring cell and break parity with
+    both the reference and the dense backend."""
+    pts = np.asarray(points, np.float64).reshape(-1, 3)
+    # clip far outside the packable range before the int cast (pack_keys'
+    # in_range check rejects them; the clip just keeps the cast defined)
+    keys = jnp.asarray(
+        np.clip(
+            np.floor(pts / cfg.voxel_resolution), -(2**30), 2**30
+        ).astype(np.int32)
+    )
     hi, lo_w, in_range = pack_keys(keys)
     _, found, found_slot, _ = bucket_lookup(state.key_rows, hi, lo_w)
     vals = state.log_odds[

@@ -373,6 +373,12 @@ def make_window_scan_sharded(
     failure flag is psum-reduced before any write), so grow+replay matches
     the single-chip window engine bit-for-bit.
 
+    ``lane_budget`` / ``insert_budget`` are PER-SHARD static ints (this
+    builder is lru_cached and compiles ONE window program, so the
+    per-window [cold, warm] list scan_pings_hash accepts is not supported
+    here — size the insert budget for the worst window, or start from a
+    pre-warmed sharded state).
+
     Backprojection runs replicated inside the shard body (each shard
     re-derives the candidate stream rather than all-gathering an 80 MB
     window of candidates over ICI; it is a small fraction of the step).

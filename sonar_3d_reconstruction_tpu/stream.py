@@ -24,7 +24,6 @@ import jax.numpy as jnp
 
 from sonar_3d_reconstruction_tpu.config import MapperConfig, StreamConfig
 from sonar_3d_reconstruction_tpu.grid.hash import (
-    DEFAULT_UNIQUE_BUDGET,
     extract_occupied_hash,
     init_hash_grid,
     rehash,
@@ -204,9 +203,22 @@ class StreamingMapper:
                     "±2^19-cell range — check odometry frame offsets"
                 )
             if bool(np.asarray(stats["unique_overflow"])[tail].any()):
-                self._unique_budget = (
-                    self._unique_budget or DEFAULT_UNIQUE_BUDGET
-                ) * 2
+                from sonar_3d_reconstruction_tpu.grid.hash import (
+                    default_unique_budget,
+                )
+
+                # double from the budget actually in effect (the snug
+                # geometry-derived default, NOT the global
+                # DEFAULT_UNIQUE_BUDGET — same over-allocation fix as
+                # map_ping_sequence / models.mapper, ADVICE r1)
+                self._unique_budget = 2 * (
+                    self._unique_budget
+                    or default_unique_budget(
+                        self._tables.candidates_per_ping(
+                            self.cfg.occupied_window
+                        )
+                    )
+                )
                 # the batch budget derives from the unique budget by
                 # default; re-derive it from the grown value
                 self._batch_budget = None

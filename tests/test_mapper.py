@@ -204,3 +204,37 @@ def test_point_queries_match_golden(small_cfg):
     m.clear()
     assert m.num_voxels == 0
     assert float(m.query_probabilities(pts[:1])[0]) == 0.5
+
+
+def test_point_query_boundary_quantization_f32_map(small_cfg):
+    """Query quantization must happen in float64 on the host (reference
+    world_to_key is f64 NumPy): on a float32 map, a coordinate just under
+    a voxel boundary must NOT resolve to the neighboring cell (review r2
+    finding)."""
+    from sonar_3d_reconstruction_tpu.grid.hash import (
+        bucket_lookup,
+        init_hash_grid,
+        insert_unique,
+        query_log_odds,
+    )
+    from sonar_3d_reconstruction_tpu.ops.packing import pack_keys
+
+    cfg = small_cfg
+    res = cfg.voxel_resolution
+    # float32 map: the old in-dtype flooring collapses boundary queries
+    st = init_hash_grid(1 << 10, jnp.float32)
+    # occupy voxel key (2, 0, 0) with a known value
+    hi, lo, _ = pack_keys(jnp.asarray([[2, 0, 0]], jnp.int32))
+    bucket, found, _slot, fill = bucket_lookup(st.key_rows, hi, lo)
+    rows, slots, over, _n = insert_unique(
+        st.key_rows, hi, lo, ~found, bucket, fill
+    )
+    assert not bool(over)
+    st = st._replace(
+        key_rows=rows, log_odds=st.log_odds.at[slots[0]].set(1.5)
+    )
+    eps = res * 1e-12  # f64-representable, vanishes in f32
+    below = [[2 * res - eps, eps, eps]]   # inside voxel 1 (f64), rounds to
+    inside = [[2 * res + eps, eps, eps]]  # voxel 2 under f32 flooring
+    assert float(query_log_odds(st, below, cfg)[0]) == 0.0
+    assert float(query_log_odds(st, inside, cfg)[0]) == 1.5
