@@ -78,7 +78,7 @@ def main():
     # needs (growth doubles them; the timed runs must reuse the grown values
     # or their first window overflows).  2^22 holds the survey's ~940k
     # voxels at load 0.22 (Poisson bucket-overflow still negligible at mean
-    # fill 29/128) and measures 17% faster per-window apply than 2^24 —
+    # fill 29/128) and measures ~14% faster per-window apply than 2^24 —
     # smaller tables mean smaller non-donated state copies and better
     # scatter locality (scripts/profile_donate.py).  Growth replays if a
     # longer survey exceeds it.
