@@ -324,9 +324,16 @@ struct Lz4Api {
     bool ok = false;
 };
 
+// RTLD_LOCAL is load-bearing: the process ALSO hosts Python's
+// zstandard.backend_c extension (jax's compilation cache compresses with
+// it), and injecting a different libzstd's symbols into the global
+// namespace (RTLD_GLOBAL) lets lazy binding interpose mismatched-ABI
+// symbols into that extension — observed as nondeterministic segfaults
+// inside the jax cache's (de)serialization late in long test runs.  All
+// access here is via dlsym on the handle, so LOCAL costs nothing.
 void* dlopen_any(const char* a, const char* b) {
-    void* h = dlopen(a, RTLD_NOW | RTLD_GLOBAL);
-    return h ? h : dlopen(b, RTLD_NOW | RTLD_GLOBAL);
+    void* h = dlopen(a, RTLD_NOW | RTLD_LOCAL);
+    return h ? h : dlopen(b, RTLD_NOW | RTLD_LOCAL);
 }
 
 const ZstdApi& zstd_api() {

@@ -5,11 +5,36 @@ toolchain; the persistent cache turns warm-process startup into seconds
 (measured 78.8 s -> 2.9 s for a representative scatter program).  Entry
 points (bench, CLI, tests, driver hooks) call ``enable()`` explicitly —
 importing the library does NOT set global config.
+
+CPU-platform processes use a per-host subdirectory: XLA:CPU AOT
+executables bake in the compile machine's CPU features, and loading an
+entry produced by a DIFFERENT host warns about mismatched features and
+can segfault outright (observed: a full-suite run crashed inside
+``compilation_cache.get_executable_and_time`` deserializing an entry a
+previous host had written).  TPU entries stay in the shared root — they
+are compiled for the TPU target and host-independent.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
+import platform as _platform
+
+
+def _host_fingerprint() -> str:
+    """Stable id of this host's CPU feature set (see module docstring)."""
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    raw = f"{_platform.machine()}|{flags}"
+    return hashlib.md5(raw.encode()).hexdigest()[:12]
 
 
 def enable(cache_dir: str | None = None) -> str:
@@ -22,6 +47,9 @@ def enable(cache_dir: str | None = None) -> str:
             os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__)))), ".jax_cache"),
         )
+    plats = str(jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", ""))
+    if "cpu" in plats:
+        cache_dir = os.path.join(cache_dir, "cpu-" + _host_fingerprint())
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     return cache_dir
