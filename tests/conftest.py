@@ -32,6 +32,20 @@ import pytest  # noqa: E402
 from sonar_3d_reconstruction_tpu.config import MapperConfig  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _bound_compiler_state():
+    """Reset jit/compiler caches between test modules.
+
+    One long pytest process accumulates hundreds of compiled XLA:CPU
+    executables; past ~140 tests, serializing the next persistent-cache
+    entry segfaulted inside XLA (observed repeatedly at the same suite
+    position, never in standalone/module runs).  Clearing per module
+    bounds that in-process state; persistent-cache hits keep the
+    recompiles cheap."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def small_cfg() -> MapperConfig:
     """Small-geometry config keeping the golden oracle fast in tests."""
