@@ -47,8 +47,14 @@ def enable(cache_dir: str | None = None) -> str:
             os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__)))), ".jax_cache"),
         )
-    plats = str(jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", ""))
-    if "cpu" in plats:
+    # Only the FIRST (highest-priority) platform decides: sitecustomize
+    # pins "axon,cpu" on the TPU host, where compiles target the TPU and
+    # must keep hitting the shared root cache (remote compiles cost
+    # minutes); a plain "cpu" pin (tests, dryrun) gets the per-host dir.
+    plats = str(
+        jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+    )
+    if plats.split(",")[0].strip() == "cpu":
         cache_dir = os.path.join(cache_dir, "cpu-" + _host_fingerprint())
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
