@@ -110,7 +110,8 @@ def full(rep):
     st, stats = scan_pings_hash(
         st, images_dev.at[0, 0, 0].set(np.uint8(rep % 251)), T_dev,
         tables=tables, cfg=cfg, dtype=jnp.float32, unique_budget=UNIQUE,
-        window=WINDOW, batch_budget=BATCH, lane_budget=LANE)
+        window=WINDOW, batch_budget=BATCH, lane_budget=LANE,
+        insert_budget=IB)
     return int(st.used)
 
 timeit(f"full engine {N_PINGS} pings (per ping)", full, per=N_PINGS)

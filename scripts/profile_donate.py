@@ -85,8 +85,6 @@ def apply_donated(ib):
 
 for cap_log in (24, 22):
     cap = 1 << cap_log
-    st0 = init_hash_grid(cap, jnp.float32)
-    jax.block_until_ready(st0)
 
     for name, mk in (("plain", apply_plain), ("donated", apply_donated)):
         # window 0 of a fresh map inserts ~all its uniques: it MUST run at

@@ -345,6 +345,17 @@ def default_unique_budget(n_candidates: int) -> int:
     return min(budget, DEFAULT_UNIQUE_BUDGET)
 
 
+def effective_unique_budget(tables, cfg: MapperConfig) -> int:
+    """The unique budget a host-driven engine is effectively running with
+    when none was given explicitly — the single implementation every
+    grow-from-effective-value path doubles from (stream.py, pipeline.py,
+    models/mapper.py; growing from the global DEFAULT over-allocates by up
+    to 32x on small geometries, ADVICE r1)."""
+    return default_unique_budget(
+        tables.candidates_per_ping(cfg.occupied_window)
+    )
+
+
 def apply_frame_records(
     state: HashGridState,
     rec,   # ops.dedup.UniqueRecords

@@ -204,7 +204,7 @@ class StreamingMapper:
                 )
             if bool(np.asarray(stats["unique_overflow"])[tail].any()):
                 from sonar_3d_reconstruction_tpu.grid.hash import (
-                    default_unique_budget,
+                    effective_unique_budget,
                 )
 
                 # double from the budget actually in effect (the snug
@@ -213,11 +213,7 @@ class StreamingMapper:
                 # map_ping_sequence / models.mapper, ADVICE r1)
                 self._unique_budget = 2 * (
                     self._unique_budget
-                    or default_unique_budget(
-                        self._tables.candidates_per_ping(
-                            self.cfg.occupied_window
-                        )
-                    )
+                    or effective_unique_budget(self._tables, self.cfg)
                 )
                 # the batch budget derives from the unique budget by
                 # default; re-derive it from the grown value
@@ -228,14 +224,12 @@ class StreamingMapper:
             ):
                 from sonar_3d_reconstruction_tpu.grid.hash import (
                     default_batch_budget,
-                    default_unique_budget,
+                    effective_unique_budget,
                 )
 
                 if self._batch_budget is None:
-                    ub = self._unique_budget or default_unique_budget(
-                        self._tables.candidates_per_ping(
-                            self.cfg.occupied_window
-                        )
+                    ub = self._unique_budget or effective_unique_budget(
+                        self._tables, self.cfg
                     )
                     self._batch_budget = default_batch_budget(
                         min(self.window, self.chunk_size), ub

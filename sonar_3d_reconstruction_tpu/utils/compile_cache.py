@@ -28,7 +28,8 @@ def _host_fingerprint() -> str:
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
+                # x86 spells it "flags", aarch64 "Features"
+                if line.startswith(("flags", "Features")):
                     flags = " ".join(sorted(line.split(":", 1)[1].split()))
                     break
     except OSError:
@@ -47,14 +48,17 @@ def enable(cache_dir: str | None = None) -> str:
             os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__)))), ".jax_cache"),
         )
-    # Only the FIRST (highest-priority) platform decides: sitecustomize
-    # pins "axon,cpu" on the TPU host, where compiles target the TPU and
-    # must keep hitting the shared root cache (remote compiles cost
-    # minutes); a plain "cpu" pin (tests, dryrun) gets the per-host dir.
-    plats = str(
-        jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
-    )
-    if plats.split(",")[0].strip() == "cpu":
+    # The EFFECTIVE backend decides (this initializes it, which every
+    # entry point does moments later anyway): on the TPU host sitecustomize
+    # pins "axon,cpu" and the tpu backend keeps hitting the shared root
+    # cache (remote compiles cost minutes) — but if the tunnel fails to
+    # initialize and jax falls back to cpu, or the platform is pinned to
+    # cpu (tests), CPU AOT entries go to the per-host dir.
+    try:
+        on_cpu = jax.default_backend() == "cpu"
+    except Exception:  # no backend at all: cache dir is moot, pick safe
+        on_cpu = True
+    if on_cpu:
         cache_dir = os.path.join(cache_dir, "cpu-" + _host_fingerprint())
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -120,3 +120,29 @@ def test_stream_window_engine_matches_per_ping(tmp_path, small_cfg):
     for k in a:
         assert a[k] == b[k]
     assert runs[3][1] > 0  # growth actually exercised under window > 1
+
+
+def test_stream_unique_budget_growth(tmp_path, small_cfg):
+    """Unique-budget overflow mid-stream: the regrow branch must double
+    from the budget actually in effect (not the global default) and
+    converge to the exact map (review r2: this branch was untested)."""
+    cfg = small_cfg
+    path, images, positions, quats = make_bag(tmp_path, cfg, 5, seed=150)
+    sm = StreamingMapper(
+        cfg, chunk_size=5, window=2, initial_capacity=1 << 13,
+        dtype=jnp.float64,
+    )
+    sm._unique_budget = 64  # far below the frames' unique counts
+    st = sm.run_bag(path)
+    assert st.frames_mapped == 5
+    assert st.grows >= 1
+    assert sm._unique_budget > 64  # doubled from the effective value
+    assert sm._unique_budget <= 1 << 14  # snug growth, no 2^18 jump
+    direct, _ = map_ping_sequence(
+        images, positions, quats, cfg, initial_capacity=1 << 13,
+        dtype=jnp.float64,
+    )
+    a, b = to_dict(sm.state), to_dict(direct)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k]
