@@ -116,49 +116,8 @@ def full(rep):
 
 timeit(f"full engine {N_PINGS} pings (per ping)", full, per=N_PINGS)
 
-# --- records sub-phases, standalone programs on ping 0 ---
-img0 = images_dev[0]
-T0 = T_dev[0]
-
-
-@jax.jit
-def bp_only(image, T):
-    cand = backproject_ping(image, T, tables, cfg, dtype=jnp.float32)
-    return cand["points"].sum() + cand["valid"].sum()
-
-
-def bp_chain(rep):
-    acc = None
-    for k in range(8):
-        acc = bp_only(img0.at[0, 0].set(np.uint8((rep * 8 + k) % 251)), T0)
-    return float(acc)
-
-timeit("  backproject_ping alone (per ping, x8 chain)", bp_chain, per=8)
-
-from sonar_3d_reconstruction_tpu.ops.dedup import dedup_frame
-from sonar_3d_reconstruction_tpu.ops.packing import pack_keys
-
-cand0 = jax.jit(
-    lambda im, T: backproject_ping(im, T, tables, cfg, dtype=jnp.float32)
-)(img0, T0)
-keys0 = jnp.floor(cand0["points"] / cfg.voxel_resolution).astype(jnp.int32)
-hi0, lo0, inr0 = jax.jit(pack_keys)(keys0)
-valid0 = cand0["valid"] & inr0
-occ0 = cand0["is_occupied"]
-jax.block_until_ready((hi0, lo0, valid0, occ0))
-
-
-@jax.jit
-def dd_only(hi, lo, occ, valid):
-    rec = dedup_frame(hi, lo, occ, valid, UNIQUE)
-    return rec.n_unique
-
-
-def dd_chain(rep):
-    acc = None
-    for k in range(8):
-        acc = dd_only(hi0 + np.uint32(0), lo0,
-                      occ0, valid0.at[rep * 8 + k].set(False))
-    return int(acc)
-
-timeit("  dedup_frame alone (per ping, x8 chain)", dd_chain, per=8)
+# NOTE: standalone sub-phase programs (backproject-only, dedup-only) were
+# removed: measured standalone they each cost MORE than the whole fused
+# records program (XLA materializes boundaries the fused program never
+# pays), so their numbers misled rather than informed.  Sub-records
+# attribution needs the op-level trace (scripts/profile_trace.py).
