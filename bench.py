@@ -107,6 +107,7 @@ def main():
     batch_budget = effective["batch_budget"]
     lane_budget = None
     insert_budget = None
+    dedup_lane_budget = 0
 
     # Snug non-pow2 budgets measured from the warmup (deployments tune these
     # once per sensor/environment; growth protects correctness if exceeded).
@@ -119,12 +120,15 @@ def main():
             (np.asarray(stats["num_occupied"])
              + np.asarray(stats["num_free"])).max()
         )
-        # the dedup compaction slice is 2*unique_budget lanes and must also
-        # cover the frame's VALID candidates (ops/dedup.py lane budget)
+        # the unique budget bounds DISTINCT voxels only; the dedup
+        # compaction slice covers VALID candidates via its own explicit
+        # lane budget (ops/dedup.py), so U — and the (B, U) window sort,
+        # scans and stats that scale with it — stays snug to the measured
+        # per-frame unique counts
         max_valid = int(np.asarray(stats["num_candidates"]).max())
-        snug_u = min(
-            max(_round_up(1.25 * max_frame), _round_up(0.55 * max_valid)),
-            unique_budget,
+        snug_u = min(_round_up(1.25 * max_frame), unique_budget)
+        dedup_lane_budget = max(
+            _round_up(1.1 * max_valid), snug_u
         )
         snug_b = batch_budget
         if "batch_n_unique" in stats:
@@ -171,6 +175,7 @@ def main():
             unique_budget=unique_budget, window=window,
             batch_budget=batch_budget, lane_budget=lane_budget,
             insert_budget=insert_budget,
+            dedup_lane_budget=dedup_lane_budget,
         )
         assert not bool(np.asarray(stats["overflowed"]).any())
         return int(st.used)  # forces real completion (not just dispatch)
@@ -184,6 +189,7 @@ def main():
         batch_budget = effective["batch_budget"]
         lane_budget = None
         insert_budget = None
+        dedup_lane_budget = 0
         run(0)
     best = float("inf")
     for rep in range(1, reps + 1):
@@ -213,6 +219,7 @@ def main():
                     "batch_budget": batch_budget,
                     "lane_budget": lane_budget,
                     "insert_budget": insert_budget,
+                    "dedup_lane_budget": dedup_lane_budget,
                     "fan_cap": tables.nvo_cap,
                 },
             }

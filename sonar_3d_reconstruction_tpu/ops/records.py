@@ -43,8 +43,18 @@ def frame_records(
     unique_budget: int,
     dtype=jnp.float32,
     frame_on=None,
+    dedup_lane_budget: int = 0,
 ) -> Tuple[UniqueRecords, FrameAux]:
-    """One ping -> (UniqueRecords, FrameAux). Pure, state-independent."""
+    """One ping -> (UniqueRecords, FrameAux). Pure, state-independent.
+
+    ``dedup_lane_budget`` (optional) is dedup_frame's compaction-slice
+    width: it must cover the frame's VALID candidates, while
+    ``unique_budget`` only bounds its DISTINCT voxels.  Decoupling them
+    lets hosts with measured statistics shrink the (U,)-wide record
+    arrays — and the window sort, scans and stats that scale with U —
+    without the compaction-coverage constraint inflating U (~14% on the
+    bench survey).  Both overflows report through ``n_unique``.
+    """
     cand = backproject_ping(image, T_sonar_to_world, tables, cfg, dtype=dtype)
     valid = cand["valid"]
     if frame_on is not None:
@@ -55,7 +65,10 @@ def frame_records(
     range_fail = jnp.any(valid & ~in_range)
     valid = valid & in_range
 
-    rec = dedup_frame(hi, lo, cand["is_occupied"], valid, unique_budget)
+    rec = dedup_frame(
+        hi, lo, cand["is_occupied"], valid, unique_budget,
+        lane_budget=dedup_lane_budget,
+    )
 
     centers = (keys.astype(dtype) + 0.5) * cfg.voxel_resolution
     inf = jnp.asarray(jnp.inf, dtype)

@@ -169,7 +169,10 @@ def _apply_batched(
 
 @partial(
     jax.jit,
-    static_argnames=("tables", "cfg", "dtype", "unique_budget", "window"),
+    static_argnames=(
+        "tables", "cfg", "dtype", "unique_budget", "window",
+        "dedup_lane_budget",
+    ),
 )
 def _records_window(
     images,       # (P, R, B) full stacked sequence
@@ -183,6 +186,7 @@ def _records_window(
     dtype,
     unique_budget: int,
     window: int,
+    dedup_lane_budget: int = 0,
 ):
     """Records for a whole window of pings in ONE dispatch.
 
@@ -201,7 +205,8 @@ def _records_window(
         T = jax.lax.dynamic_index_in_dim(transforms, idx, 0, keepdims=False)
         frame_on = (idx >= start) & (idx < stop)
         return frame_records(
-            image, T, tables, cfg, unique_budget, dtype, frame_on=frame_on
+            image, T, tables, cfg, unique_budget, dtype, frame_on=frame_on,
+            dedup_lane_budget=dedup_lane_budget,
         )
 
     return jax.lax.map(body, jnp.arange(window, dtype=jnp.int32))
@@ -222,6 +227,7 @@ def scan_pings_hash(
     batch_budget=None,
     lane_budget=None,
     insert_budget=None,
+    dedup_lane_budget=0,
 ) -> Tuple[HashGridState, Dict[str, jnp.ndarray]]:
     """Whole ping sequence -> hashed map (host-driven chain of dispatches;
     see the design note above).  Frames outside [start, stop) contribute
@@ -293,6 +299,7 @@ def scan_pings_hash(
             images_dev, T_dev, jnp.int32(w), start, stop,
             tables=tables, cfg=cfg, dtype=dtype,
             unique_budget=unique_budget, window=window,
+            dedup_lane_budget=dedup_lane_budget,
         )
         state, stats = _apply_batched(
             state, recs, auxs, cfg=cfg, batch_budget=batch_budget,

@@ -282,3 +282,61 @@ def test_insert_budget_snug_and_overflow(small_cfg):
     np.testing.assert_array_equal(
         np.asarray(stats2["batch_n_need"])[:3], need[:3]
     )
+
+
+def test_dedup_lane_budget_decoupled(small_cfg):
+    """records-side decoupling (ops/records.frame_records dedup_lane_budget):
+    a snug unique budget + explicit compaction lane budget reproduces the
+    map bit-for-bit; an undersized lane budget reports through the
+    unique-overflow channel (all-or-nothing)."""
+    from sonar_3d_reconstruction_tpu.grid.hash import init_hash_grid
+    from sonar_3d_reconstruction_tpu.ops.backproject import build_fan_tables
+    from sonar_3d_reconstruction_tpu.pipeline import (
+        batched_sonar_to_world,
+        scan_pings_hash,
+    )
+
+    cfg = small_cfg
+    images, positions, quats = make_sequence(cfg, 6, seed=64)
+    eff = {}
+    ref, ref_stats = map_ping_sequence(
+        images, positions, quats, cfg, dtype=jnp.float64, window=3,
+        effective=eff,
+    )
+    tables = build_fan_tables(
+        cfg, cfg.image_height, cfg.image_width, fan_cap=eff["fan_cap"]
+    )
+    T = jnp.asarray(batched_sonar_to_world(positions, quats, cfg),
+                    jnp.float64)
+    max_frame = int(
+        (np.asarray(ref_stats["num_occupied"])
+         + np.asarray(ref_stats["num_free"])).max()
+    )
+    max_valid = int(np.asarray(ref_stats["num_candidates"]).max())
+    snug_u = max_frame + 32
+    dlb = max(max_valid + 64, snug_u)
+
+    def run(u, lane):
+        st = init_hash_grid(eff["capacity"], jnp.float64)
+        return scan_pings_hash(
+            st, jnp.asarray(images), T, tables=tables, cfg=cfg,
+            dtype=jnp.float64, unique_budget=u, window=3,
+            batch_budget=eff["batch_budget"], dedup_lane_budget=lane,
+        )
+
+    st1, stats1 = run(snug_u, dlb)
+    assert not bool(np.asarray(stats1["overflowed"]).any())
+    a, b = hash_state_to_dict(st1), hash_state_to_dict(ref)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k], k
+    for key in ("num_occupied", "num_free", "num_candidates"):
+        np.testing.assert_array_equal(
+            np.asarray(stats1[key]), np.asarray(ref_stats[key]), key
+        )
+
+    # lane budget below the frames' valid-candidate counts: rejected via
+    # the unique-overflow channel (growth's doubling remedy raises both)
+    st2, stats2 = run(snug_u, max(snug_u, max_valid // 2))
+    assert bool(np.asarray(stats2["overflowed"]).any())
+    assert bool(np.asarray(stats2["unique_overflow"]).any())
