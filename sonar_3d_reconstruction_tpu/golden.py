@@ -125,6 +125,8 @@ class GoldenMapper:
             np.asarray(cfg.sonar_orientation, dtype=np.float64),
         )
         self.frame_count = 0
+        # per-frame emission counts (reference frame_update_counts :308, :525)
+        self.last_frame_counts: Dict[Key, int] = {}
         # bearing table (3d_mapper.py:295-299); rebuilt on width change (511-517)
         self._bearing_width = cfg.image_width
         self._bearings = self._bearing_table(cfg.image_width)
@@ -239,6 +241,11 @@ class GoldenMapper:
                 slot[0] += lo
                 slot[1] += 1
                 slot[2] = slot[2] or is_occ  # occupied priority (:544-545)
+
+        # the reference's per-frame emission-count debug dict
+        # (frame_update_counts, 3d_mapper.py:525, 550): parity oracle for
+        # SonarMapper.frame_update_counts
+        self.last_frame_counts = {k: c for k, (_, c, _) in acc.items()}
 
         num_occ = num_free = 0
         for key, (s, c, is_occ) in acc.items():  # averaged apply (:553-567)

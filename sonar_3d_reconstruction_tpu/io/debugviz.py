@@ -46,14 +46,22 @@ def show(
     window: str = "sonar_3d_mapper debug",
     wait_ms: int = 1,
 ) -> Optional[np.ndarray]:
-    """Display the overlay in an OpenCV window when cv2 is available;
-    always returns the overlay array."""
-    rgb = threshold_overlay(polar_image, cfg)
-    try:  # pragma: no cover - optional dependency
-        import cv2
+    """Display the overlay in an OpenCV window when cv2 is available AND a
+    display exists; always returns the overlay array.
 
-        cv2.imshow(window, rgb[:, :, ::-1])  # BGR
-        cv2.waitKey(wait_ms)
-    except ImportError:
-        pass
+    Headless guard: cv2.imshow without a windowing backend does not raise —
+    it aborts the process — so the display attempt is gated on $DISPLAY /
+    $WAYLAND_DISPLAY being set (the reference node assumes a desktop,
+    scripts/3d_mapper_node.py:288-290)."""
+    rgb = threshold_overlay(polar_image, cfg)
+    import os
+
+    if os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY"):
+        try:  # pragma: no cover - optional dependency + needs a desktop
+            import cv2
+
+            cv2.imshow(window, rgb[:, :, ::-1])  # BGR
+            cv2.waitKey(wait_ms)
+        except Exception:
+            pass
     return rgb

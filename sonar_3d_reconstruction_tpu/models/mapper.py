@@ -119,11 +119,17 @@ class SonarMapper:
         self._tables: Optional[FanTables] = None
         # static per-frame unique-voxel budget; doubled on unique_overflow
         self._unique_budget: Optional[int] = None
-        # optional per-voxel update-count histogram (reference debug stats,
+        # optional per-voxel update-count histograms (reference debug stats,
         # 3d_mapper.py:306-308, 549-551, printed every 10 frames :575-585);
-        # host-side dict keyed by voxel triple, fed from per-frame uniques
+        # host-side dicts keyed by voxel triple, fed from per-frame unique
+        # records.  Counts are candidate EMISSIONS (the reference increments
+        # once per ray emission, :550-551) — already aggregated per voxel in
+        # rec.count, so surfacing them costs nothing extra.
+        # ``frame_update_counts`` covers only the most recent frame
+        # (cleared per frame, reference :525).
         self.track_update_counts = track_update_counts
         self.voxel_update_counts: Dict[Tuple[int, int, int], int] = {}
+        self.frame_update_counts: Dict[Tuple[int, int, int], int] = {}
         self.frame_count = 0
         self.processed_frame_count = 0
         self.last_processing_time = 0.0
@@ -293,8 +299,9 @@ class SonarMapper:
 
     # ------------------------------------------------------------------
     def _record_update_counts(self, image_dev, T_dev, tables) -> None:
-        """Debug path (reference voxel_update_counts, 3d_mapper.py:306-308,
-        549-551): count how many frames touched each voxel.  Recomputes the
+        """Debug path (reference voxel_update_counts / frame_update_counts,
+        3d_mapper.py:306-308, 525, 549-551): count candidate EMISSIONS per
+        voxel — per frame and accumulated over the run.  Recomputes the
         frame's unique records — roughly doubles per-ping cost, so it is
         opt-in like the reference's debug prints."""
         from sonar_3d_reconstruction_tpu.grid.hash import default_unique_budget
@@ -320,15 +327,49 @@ class SonarMapper:
             budget *= 2
             self._unique_budget = budget
         keys = np.asarray(unpack_keys(rec.hi, rec.lo))
-        for k in map(tuple, keys[np.asarray(rec.valid)]):
-            self.voxel_update_counts[k] = self.voxel_update_counts.get(k, 0) + 1
+        valid = np.asarray(rec.valid)
+        counts = np.asarray(rec.count)[valid]
+        self.frame_update_counts = {}  # reset per frame (reference :525)
+        for k, c in zip(map(tuple, keys[valid]), counts):
+            c = int(c)
+            self.frame_update_counts[k] = c
+            self.voxel_update_counts[k] = self.voxel_update_counts.get(k, 0) + c
 
     def update_count_histogram(self) -> Dict[int, int]:
-        """{updates-per-voxel: number-of-voxels} (reference print :575-585)."""
+        """{emissions-per-voxel: number-of-voxels} (reference print :575-585)."""
         hist: Dict[int, int] = {}
         for c in self.voxel_update_counts.values():
             hist[c] = hist.get(c, 0) + 1
         return dict(sorted(hist.items()))
+
+    def frame_update_stats(self) -> Dict[str, float]:
+        """The reference's per-frame debug aggregates (3d_mapper.py:575-585):
+        max/avg emissions per touched voxel in the LAST frame, the running
+        max across all frames, and voxels with >10 emissions this frame.
+        Empty dict when nothing was tracked (mirrors the ``if`` guard :575)."""
+        if not self.frame_update_counts:
+            return {}
+        vals = self.frame_update_counts.values()
+        return {
+            "max_updates_frame": max(vals),
+            "avg_updates_frame": sum(vals) / len(vals),
+            "max_updates_total": max(self.voxel_update_counts.values()),
+            "voxels_over_10_frame": sum(1 for v in vals if v > 10),
+        }
+
+    def format_frame_update_stats(self) -> str:
+        """The reference's every-10-frames debug block (3d_mapper.py:579-585),
+        one string instead of prints."""
+        s = self.frame_update_stats()
+        if not s:
+            return ""
+        return (
+            f"[DEBUG] Frame {self.frame_count}:\n"
+            f"  Max updates in frame: {s['max_updates_frame']}\n"
+            f"  Avg updates in frame: {s['avg_updates_frame']:.1f}\n"
+            f"  Max total updates: {s['max_updates_total']}\n"
+            f"  Voxels with >10 updates in frame: {s['voxels_over_10_frame']}"
+        )
 
     def format_update_histogram(self) -> str:
         hist = self.update_count_histogram()
@@ -436,3 +477,4 @@ class SonarMapper:
         self.processed_frame_count = 0
         self.total_processing_time = 0.0
         self.voxel_update_counts.clear()
+        self.frame_update_counts.clear()

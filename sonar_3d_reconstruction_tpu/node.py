@@ -86,6 +86,9 @@ _NODE_PARAM_DEFAULTS: Dict[str, Any] = {
     "pointcloud_topic": "/sonar_3d_map",
     "marker_topic": "/sonar_3d_map_markers",
     "publish_rate_hz": 10.0,
+    # reference node:105 (read :154, used per frame :338-339; prod config
+    # enables it, config/3d_mapper.yaml:62)
+    "show_opencv_visualization": False,
 }
 
 
@@ -125,6 +128,7 @@ class SonarMapperNode(Node):  # pragma: no cover - needs a ROS2 environment
         ]
         self.mapper = SonarMapper(lib_config)
         self.show_free_space = bool(p("show_free_space"))
+        self.show_opencv_visualization = bool(p("show_opencv_visualization"))
         self.map_frame_id = str(p("map_frame_id"))
 
         if bool(p("publish_tf")):
@@ -175,6 +179,13 @@ class SonarMapperNode(Node):  # pragma: no cover - needs a ROS2 environment
         except Exception as e:  # drop-and-log ANY decode failure (node:313-316)
             self.get_logger().error(f"image decode failed: {e}")
             return
+        # per-frame threshold overlay (reference node:338-339 calling
+        # visualize_with_threshold :249-292); headless-safe — debugviz.show
+        # only opens a window when OpenCV is importable
+        if self.show_opencv_visualization:
+            from sonar_3d_reconstruction_tpu.io import debugviz
+
+            self.last_debug_overlay = debugviz.show(img, self.mapper.cfg)
         pos = odom_msg.pose.pose.position
         q = odom_msg.pose.pose.orientation
         stats = self.mapper.process_sonar_image(

@@ -112,21 +112,39 @@ def test_dense_backend_equivalence(small_cfg):
 
 
 def test_update_count_tracking(small_cfg):
-    """Opt-in per-voxel update-count histogram (reference debug stats,
-    3d_mapper.py:306-308, 549-551)."""
+    """Opt-in per-voxel EMISSION-count histograms (reference debug stats,
+    3d_mapper.py:306-308, 525, 549-551): counts must equal the golden
+    oracle's per-frame accumulation counts exactly."""
     cfg = small_cfg
     m = SonarMapper(cfg, initial_capacity=1 << 13, dtype=jnp.float64,
                     track_update_counts=True)
+    g = GoldenMapper(cfg)
     img = synthetic_ping(cfg.image_height, cfg.image_width, seed=33)
     m.process_sonar_image(img, [0, 0, 0], [0, 0, 0, 1])
+    g.process_ping(img, [0, 0, 0], [0, 0, 0, 1])
+    # per-frame dict == reference frame_update_counts (emissions, not frames)
+    assert m.frame_update_counts == g.last_frame_counts
     m.process_sonar_image(img, [0, 0, 0], [0, 0, 0, 1])  # same pose twice
+    g.process_ping(img, [0, 0, 0], [0, 0, 0, 1])
+    assert m.frame_update_counts == g.last_frame_counts
+    # accumulated totals: every voxel saw both (identical) frames
+    assert m.voxel_update_counts == {
+        k: 2 * c for k, c in g.last_frame_counts.items()
+    }
     hist = m.update_count_histogram()
-    assert set(hist) == {2}  # every touched voxel updated in both frames
     assert sum(hist.values()) == m.num_voxels
-    report = m.format_update_histogram()
-    assert "2 updates" in report.replace("   2", "2")
+    # per-frame debug aggregates (reference :575-585)
+    s = m.frame_update_stats()
+    counts = list(g.last_frame_counts.values())
+    assert s["max_updates_frame"] == max(counts)
+    assert abs(s["avg_updates_frame"] - sum(counts) / len(counts)) < 1e-12
+    assert s["max_updates_total"] == 2 * max(counts)
+    assert s["voxels_over_10_frame"] == sum(1 for v in counts if v > 10)
+    report = m.format_frame_update_stats()
+    assert "Max updates in frame" in report
     m.reset_map()
     assert m.update_count_histogram() == {}
+    assert m.frame_update_stats() == {}
 
 
 def test_map_sequence_matches_per_ping(small_cfg):

@@ -244,6 +244,33 @@ def test_periodic_stats_log(node_env):
     assert any("frame 10" in m and "skew" in m for m in infos)
 
 
+def test_opencv_visualization_wiring(node_env):
+    """``show_opencv_visualization`` (reference node:105, :154, :338-339):
+    when enabled, every synchronized frame produces the threshold overlay
+    before mapping; disabled (the reference default) leaves the path cold."""
+    from sonar_3d_reconstruction_tpu.io.debugviz import threshold_overlay
+
+    node = _make_node(node_env, **{"show_opencv_visualization": True})
+    assert node.show_opencv_visualization is True
+    sonar_sub, odom_sub = node._sync.subscribers
+    img = synthetic_ping(32, 24, seed=77)
+    sonar_sub.deliver(_image_msg(img, 90.0))
+    odom_sub.deliver(_odom_msg((0.0, 0.0, 0.0), 90.02))
+    assert node.mapper.frame_count == 1
+    overlay = node.last_debug_overlay
+    assert overlay is not None and overlay.shape == (32, 24, 3)
+    np.testing.assert_array_equal(
+        overlay, threshold_overlay(img, node.mapper.cfg)
+    )
+
+    off = _make_node(node_env)  # default False (reference node:105)
+    assert off.show_opencv_visualization is False
+    s_sub, o_sub = off._sync.subscribers
+    s_sub.deliver(_image_msg(img, 91.0))
+    o_sub.deliver(_odom_msg((0.0, 0.0, 0.0), 91.02))
+    assert not hasattr(off, "last_debug_overlay")
+
+
 def test_main_spin_and_shutdown_stats(node_env):
     """main() spins, then logs final map stats and shuts down cleanly
     (reference node:530-556)."""
