@@ -697,12 +697,72 @@ def rehash(state: HashGridState, new_capacity: int) -> HashGridState:
 
 
 # ---------------------------------------------------------------------------
-# Host-side extraction (reference get_occupied_voxels / classified,
-# 3d_mapper.py:127-188)
+# Extraction (reference get_occupied_voxels / classified,
+# 3d_mapper.py:127-188) — device-side compaction, O(occupied) host transfer.
+#
+# The publish path runs at 10 Hz (reference node:227-231) and the reference's
+# own full-dict scan was flagged hot at scale (SURVEY.md 3.3).  Pulling the
+# whole table to host is O(capacity) — ~64 MB per tick at 2^22 slots — so
+# extraction instead compacts ON DEVICE with one stable sort on a small
+# class key (selected voxels sort to the front, preserving slot order) and
+# transfers only the occupied prefix: (hi, lo, value) ~ 12 bytes per
+# selected voxel.  Probabilities/centers are finished on the host in
+# float64, exactly as before.
 # ---------------------------------------------------------------------------
 
 def occupied_key_mask(state: HashGridState) -> np.ndarray:
     return np.asarray(state.key_hi) != np.uint32(EMPTY_HI)
+
+
+def _exact_gt_threshold(thr: float, dtype) -> jnp.ndarray:
+    """Device threshold t such that ``x > t`` in ``dtype`` equals the host's
+    float64 comparison ``float64(x) > thr`` for every representable x.
+
+    float32 values are exact in float64, so the f64 predicate partitions the
+    f32 number line at thr; the largest representable value <= thr is the
+    equivalent f32 cut point.  Without this, a value between f32(thr) and
+    thr would classify differently on device than the host/golden path."""
+    if dtype == jnp.float64:
+        return jnp.asarray(thr, dtype)
+    t32 = np.float32(thr)
+    if np.float64(t32) > thr:
+        t32 = np.nextafter(t32, np.float32(-np.inf))
+    return jnp.asarray(t32, dtype)
+
+
+@jax.jit
+def _compact_by_class(key_rows, log_odds, class_key):
+    """Stable-sort (class_key, hi, lo, value) so class 0 voxels lead, then
+    class 1, ... — one device sort, no host-side masking at capacity."""
+    hi = key_rows[:, :BUCKET_SLOTS].reshape(-1)
+    lo = key_rows[:, BUCKET_SLOTS:].reshape(-1)
+    counts = jnp.bincount(class_key, length=8)
+    _, s_hi, s_lo, s_val = jax.lax.sort(
+        (class_key.astype(jnp.uint32), hi, lo, log_odds), num_keys=1
+    )
+    return s_hi, s_lo, s_val, counts
+
+
+def _unpack_np(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
+    """Host unpack of packed voxel codes (ops/packing.unpack_keys in numpy)."""
+    from sonar_3d_reconstruction_tpu.ops.packing import AXIS_BITS
+
+    bias = np.int64(1 << (AXIS_BITS - 1))
+    hi = hi.astype(np.uint32)
+    lo = lo.astype(np.uint32)
+    x = (hi >> np.uint32(12)).astype(np.int64)
+    y = (((hi & np.uint32(0xFFF)) << np.uint32(8)) | (lo >> np.uint32(20))).astype(np.int64)
+    z = (lo & np.uint32(0xFFFFF)).astype(np.int64)
+    return (np.stack([x, y, z], axis=-1) - bias).astype(np.int32)
+
+
+def _pull_prefix(arrays, n: int):
+    """Transfer only the first n lanes of each device array (padded to a
+    power of two so at most log2(C) slice programs ever compile)."""
+    if n == 0:
+        return [np.empty((0,), np.asarray(a[:1]).dtype) for a in arrays]
+    n_pad = min(1 << (n - 1).bit_length(), arrays[0].shape[0])
+    return [np.asarray(a[:n_pad])[:n] for a in arrays]
 
 
 def extract_occupied_hash(
@@ -711,37 +771,56 @@ def extract_occupied_hash(
     from sonar_3d_reconstruction_tpu.ops.logodds import probability_to_log_odds
 
     thr = probability_to_log_odds(cfg.min_probability, cfg)
-    lo = np.asarray(state.log_odds)
-    mask = occupied_key_mask(state) & (lo > thr)
-    keys = np.asarray(state.keys)[mask]
-    points = (keys.astype(np.float64) + 0.5) * cfg.voxel_resolution
-    probs = 1.0 / (1.0 + np.exp(-lo[mask].astype(np.float64)))
-    return points, probs
+    t = _exact_gt_threshold(thr, state.log_odds.dtype)
+    occ = (state.key_hi != EMPTY_HI) & (state.log_odds > t)
+    s_hi, s_lo, s_val, counts = _compact_by_class(
+        state.key_rows, state.log_odds, jnp.where(occ, 0, 1).astype(jnp.int32)
+    )
+    n = int(counts[0])
+    hi, lo, val = _pull_prefix((s_hi, s_lo, s_val), n)
+    points = (_unpack_np(hi, lo).astype(np.float64) + 0.5) * cfg.voxel_resolution
+    probs = 1.0 / (1.0 + np.exp(-val.astype(np.float64)))
+    return points.reshape(-1, 3), probs
 
 
 def extract_classified_hash(
     state: HashGridState, cfg: MapperConfig
 ) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
-    lo = np.asarray(state.log_odds)
-    touched = occupied_key_mask(state)
-    all_keys = np.asarray(state.keys)
     free_thr = np.log(0.3 / 0.7)
     occ_thr = np.log(cfg.min_probability / (1.0 - cfg.min_probability))
+    dtype = state.log_odds.dtype
+    lo_v = state.log_odds
+    touched = state.key_hi != EMPTY_HI
     # if/elif classification (reference 3d_mapper.py:169-176): free wins,
     # then occupied, else unknown — mutually exclusive even when
-    # min_probability < 0.3 puts occ_thr below free_thr
-    free_m = touched & (lo < free_thr)
-    occ_m = touched & ~free_m & (lo > occ_thr)
-    masks = {
-        "free": free_m,
-        "occupied": occ_m,
-        "unknown": touched & ~free_m & ~occ_m,
-    }
+    # min_probability < 0.3 puts occ_thr below free_thr.  ``x < free_thr``
+    # == ``NOT (x >= free_thr)``; the f64-exact cut for >= is the smallest
+    # representable value >= thr, i.e. the > cut shifted one ulp — using
+    # ~(x > t_ge_pred) with t from the predecessor logic keeps f32 parity.
+    free_m = touched & ~(lo_v > _exact_gt_threshold(
+        np.nextafter(free_thr, -np.inf), dtype
+    ))
+    occ_m = touched & ~free_m & (lo_v > _exact_gt_threshold(occ_thr, dtype))
+    unk_m = touched & ~free_m & ~occ_m
+    class_key = jnp.where(
+        free_m, 0, jnp.where(occ_m, 1, jnp.where(unk_m, 2, 3))
+    ).astype(jnp.int32)
+    s_hi, s_lo, s_val, counts = _compact_by_class(
+        state.key_rows, lo_v, class_key
+    )
+    n_free, n_occ, n_unk = int(counts[0]), int(counts[1]), int(counts[2])
+    total = n_free + n_occ + n_unk
+    hi, lo, val = _pull_prefix((s_hi, s_lo, s_val), total)
     out = {}
-    for name, m in masks.items():
-        points = (all_keys[m].astype(np.float64) + 0.5) * cfg.voxel_resolution
-        probs = 1.0 / (1.0 + np.exp(-lo[m].astype(np.float64)))
-        out[name] = (points, probs)
+    for name, start, n in (
+        ("free", 0, n_free),
+        ("occupied", n_free, n_occ),
+        ("unknown", n_free + n_occ, n_unk),
+    ):
+        h, l, v = hi[start:start + n], lo[start:start + n], val[start:start + n]
+        points = (_unpack_np(h, l).astype(np.float64) + 0.5) * cfg.voxel_resolution
+        probs = 1.0 / (1.0 + np.exp(-v.astype(np.float64)))
+        out[name] = (points.reshape(-1, 3), probs)
     return out
 
 

@@ -19,6 +19,7 @@ emit compressed-chunk files (``chunk_compression=``) for fixtures/recording.
 from __future__ import annotations
 
 import struct
+import zlib
 from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
@@ -42,6 +43,10 @@ OP_SCHEMA = 0x03
 OP_CHANNEL = 0x04
 OP_MESSAGE = 0x05
 OP_CHUNK = 0x06
+OP_MESSAGE_INDEX = 0x07
+OP_CHUNK_INDEX = 0x08
+OP_STATISTICS = 0x0B
+OP_SUMMARY_OFFSET = 0x0E
 OP_DATA_END = 0x0F
 
 
@@ -77,17 +82,30 @@ def _decode_chunk(payload: memoryview) -> memoryview:
     Decompression prefers the native library (system libzstd/liblz4 via
     dlopen, no Python deps); the optional ``zstandard``/``lz4`` modules are
     fallbacks.  The decoded length is validated against the chunk header's
-    uncompressed_size either way.
+    uncompressed_size either way, and a nonzero ``uncompressed_crc`` is
+    verified over the (decompressed) records bytes — the spec's 0 value
+    means "not computed" and is the only case that skips the check, so a
+    silently corrupted chunk (compressed or not) cannot present as a
+    successfully mapped bag segment.
     """
+
+    def _check_crc(records_bytes) -> None:
+        if crc != 0 and zlib.crc32(records_bytes) != crc:
+            raise ValueError(
+                f"corrupt mcap chunk: uncompressed records CRC32 "
+                f"0x{zlib.crc32(records_bytes):08x} != header 0x{crc:08x}"
+            )
+
     (uncompressed_size,) = struct.unpack_from("<Q", payload, 16)
     pos = 8 + 8 + 8  # message start/end times, uncompressed_size
-    (_crc,) = struct.unpack_from("<I", payload, pos)
+    (crc,) = struct.unpack_from("<I", payload, pos)
     pos += 4
     compression, pos = _read_str(payload, pos)
     (rec_len,) = struct.unpack_from("<Q", payload, pos)
     pos += 8
     records = payload[pos : pos + rec_len]
     if compression == "":
+        _check_crc(records)
         return records
     if compression not in ("lz4", "zstd"):
         raise NotImplementedError(f"mcap chunk compression {compression!r}")
@@ -95,9 +113,9 @@ def _decode_chunk(payload: memoryview) -> memoryview:
     from sonar_3d_reconstruction_tpu.io import native
 
     if native.available() and native.codec_available(compression):
-        return memoryview(
-            native.decompress(compression, bytes(records), uncompressed_size)
-        )
+        inner = native.decompress(compression, bytes(records), uncompressed_size)
+        _check_crc(inner)
+        return memoryview(inner)
     if compression == "lz4":
         try:
             import lz4.frame  # type: ignore
@@ -121,6 +139,7 @@ def _decode_chunk(payload: memoryview) -> memoryview:
             f"corrupt {compression} mcap chunk: header claims "
             f"{uncompressed_size} uncompressed bytes, got {len(inner)}"
         )
+    _check_crc(inner)
     return memoryview(inner)
 
 
@@ -218,7 +237,14 @@ class McapWriter:
     {"zstd", "lz4"} all message records are buffered into compressed chunk
     records (flushed every ``chunk_size`` bytes and at close) using the
     native codecs — this is how rosbag2's default recordings look, and the
-    fixture used to test the compressed reader path.
+    fixture used to test the compressed reader path.  ``"store"`` buffers
+    into UNCOMPRESSED chunk records (compression string "").
+
+    Chunk headers carry a real CRC32 of the uncompressed records (validated
+    by the reader), and ``close`` emits a spec-shaped Summary section the
+    way rosbag2 recordings end: repeated Schema/Channel records, a
+    ChunkIndex per chunk, Statistics, SummaryOffset groups, and a Footer
+    with ``summary_start`` + ``summary_crc`` filled in.
     """
 
     def __init__(
@@ -227,7 +253,7 @@ class McapWriter:
         chunk_compression: str = "",
         chunk_size: int = 1 << 22,
     ):
-        if chunk_compression not in ("", "zstd", "lz4"):
+        if chunk_compression not in ("", "store", "zstd", "lz4"):
             raise ValueError(f"unsupported compression {chunk_compression!r}")
         self._compression = chunk_compression
         self._chunk_size = chunk_size
@@ -240,6 +266,14 @@ class McapWriter:
         self._write(OP_HEADER, self._str("ros2") + self._str("sonar3d-tpu"))
         self._schema_ids: Dict[str, int] = {}
         self._channel_ids: Dict[str, int] = {}
+        # summary-section bookkeeping
+        self._schema_records: List[bytes] = []
+        self._channel_records: List[bytes] = []
+        self._chunk_indexes: List[bytes] = []
+        self._msg_count = 0
+        self._msg_counts: Dict[int, int] = {}  # channel -> count
+        self._msg_t0: Optional[int] = None
+        self._msg_t1 = 0
 
     @staticmethod
     def _str(s: str) -> bytes:
@@ -267,17 +301,32 @@ class McapWriter:
     def _flush_chunk(self) -> None:
         if not self._chunk_buf:
             return
-        from sonar_3d_reconstruction_tpu.io import native
-
         records = b"".join(self._chunk_buf)
-        compressed = native.compress(self._compression, records)
-        self._write(
-            OP_CHUNK,
+        if self._compression == "store":
+            compression, compressed = "", records
+        else:
+            from sonar_3d_reconstruction_tpu.io import native
+
+            compression = self._compression
+            compressed = native.compress(compression, records)
+        chunk_start = self._f.tell()
+        payload = (
             struct.pack("<QQQI", self._chunk_t0 or 0, self._chunk_t1,
-                        len(records), 0)
-            + self._str(self._compression)
+                        len(records), zlib.crc32(records))
+            + self._str(compression)
             + struct.pack("<Q", len(compressed))
-            + compressed,
+            + compressed
+        )
+        self._write(OP_CHUNK, payload)
+        # ChunkIndex for the summary section (no per-chunk MessageIndex
+        # records are written, so message_index_offsets is empty / length 0)
+        self._chunk_indexes.append(
+            struct.pack("<QQQQ", self._chunk_t0 or 0, self._chunk_t1,
+                        chunk_start, 9 + len(payload))
+            + struct.pack("<I", 0)   # empty message_index_offsets map
+            + struct.pack("<Q", 0)   # message_index_length
+            + self._str(compression)
+            + struct.pack("<QQ", len(compressed), len(records))
         )
         self._chunk_buf = []
         self._chunk_bytes = 0
@@ -288,18 +337,20 @@ class McapWriter:
         if typ not in self._schema_ids:
             sid = len(self._schema_ids) + 1
             self._schema_ids[typ] = sid
-            self._write(
-                OP_SCHEMA,
+            payload = (
                 struct.pack("<H", sid) + self._str(typ) + self._str("ros2msg")
-                + struct.pack("<I", 0),
+                + struct.pack("<I", 0)
             )
+            self._write(OP_SCHEMA, payload)
+            self._schema_records.append(payload)
         cid = len(self._channel_ids) + 1
         self._channel_ids[name] = cid
-        self._write(
-            OP_CHANNEL,
+        payload = (
             struct.pack("<HH", cid, self._schema_ids[typ])
-            + self._str(name) + self._str("cdr") + struct.pack("<I", 0),
+            + self._str(name) + self._str("cdr") + struct.pack("<I", 0)
         )
+        self._write(OP_CHANNEL, payload)
+        self._channel_records.append(payload)
         return cid
 
     def write(self, topic: str, stamp_sec: float, msg) -> None:
@@ -309,18 +360,67 @@ class McapWriter:
             else encode_odometry_msg(msg)
         )
         t_ns = int(round(stamp_sec * 1e9))
+        cid = self._channel_ids[topic]
+        self._msg_count += 1
+        self._msg_counts[cid] = self._msg_counts.get(cid, 0) + 1
+        self._msg_t0 = t_ns if self._msg_t0 is None else min(self._msg_t0, t_ns)
+        self._msg_t1 = max(self._msg_t1, t_ns)
         self._write_message(
-            struct.pack(
-                "<HIQQ", self._channel_ids[topic], 0, t_ns, t_ns
-            ) + blob,
+            struct.pack("<HIQQ", cid, 0, t_ns, t_ns) + blob,
             t_ns,
         )
 
     def close(self) -> None:
         self._flush_chunk()
         self._write(OP_DATA_END, struct.pack("<I", 0))
-        # minimal footer: no summary section
-        self._write(OP_FOOTER, struct.pack("<QQI", 0, 0, 0))
+
+        # ---- Summary section (spec layout, as rosbag2 recordings end):
+        # repeated Schema + Channel records, ChunkIndex per chunk,
+        # Statistics, then SummaryOffset groups and a Footer whose
+        # summary_start/summary_offset_start/summary_crc are real.
+        summary_start = self._f.tell()
+
+        def group(op: int, payloads: List[bytes]) -> bytes:
+            return b"".join(
+                struct.pack("<BQ", op, len(p)) + p for p in payloads
+            )
+
+        counts = b"".join(
+            struct.pack("<HQ", cid, n)
+            for cid, n in sorted(self._msg_counts.items())
+        )
+        statistics = (
+            struct.pack(
+                "<QHIIII", self._msg_count, len(self._schema_records),
+                len(self._channel_records), 0, 0, len(self._chunk_indexes),
+            )
+            + struct.pack("<QQ", self._msg_t0 or 0, self._msg_t1)
+            + struct.pack("<I", len(counts)) + counts
+        )
+        groups = [
+            (OP_SCHEMA, group(OP_SCHEMA, self._schema_records)),
+            (OP_CHANNEL, group(OP_CHANNEL, self._channel_records)),
+            (OP_CHUNK_INDEX, group(OP_CHUNK_INDEX, self._chunk_indexes)),
+            (OP_STATISTICS, group(OP_STATISTICS, [statistics])),
+        ]
+        offsets = []
+        pos = summary_start
+        summary = b""
+        for op, g in groups:
+            if g:
+                offsets.append(struct.pack("<BQQ", op, pos, len(g)))
+                summary += g
+                pos += len(g)
+        summary_offset_start = pos
+        summary += group(OP_SUMMARY_OFFSET, offsets)
+
+        # footer summary_crc covers [summary_start .. footer's
+        # summary_offset_start field inclusive] (mcap spec, Footer record)
+        footer_prefix = struct.pack("<BQ", OP_FOOTER, 20) + struct.pack(
+            "<QQ", summary_start, summary_offset_start
+        )
+        crc = zlib.crc32(summary + footer_prefix)
+        self._f.write(summary + footer_prefix + struct.pack("<I", crc))
         self._f.write(MAGIC)
         self._f.close()
 

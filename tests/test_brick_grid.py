@@ -1,0 +1,270 @@
+"""Brick backend (sparse hash of dense voxel bricks, grid/brick.py):
+exactness vs the golden oracle and the voxel-hash backend, growth/replay,
+touched-bit semantics, extraction and queries."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sonar_3d_reconstruction_tpu.golden import GoldenMapper
+from sonar_3d_reconstruction_tpu.ops.packing import EMPTY_HI, unpack_brick_keys
+from sonar_3d_reconstruction_tpu.pipeline import map_ping_sequence
+
+from conftest import circular_trajectory, synthetic_ping
+from test_pipeline import golden_run, hash_state_to_dict, make_sequence
+
+
+def brick_state_to_dict(state):
+    """{(kx,ky,kz): log_odds} over TOUCHED voxels of a BrickGridState."""
+    hi = np.asarray(state.key_hi)
+    lo = np.asarray(state.key_lo)
+    occ = hi != np.uint32(EMPTY_HI)
+    rows = np.asarray(state.log_odds)[occ]
+    touched = np.asarray(state.touched)[occ]
+    vol = state.brick_volume
+    bb = state.brick_bits
+    base = np.asarray(
+        unpack_brick_keys(jnp.asarray(hi[occ]), jnp.asarray(lo[occ]), bb)
+    )
+    per = min(32, vol)
+    bits = ((touched[:, :, None] >> np.arange(per, dtype=np.uint32)) & 1)
+    bits = bits.astype(bool).reshape(len(rows), -1)[:, :vol]
+    out = {}
+    b = 1 << bb
+    off = np.arange(vol)
+    offs = np.stack([off >> (2 * bb), (off >> bb) & (b - 1), off & (b - 1)],
+                    axis=-1)
+    for i in range(len(rows)):
+        for v in np.nonzero(bits[i])[0]:
+            key = tuple(base[i] + offs[v])
+            out[key] = rows[i, v]
+    return out
+
+
+def test_brick_matches_golden(small_cfg):
+    """Multi-ping float64 run through backend='brick' must reproduce the
+    golden oracle exactly (same bar as the voxel hash backend)."""
+    cfg = small_cfg
+    images, positions, quats = make_sequence(cfg, 7, seed=310)
+    state, stats = map_ping_sequence(
+        images, positions, quats, cfg, backend="brick",
+        dtype=jnp.float64, window=3,
+    )
+    g = golden_run(cfg, images, positions, quats)
+    got = brick_state_to_dict(state)
+    assert len(got) == len(g.map.log_odds)
+    for key, lo_gold in g.map.log_odds.items():
+        assert abs(got[key] - lo_gold) < 1e-12, key
+    # per-frame stats vs golden
+    g2 = GoldenMapper(cfg)
+    for i, (img, p, q) in enumerate(zip(images, positions, quats)):
+        s = g2.process_ping(img, p, q)
+        assert int(stats["num_occupied"][i]) == s["num_occupied"]
+        assert int(stats["num_free"][i]) == s["num_free"]
+    assert int(state.used) == len(g.map.log_odds)
+
+
+def test_brick_matches_hash_backend(small_cfg):
+    """Brick and voxel-hash backends are bit-identical in float64: same
+    voxel set, same log-odds, same bounds."""
+    cfg = small_cfg
+    images, positions, quats = make_sequence(cfg, 6, seed=320)
+    hs, hstats = map_ping_sequence(
+        images, positions, quats, cfg, dtype=jnp.float64, window=3,
+    )
+    bs, bstats = map_ping_sequence(
+        images, positions, quats, cfg, backend="brick",
+        dtype=jnp.float64, window=3,
+    )
+    a, b = brick_state_to_dict(bs), hash_state_to_dict(hs)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k], k
+    np.testing.assert_allclose(
+        np.asarray(bs.min_bounds), np.asarray(hs.min_bounds)
+    )
+    np.testing.assert_allclose(
+        np.asarray(bs.max_bounds), np.asarray(hs.max_bounds)
+    )
+    for key in ("num_occupied", "num_free", "num_candidates"):
+        np.testing.assert_array_equal(
+            np.asarray(bstats[key]), np.asarray(hstats[key]), err_msg=key
+        )
+
+
+def test_brick_window_sizes_equivalent(small_cfg):
+    """window=1 per-ping apply and window=5 batched apply agree exactly
+    (rank-free dense chain evaluation preserves frame order)."""
+    cfg = small_cfg
+    images, positions, quats = make_sequence(cfg, 5, seed=330)
+    s1, _ = map_ping_sequence(
+        images, positions, quats, cfg, backend="brick",
+        dtype=jnp.float64, window=1,
+    )
+    s5, _ = map_ping_sequence(
+        images, positions, quats, cfg, backend="brick",
+        dtype=jnp.float64, window=5,
+    )
+    a, b = brick_state_to_dict(s1), brick_state_to_dict(s5)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k]
+
+
+def test_brick_growth_replay(small_cfg):
+    """Capacity pressure: all-or-nothing rejection + rehash growth must
+    converge to the exact same map as an amply-sized run."""
+    from sonar_3d_reconstruction_tpu.grid.brick import init_brick_grid
+
+    cfg = small_cfg
+    images, positions, quats = make_sequence(cfg, 5, seed=340)
+    tiny, _ = map_ping_sequence(
+        images, positions, quats, cfg, backend="brick",
+        state=init_brick_grid(1 << 7, jnp.float64), dtype=jnp.float64,
+        window=3,
+    )
+    big, _ = map_ping_sequence(
+        images, positions, quats, cfg, backend="brick",
+        dtype=jnp.float64, window=3,
+    )
+    a, b = brick_state_to_dict(tiny), brick_state_to_dict(big)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k]
+
+
+def test_brick_budget_overflow_and_snug(small_cfg):
+    """An undersized brick budget rejects windows all-or-nothing and
+    reports batch_overflow + measured batch_n_bricks; a snug budget from
+    those measurements reproduces the map exactly."""
+    from sonar_3d_reconstruction_tpu.grid.brick import init_brick_grid
+    from sonar_3d_reconstruction_tpu.ops.backproject import build_fan_tables
+    from sonar_3d_reconstruction_tpu.pipeline import (
+        batched_sonar_to_world,
+        scan_pings_brick,
+    )
+
+    cfg = small_cfg
+    images, positions, quats = make_sequence(cfg, 6, seed=350)
+    ref, ref_stats = map_ping_sequence(
+        images, positions, quats, cfg, backend="brick",
+        dtype=jnp.float64, window=3,
+    )
+    tables = build_fan_tables(cfg, cfg.image_height, cfg.image_width)
+    T = jnp.asarray(batched_sonar_to_world(positions, quats, cfg),
+                    jnp.float64)
+    cap = ref.capacity
+
+    def run(brick_budget, lane_budget=None, insert_budget=None):
+        st = init_brick_grid(cap, jnp.float64)
+        return scan_pings_brick(
+            st, jnp.asarray(images), T, tables=tables, cfg=cfg,
+            dtype=jnp.float64, window=3, brick_budget=brick_budget,
+            lane_budget=lane_budget, insert_budget=insert_budget,
+        )
+
+    # undersized: every window rejected, cause attributed
+    st_bad, stats_bad = run(brick_budget=8)
+    assert bool(np.asarray(stats_bad["overflowed"]).all())
+    assert bool(np.asarray(stats_bad["batch_overflow"]).any())
+    assert int(st_bad.used) == 0
+
+    # snug: measured requirement + a little headroom, bit-identical result
+    need_b = int(np.asarray(ref_stats["batch_n_bricks"]).max())
+    need_l = int(np.asarray(ref_stats["batch_n_lanes"]).max())
+    need_i = int(np.asarray(ref_stats["batch_n_need"]).max())
+    st_snug, stats_snug = run(
+        brick_budget=need_b + 8, lane_budget=need_l + 8,
+        insert_budget=need_i + 8,
+    )
+    assert not bool(np.asarray(stats_snug["overflowed"]).any())
+    a, b = brick_state_to_dict(st_snug), brick_state_to_dict(ref)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k]
+
+    # undersized insert budget: rejected with insert_overflow attributed
+    _, stats_ins = run(brick_budget=need_b + 8, insert_budget=4)
+    assert bool(np.asarray(stats_ins["insert_overflow"]).any())
+    assert bool(np.asarray(stats_ins["overflowed"]).all())
+
+
+def test_brick_extraction_and_queries(small_cfg):
+    """extract_occupied/classified and point queries on the brick backend
+    match the golden oracle (and the hash backend's extraction)."""
+    from sonar_3d_reconstruction_tpu.grid.brick import (
+        extract_classified_brick,
+        extract_occupied_brick,
+        query_log_odds_brick,
+        query_probability_brick,
+    )
+
+    cfg = small_cfg
+    images, positions, quats = make_sequence(cfg, 5, seed=360)
+    bs, _ = map_ping_sequence(
+        images, positions, quats, cfg, backend="brick",
+        dtype=jnp.float64, window=3,
+    )
+    g = golden_run(cfg, images, positions, quats)
+
+    pts, probs = extract_occupied_brick(bs, cfg)
+    gold = g.map.occupied(cfg.min_probability)
+    got = {tuple(np.round(p, 9)): pr for p, pr in zip(pts, probs)}
+    assert len(got) == len(gold)
+    for gp, gpr in gold:
+        key = tuple(np.round(gp, 9))
+        assert key in got
+        assert abs(got[key] - gpr) < 1e-12
+
+    cls = extract_classified_brick(bs, cfg)
+    gcls = g.map.classified(cfg.min_probability)
+    for name in ("free", "occupied", "unknown"):
+        pts_n, probs_n = cls[name]
+        assert len(pts_n) == len(gcls[name]), name
+        got_n = {tuple(np.round(p, 9)): pr for p, pr in zip(pts_n, probs_n)}
+        for gp, gpr in gcls[name]:
+            assert abs(got_n[tuple(np.round(gp, 9))] - gpr) < 1e-12
+
+    # point queries: golden parity on touched voxels + 0.5 on misses
+    items = list(g.map.log_odds.items())[:40]
+    qpts = np.array([
+        (np.array(k, np.float64) + 0.5) * cfg.voxel_resolution
+        for k, _ in items
+    ])
+    lo = query_log_odds_brick(bs, qpts, cfg)
+    for (k, lo_gold), got_lo in zip(items, lo):
+        assert abs(got_lo - lo_gold) < 1e-12
+    p_miss = query_probability_brick(
+        bs, np.array([[500.0, 500.0, 500.0]]), cfg
+    )
+    assert p_miss[0] == pytest.approx(0.5)
+
+
+def test_brick_untouched_voxel_in_touched_brick(small_cfg):
+    """A never-updated voxel inside a brick that has other updates must
+    answer p=0.5 and stay out of classified extraction (the reference dict
+    only contains updated keys, 3d_mapper.py:34)."""
+    from sonar_3d_reconstruction_tpu.grid.brick import (
+        extract_classified_brick,
+        query_probability_brick,
+    )
+
+    cfg = small_cfg
+    images, positions, quats = make_sequence(cfg, 3, seed=370)
+    bs, _ = map_ping_sequence(
+        images, positions, quats, cfg, backend="brick",
+        dtype=jnp.float64, window=3,
+    )
+    g = golden_run(cfg, images, positions, quats)
+    n_cls = sum(
+        len(v[0]) for v in extract_classified_brick(bs, cfg).values()
+    )
+    assert n_cls == len(g.map.log_odds) == int(bs.used)
+    # find an untouched voxel adjacent to a touched one (same brick likely)
+    k0 = next(iter(g.map.log_odds))
+    for d in ((1, 0, 0), (0, 1, 0), (0, 0, 1)):
+        cand = (k0[0] + d[0], k0[1] + d[1], k0[2] + d[2])
+        if cand not in g.map.log_odds:
+            pt = (np.array(cand, np.float64) + 0.5) * cfg.voxel_resolution
+            assert query_probability_brick(bs, [pt], cfg)[0] == pytest.approx(0.5)
+            break

@@ -468,6 +468,238 @@ def test_mcap_corrupt_compressed_chunk_rejected(tmp_path):
             list(r.messages())
 
 
+def _find_top_level_chunk(raw: bytes):
+    """(absolute_offset, payload_length) of the first top-level Chunk."""
+    from sonar_3d_reconstruction_tpu.io.mcap import MAGIC, OP_CHUNK
+    import struct as _struct
+
+    pos = len(MAGIC)
+    while pos + 9 <= len(raw):
+        op = raw[pos]
+        (length,) = _struct.unpack_from("<Q", raw, pos + 1)
+        if op == OP_CHUNK:
+            return pos, length
+        pos += 9 + length
+    raise AssertionError("no chunk record found")
+
+
+def test_mcap_store_chunk_corruption_rejected(tmp_path):
+    """An UNCOMPRESSED chunk whose records bytes were flipped must fail the
+    chunk CRC (previously only compressed chunks could detect corruption)."""
+    from sonar_3d_reconstruction_tpu.io.bag import IMAGE_TYPE
+    from sonar_3d_reconstruction_tpu.io.mcap import McapReader, McapWriter
+
+    img = synthetic_ping(20, 16, seed=78)
+    path = str(tmp_path / "store.mcap")
+    with McapWriter(path, chunk_compression="store") as w:
+        w.add_topic("/sensor/sonar/oculus/m750d/image", IMAGE_TYPE)
+        w.write(
+            "/sensor/sonar/oculus/m750d/image", 1000.0,
+            ImageMsg(1000.0, "s", 20, 16, "mono8", False, 16, img.tobytes()),
+        )
+    # clean roundtrip first
+    with McapReader(path) as r:
+        msgs = list(r.messages())
+    assert len(msgs) == 1
+    np.testing.assert_array_equal(
+        np.frombuffer(msgs[0][2].data, np.uint8).reshape(20, 16), img
+    )
+    raw = bytearray(open(path, "rb").read())
+    off, length = _find_top_level_chunk(bytes(raw))
+    raw[off + 9 + length - 10] ^= 0xFF  # flip a byte of the image payload
+    open(path, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="CRC32"):
+        with McapReader(path) as r:
+            list(r.messages())
+
+
+def test_mcap_compressed_chunk_bad_crc_rejected(tmp_path):
+    """A chunk that decompresses fine but whose header CRC disagrees with
+    the decompressed records must raise (a wrong-but-decompressible body)."""
+    from sonar_3d_reconstruction_tpu.io import native
+    from sonar_3d_reconstruction_tpu.io.bag import IMAGE_TYPE
+    from sonar_3d_reconstruction_tpu.io.mcap import McapReader, McapWriter
+
+    if not (native.available() and native.codec_available("zstd")):
+        pytest.skip("native zstd codec unavailable")
+    path = str(tmp_path / "badcrc.mcap")
+    with McapWriter(path, chunk_compression="zstd") as w:
+        w.add_topic("/sensor/sonar/oculus/m750d/image", IMAGE_TYPE)
+        img = synthetic_ping(20, 16, seed=79)
+        w.write(
+            "/sensor/sonar/oculus/m750d/image", 1000.0,
+            ImageMsg(1000.0, "s", 20, 16, "mono8", False, 16, img.tobytes()),
+        )
+    raw = bytearray(open(path, "rb").read())
+    off, _ = _find_top_level_chunk(bytes(raw))
+    # uncompressed_crc is at payload offset 24 (after 3 u64 time/size fields)
+    crc_off = off + 9 + 24
+    raw[crc_off] ^= 0x5A
+    open(path, "wb").write(bytes(raw))
+    with pytest.raises(ValueError, match="CRC32"):
+        with McapReader(path) as r:
+            list(r.messages())
+
+
+def test_mcap_writer_summary_section(tmp_path):
+    """The writer ends files with a spec-shaped Summary section: repeated
+    Schema/Channel, ChunkIndex per chunk, Statistics, SummaryOffset groups,
+    and a Footer whose summary_start/summary_crc verify."""
+    import struct
+    import zlib
+
+    from sonar_3d_reconstruction_tpu.io.bag import IMAGE_TYPE, ODOMETRY_TYPE
+    from sonar_3d_reconstruction_tpu.io.mcap import (
+        MAGIC, OP_CHUNK, OP_CHUNK_INDEX, OP_FOOTER, OP_STATISTICS,
+        OP_SUMMARY_OFFSET, McapReader, McapWriter, _records,
+    )
+
+    n = 4
+    path = str(tmp_path / "summary.mcap")
+    with McapWriter(path, chunk_compression="store", chunk_size=256) as w:
+        w.add_topic("/sensor/sonar/oculus/m750d/image", IMAGE_TYPE)
+        w.add_topic("/fast_lio/odometry", ODOMETRY_TYPE)
+        for i in range(n):
+            t = 10.0 + i
+            img = synthetic_ping(20, 16, seed=80 + i)
+            w.write(
+                "/sensor/sonar/oculus/m750d/image", t,
+                ImageMsg(t, "s", 20, 16, "mono8", False, 16, img.tobytes()),
+            )
+            w.write(
+                "/fast_lio/odometry", t,
+                OdometryMsg(t, "camera_init", "body",
+                            np.array([i * 0.1, 0.0, 0.0]),
+                            np.array([0.0, 0.0, 0.0, 1.0])),
+            )
+    raw = open(path, "rb").read()
+    assert raw.endswith(MAGIC)
+    # footer = last record before the closing magic
+    foot_off = len(raw) - len(MAGIC) - (9 + 20)
+    assert raw[foot_off] == OP_FOOTER
+    summary_start, summary_offset_start, crc = struct.unpack_from(
+        "<QQI", raw, foot_off + 9
+    )
+    assert 0 < summary_start < summary_offset_start < foot_off + 1
+    # summary_crc covers [summary_start .. footer summary_offset_start field]
+    assert crc == zlib.crc32(raw[summary_start: foot_off + 9 + 16])
+
+    ops = [
+        (op, payload)
+        for op, payload in _records(memoryview(raw)[len(MAGIC):])
+    ]
+    opcodes = [op for op, _ in ops]
+    n_chunks = opcodes.count(OP_CHUNK)
+    assert n_chunks >= 2
+    assert opcodes.count(OP_CHUNK_INDEX) == n_chunks
+    assert opcodes.count(OP_STATISTICS) == 1
+    assert opcodes.count(OP_SUMMARY_OFFSET) >= 3
+    stats_payload = next(p for op, p in ops if op == OP_STATISTICS)
+    (msg_count,) = struct.unpack_from("<Q", stats_payload, 0)
+    assert msg_count == 2 * n
+    # every ChunkIndex chunk_start_offset points at a real Chunk record
+    for op, p in ops:
+        if op == OP_CHUNK_INDEX:
+            (chunk_start,) = struct.unpack_from("<Q", p, 16)
+            assert raw[chunk_start] == OP_CHUNK
+    # and the reader still replays every message
+    with McapReader(path) as r:
+        assert len(list(r.messages())) == 2 * n
+
+
+def test_mcap_rosbag2_style_fixture(tmp_path):
+    """Hand-crafted (writer-independent) file laid out the way rosbag2's
+    mcap writer emits recordings — messages inside a CRC'd chunk followed by
+    MessageIndex records, then a Summary section with ChunkIndex/Statistics/
+    SummaryOffset — must replay through McapReader (mcap spec v0.x layout)."""
+    import struct
+    import zlib
+
+    from sonar_3d_reconstruction_tpu.io.bag import (
+        IMAGE_TYPE, encode_image_msg,
+    )
+    from sonar_3d_reconstruction_tpu.io.mcap import (
+        MAGIC, OP_CHANNEL, OP_CHUNK, OP_CHUNK_INDEX, OP_DATA_END, OP_FOOTER,
+        OP_HEADER, OP_MESSAGE, OP_MESSAGE_INDEX, OP_SCHEMA, OP_STATISTICS,
+        OP_SUMMARY_OFFSET, McapReader,
+    )
+
+    def s(x: str) -> bytes:
+        b = x.encode()
+        return struct.pack("<I", len(b)) + b
+
+    def rec(op: int, payload: bytes) -> bytes:
+        return struct.pack("<BQ", op, len(payload)) + payload
+
+    img = synthetic_ping(20, 16, seed=90)
+    blob = encode_image_msg(
+        ImageMsg(5.0, "sonar_link", 20, 16, "mono8", False, 16, img.tobytes())
+    )
+    schema = struct.pack("<H", 1) + s(IMAGE_TYPE) + s("ros2msg") + struct.pack("<I", 0)
+    channel = (
+        struct.pack("<HH", 1, 1) + s("/sonar/img") + s("cdr")
+        + struct.pack("<I", 0)
+    )
+    t_ns = 5_000_000_000
+    message = struct.pack("<HIQQ", 1, 0, t_ns, t_ns) + blob
+    chunk_records = rec(OP_SCHEMA, schema) + rec(OP_CHANNEL, channel) + rec(
+        OP_MESSAGE, message
+    )
+    chunk_payload = (
+        struct.pack("<QQQI", t_ns, t_ns, len(chunk_records),
+                    zlib.crc32(chunk_records))
+        + s("") + struct.pack("<Q", len(chunk_records)) + chunk_records
+    )
+
+    out = bytearray()
+    out += MAGIC
+    out += rec(OP_HEADER, s("ros2") + s("rosbag2"))
+    chunk_off = len(out)
+    out += rec(OP_CHUNK, chunk_payload)
+    # rosbag2 writes a MessageIndex per channel after each chunk
+    mi = struct.pack("<H", 1) + struct.pack("<I", 16) + struct.pack(
+        "<QQ", t_ns, 27  # offset of the message record inside the chunk
+    )
+    out += rec(OP_MESSAGE_INDEX, mi)
+    out += rec(OP_DATA_END, struct.pack("<I", 0))
+    summary_start = len(out)
+    out += rec(OP_SCHEMA, schema)
+    out += rec(OP_CHANNEL, channel)
+    ci = (
+        struct.pack("<QQQQ", t_ns, t_ns, chunk_off, 9 + len(chunk_payload))
+        + struct.pack("<I", 10) + struct.pack("<HQ", 1, summary_start)
+        + struct.pack("<Q", 9 + len(mi))
+        + s("") + struct.pack("<QQ", len(chunk_records), len(chunk_records))
+    )
+    out += rec(OP_CHUNK_INDEX, ci)
+    stats = (
+        struct.pack("<QHIIII", 1, 1, 1, 0, 0, 1)
+        + struct.pack("<QQ", t_ns, t_ns)
+        + struct.pack("<I", 10) + struct.pack("<HQ", 1, 1)
+    )
+    out += rec(OP_STATISTICS, stats)
+    summary_offset_start = len(out)
+    out += rec(OP_SUMMARY_OFFSET, struct.pack("<BQQ", OP_SCHEMA, summary_start, 9 + len(schema)))
+    footer_prefix = struct.pack("<BQ", OP_FOOTER, 20) + struct.pack(
+        "<QQ", summary_start, summary_offset_start
+    )
+    crc = zlib.crc32(bytes(out[summary_start:]) + footer_prefix)
+    out += footer_prefix + struct.pack("<I", crc)
+    out += MAGIC
+
+    path = str(tmp_path / "rosbag2_style.mcap")
+    open(path, "wb").write(bytes(out))
+    with McapReader(path) as r:
+        assert r.topic_names() == {"/sonar/img": IMAGE_TYPE}
+        msgs = list(r.messages())
+    assert len(msgs) == 1
+    topic, ts, m = msgs[0]
+    assert topic == "/sonar/img" and ts == pytest.approx(5.0)
+    np.testing.assert_array_equal(
+        np.frombuffer(m.data, np.uint8).reshape(20, 16), img
+    )
+
+
 def test_mcap_stream_and_offline_paths(tmp_path, small_cfg):
     """An mcap recording maps identically through the streaming stack and
     the offline loader."""

@@ -53,6 +53,70 @@ def test_bag_replay_matches_direct_pipeline(tmp_path, small_cfg):
         assert abs(a[k] - b[k]) < 1e-12
 
 
+def test_stream_fan_cap_and_latency(tmp_path, small_cfg):
+    """Per-chunk host-gated fan cap: streaming adopts a capped candidate
+    lattice (VERDICT #4), grows it monotonically when a deeper return
+    arrives (one recompile, counted), and still maps bit-identically to the
+    offline auto-capped pipeline.  Per-frame arrival->committed latencies
+    are recorded with p50/p95 in the summary (VERDICT #3)."""
+    cfg = small_cfg
+    n = 6
+    images = np.stack(
+        [synthetic_ping(cfg.image_height, cfg.image_width, seed=400 + i)
+         for i in range(n)]
+    )
+    # first chunk sees shallow returns only; a deeper return arrives later
+    shallow = images.copy()
+    shallow[:3, 60:, :] = 0          # chunk 1: hits only in the top 60 bins
+    positions, quats = circular_trajectory(n, radius=0.8)
+    path = str(tmp_path / "fan.db3")
+    write_synthetic_bag(path, shallow, positions, quats)
+
+    sm = StreamingMapper(
+        cfg, chunk_size=3, initial_capacity=1 << 13, dtype=jnp.float64
+    )
+    stats = sm.run_bag(path)
+    from sonar_3d_reconstruction_tpu.ops.backproject import (
+        build_fan_tables, required_fan_cap,
+    )
+
+    uncapped = build_fan_tables(cfg, cfg.image_height, cfg.image_width)
+    need_all = required_fan_cap(shallow, cfg, cfg.image_height)
+    # adopted cap equals the full survey's requirement and beats worst case
+    assert sm._fan_cap == need_all < uncapped.nvo_max
+    assert sm._tables.nvo_cap == need_all
+    # the deeper second-chunk return forced exactly one grow/recompile
+    need_first = required_fan_cap(shallow[:3], cfg, cfg.image_height)
+    assert need_first < need_all
+    assert stats.fan_cap_recompiles == 1
+
+    direct, _ = map_ping_sequence(
+        shallow, positions, quats, cfg, initial_capacity=1 << 13,
+        dtype=jnp.float64,  # fan_cap="auto" default
+    )
+    a, b = to_dict(sm.state), to_dict(direct)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-12
+
+    # latency metrics: one per mapped frame, positive, summarized
+    assert len(stats.latencies) == n
+    assert all(v > 0 for v in stats.latencies)
+    s = stats.summary()
+    assert 0 < s["latency_p50_s"] <= s["latency_p95_s"] <= s["latency_max_s"]
+    assert "latencies" not in s
+
+    # a forced-worst-case mapper still works (fan_cap=None disables the gate)
+    sm2 = StreamingMapper(
+        cfg, chunk_size=6, initial_capacity=1 << 13, dtype=jnp.float64,
+        fan_cap=None,
+    )
+    sm2.run_bag(path)
+    assert sm2._tables.nvo_cap == uncapped.nvo_max
+    c = to_dict(sm2.state)
+    assert c.keys() == b.keys()
+
+
 def test_stream_growth(tmp_path, small_cfg):
     cfg = small_cfg
     path, images, positions, quats = make_bag(tmp_path, cfg, 5, seed=200)
