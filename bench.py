@@ -63,6 +63,11 @@ def main():
     # batched-apply engine (one table interaction per 8 pings) measures
     # consistently fastest: 43-45 pings/s vs 25-34 for per-ping dispatch
     window = int(os.environ.get("BENCH_WINDOW", "8"))
+    # "hash" = per-voxel bucketized table; "brick" = sparse-of-dense brick
+    # table (grid/brick.py) — see PERFORMANCE.md for the measured comparison
+    backend = os.environ.get("BENCH_BACKEND", "hash")
+    if backend == "brick":
+        return main_brick(cfg, n_pings, reps, window)
 
     images, positions, quats = make_inputs(cfg, n_pings)
     # size the static occupied-fan width exactly for this survey (host gate;
@@ -221,6 +226,132 @@ def main():
                     "insert_budget": insert_budget,
                     "dedup_lane_budget": dedup_lane_budget,
                     "fan_cap": tables.nvo_cap,
+                },
+            }
+        )
+    )
+
+
+def main_brick(cfg, n_pings, reps, window):
+    """Brick-backend bench path (BENCH_BACKEND=brick): same survey, same
+    metric, the grid/brick.py engine with snug measured budgets."""
+    from sonar_3d_reconstruction_tpu.grid.brick import init_brick_grid
+    from sonar_3d_reconstruction_tpu.ops.backproject import required_fan_cap
+    from sonar_3d_reconstruction_tpu.pipeline import (
+        batched_sonar_to_world,
+        map_ping_sequence,
+        scan_pings_brick,
+    )
+
+    images, positions, quats = make_inputs(cfg, n_pings)
+    fan_cap = required_fan_cap(images, cfg, cfg.image_height)
+    tables = build_fan_tables(
+        cfg, cfg.image_height, cfg.image_width, fan_cap=fan_cap
+    )
+
+    effective = {}
+    st, stats = map_ping_sequence(
+        images, positions, quats, cfg, backend="brick",
+        dtype=jnp.float32, window=window, effective=effective,
+        state=init_brick_grid(
+            int(os.environ.get("BENCH_BRICK_CAPACITY", str(1 << 16))),
+            jnp.float32,
+        ),
+    )
+    capacity = effective["capacity"]
+    unique_budget = effective["unique_budget"]
+    brick_budget = effective["brick_budget"]
+    total_updates = int(np.asarray(stats["num_candidates"]).sum())
+    _ = int(st.used)
+
+    lane_budget = None
+    insert_budget = None
+    dedup_lane_budget = 0
+    if os.environ.get("BENCH_TUNE_BUDGETS", "1") == "1":
+        def _round_up(x, m=8192):
+            return int(-(-x // m) * m)
+
+        max_frame = int(
+            (np.asarray(stats["num_occupied"])
+             + np.asarray(stats["num_free"])).max()
+        )
+        max_valid = int(np.asarray(stats["num_candidates"]).max())
+        snug_u = min(_round_up(1.25 * max_frame), unique_budget)
+        dedup_lane_budget = max(_round_up(1.1 * max_valid), snug_u)
+        # all apply-side budgets are REPORTED by the engine
+        brick_budget = min(
+            _round_up(1.15 * int(np.asarray(stats["batch_n_bricks"]).max()),
+                      1024),
+            brick_budget,
+        )
+        lane_budget = _round_up(
+            1.1 * int(np.asarray(stats["batch_n_lanes"]).max())
+        )
+        need = np.asarray(stats["batch_n_need"]).astype(np.int64)
+        pad = (-len(need)) % window
+        win_need = np.pad(need, (0, pad)).reshape(-1, window).max(axis=1)
+        cold = _round_up(1.15 * int(win_need[0]), 1024)
+        warm = min(_round_up(1.15 * int(win_need[1:].max()), 1024), cold) \
+            if len(win_need) > 1 else cold
+        insert_budget = [cold, warm]
+        unique_budget = snug_u
+
+    images_dev = jnp.asarray(images)
+    T_dev = jnp.asarray(batched_sonar_to_world(positions, quats, cfg),
+                        jnp.float32)
+    jax.block_until_ready((images_dev, T_dev))
+
+    def run(rep):
+        imgs = images_dev.at[0, 0, 0].set(np.uint8(rep % 251))
+        st = init_brick_grid(capacity, jnp.float32)
+        st, stats = scan_pings_brick(
+            st, imgs, T_dev, tables=tables, cfg=cfg, dtype=jnp.float32,
+            unique_budget=unique_budget, window=window,
+            brick_budget=brick_budget, lane_budget=lane_budget,
+            insert_budget=insert_budget,
+            dedup_lane_budget=dedup_lane_budget,
+        )
+        assert not bool(np.asarray(stats["overflowed"]).any())
+        return int(st.used)
+
+    try:
+        run(0)
+    except AssertionError:
+        unique_budget = effective["unique_budget"]
+        brick_budget = effective["brick_budget"]
+        lane_budget = None
+        insert_budget = None
+        dedup_lane_budget = 0
+        run(0)
+    best = float("inf")
+    for rep in range(1, reps + 1):
+        t0 = time.perf_counter()
+        run(rep)
+        best = min(best, time.perf_counter() - t0)
+
+    updates_per_sec = total_updates / best
+    print(
+        json.dumps(
+            {
+                "metric": "voxel_log_odds_updates_per_sec",
+                "value": updates_per_sec,
+                "unit": "updates/s",
+                "vs_baseline": updates_per_sec / BASELINE_UPDATES_PER_SEC,
+                "detail": {
+                    "backend": "brick",
+                    "pings_per_sec": n_pings / best,
+                    "mean_ping_latency_ms": 1e3 * best / n_pings,
+                    "updates_per_ping": total_updates / n_pings,
+                    "device": jax.devices()[0].platform,
+                    "n_pings": n_pings,
+                    "window": window,
+                    "unique_budget": unique_budget,
+                    "brick_budget": brick_budget,
+                    "lane_budget": lane_budget,
+                    "insert_budget": insert_budget,
+                    "dedup_lane_budget": dedup_lane_budget,
+                    "fan_cap": tables.nvo_cap,
+                    "capacity_bricks": capacity,
                 },
             }
         )

@@ -1,0 +1,577 @@
+"""Brick grid — sparse hash of DENSE voxel bricks (sparse-of-dense).
+
+The round-2 voxel hash (grid/hash.py) spends its apply almost entirely on
+indexed table operations whose measured cost is ~10 ns per ROW and
+width-independent (PERFORMANCE.md cost table).  This backend exploits that:
+the hash table is keyed by voxel BRICKS (4x4x4 by default) and each entry
+stores a dense (brick_volume,) log-odds row, so one row gather/scatter moves
+a whole brick of voxels for the price of one indexed lane.  Measured on the
+bench survey, an 8-ping window touches ~30x fewer bricks than voxels
+(~5-6k bricks vs ~186k distinct voxels), so the per-unique indexed work
+almost vanishes.
+
+The window apply also RESTRUCTURES chain evaluation into dense brick space:
+
+  1. per-frame unique records (ops/dedup.py, brick-major packing from
+     ops/packing.pack_brick_keys) are flattened with the FRAME INDEX folded
+     into the packed code's 4 reserved low bits — one 2-key sort orders
+     lanes (brick, offset, frame) with no extra payload array;
+  2. record payloads (count<<16 | n_occ) scatter ONCE into a dense
+     (NB, brick_volume, B) buffer with sorted+unique indices (the sort
+     order makes the scatter indices strictly ascending — the only
+     per-record indexed op in the whole apply);
+  3. the reference's sequential per-frame adaptive update runs as B masked
+     elementwise passes over the dense (NB, brick_volume) value rows —
+     voxels with no record in frame f pass through untouched, exactly the
+     semantics of applying frames one at a time (reference
+     scripts/3d_mapper.py:553-567 per frame);
+  4. one row gather before and one row scatter after move the table data.
+
+A ``touched`` bitmask per brick preserves the reference's touched-voxel
+semantics (SimpleOctree's dict only contains updated keys,
+scripts/3d_mapper.py:34): extraction/classification/queries must
+distinguish a never-updated voxel (p = 0.5, not reported) from an updated
+voxel whose log-odds happens to be 0.0.
+
+Failure contract identical to grid/hash.py: any overflow (lane budget,
+brick budget, insert budget, bucket fill, key range, per-frame unique
+budget, count-packing width) rejects the window all-or-nothing via dropped
+scatters and poisons the state; the host grows the right knob and replays.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sonar_3d_reconstruction_tpu.config import MapperConfig
+from sonar_3d_reconstruction_tpu.grid.hash import (
+    BUCKET_SLOTS,
+    bucket_lookup,
+    commit_insert,
+    empty_key_rows,
+    plan_insert,
+)
+from sonar_3d_reconstruction_tpu.ops.logodds import finalize_voxel_updates
+from sonar_3d_reconstruction_tpu.ops.packing import (
+    EMPTY_HI,
+    brick_layout,
+    pack_brick_keys,
+    unpack_brick_keys,
+)
+
+DEFAULT_BRICK_BITS = 2  # 4x4x4 = 64 voxels per brick
+
+_BRICK_BITS_BY_VOLUME = {8: 1, 64: 2, 512: 3}
+
+
+class BrickGridState(NamedTuple):
+    """Map state pytree.  Brick capacity Cb is static per jitted program;
+    ``brick_bits`` is recovered from the value-row width."""
+
+    key_rows: jnp.ndarray    # (Cb/128, 256) uint32 brick codes (offset+frame bits zero)
+    log_odds: jnp.ndarray    # (Cb, brick_volume) dtype
+    touched: jnp.ndarray     # (Cb, ceil(volume/32)) uint32 voxel bitmask
+    min_bounds: jnp.ndarray  # (3,)
+    max_bounds: jnp.ndarray  # (3,)
+    used: jnp.ndarray        # () int32 touched VOXEL count
+    poisoned: jnp.ndarray    # () bool
+
+    @property
+    def capacity(self) -> int:
+        """Brick capacity (slots in the key table)."""
+        return self.key_rows.shape[0] * BUCKET_SLOTS
+
+    @property
+    def brick_volume(self) -> int:
+        return self.log_odds.shape[1]
+
+    @property
+    def brick_bits(self) -> int:
+        return _BRICK_BITS_BY_VOLUME[self.brick_volume]
+
+    @property
+    def key_hi(self) -> jnp.ndarray:
+        return self.key_rows[:, :BUCKET_SLOTS].reshape(-1)
+
+    @property
+    def key_lo(self) -> jnp.ndarray:
+        return self.key_rows[:, BUCKET_SLOTS:].reshape(-1)
+
+
+def init_brick_grid(
+    capacity: int = 1 << 17,
+    dtype=jnp.float32,
+    brick_bits: int = DEFAULT_BRICK_BITS,
+) -> BrickGridState:
+    vol = 1 << (3 * brick_bits)
+    words = max(1, vol // 32)
+    big = jnp.asarray(jnp.inf, dtype)
+    return BrickGridState(
+        key_rows=empty_key_rows(capacity),
+        log_odds=jnp.zeros((capacity, vol), dtype),
+        touched=jnp.zeros((capacity, words), jnp.uint32),
+        min_bounds=jnp.full((3,), big, dtype),
+        max_bounds=jnp.full((3,), -big, dtype),
+        used=jnp.zeros((), jnp.int32),
+        poisoned=jnp.zeros((), bool),
+    )
+
+
+def _masks(brick_bits: int) -> Tuple[jnp.ndarray, int]:
+    """(brick-identity lo mask, offset bit count)."""
+    _, o, _ = brick_layout(brick_bits)
+    return jnp.uint32(0xFFFFFFFF ^ ((1 << (o + 4)) - 1)), o
+
+
+def _pack_touched(mask: jnp.ndarray) -> jnp.ndarray:
+    """(NB, volume) bool -> (NB, words) uint32 bitmask (bit v%32 of word v/32)."""
+    nb, vol = mask.shape
+    words = max(1, vol // 32)
+    per = min(32, vol)
+    m = mask.reshape(nb, words, per).astype(jnp.uint32)
+    weights = (jnp.uint32(1) << jnp.arange(per, dtype=jnp.uint32))[None, None, :]
+    return jnp.sum(m * weights, axis=2).astype(jnp.uint32)
+
+
+def default_brick_budget(window: int, unique_budget: int) -> int:
+    """Safe default for the window's distinct-brick budget.  Measured
+    occupancy on realistic surveys is ~30+ voxels/brick at 4x4x4 and 5 cm
+    (PERFORMANCE.md); the default only assumes >= 4 with a generous floor —
+    hosts double it on ``batch_overflow`` and the bench tunes it snugly from
+    the reported ``batch_n_bricks``."""
+    return max(8192, (window * unique_budget) // 4)
+
+
+def apply_brick_records_batched(
+    state: BrickGridState,
+    recs,   # ops.dedup.UniqueRecords stacked over B frames, BRICK packing
+    auxs,   # ops.records.FrameAux stacked over B frames
+    cfg: MapperConfig,
+    brick_budget: Optional[int] = None,
+    lane_budget: Optional[int] = None,
+    insert_budget: Optional[int] = None,
+    fail_reduce=None,
+) -> Tuple[BrickGridState, Dict[str, jnp.ndarray]]:
+    """Apply a window of B frames to the brick table (see module docstring).
+
+    ``lane_budget`` bounds the window's summed per-frame unique records (the
+    one per-record indexed op — the dense scatter — runs at this width);
+    ``brick_budget`` bounds its DISTINCT bricks (all table ops run at this
+    width); ``insert_budget`` bounds NEW bricks (grid/hash.plan_insert
+    budget slicing).  All-or-nothing on any overflow, exactly like
+    grid/hash.apply_records_batched.
+    """
+    B, U = recs.hi.shape
+    bb = state.brick_bits
+    vol = state.brick_volume
+    cap = state.capacity
+    dtype = state.log_odds.dtype
+    brick_mask, o = _masks(bb)
+    assert B <= 16, "frame index is folded into 4 reserved key bits"
+
+    n = B * U
+    NB = brick_budget or default_brick_budget(B, U)
+    Lb = min(n, max(lane_budget or n, 1))
+
+    hi = recs.hi.reshape(-1)
+    lo = recs.lo.reshape(-1)
+    frame = jnp.repeat(jnp.arange(B, dtype=jnp.uint32), U)
+    lo_f = lo | frame  # low 4 bits are reserved zero in brick packing
+    count = recs.count.reshape(-1)
+    n_occ = recs.n_occ.reshape(-1)
+    # count<<16|n_occ packing: a voxel receiving 2^16+ emissions in ONE
+    # frame is beyond any real sonar geometry; reject (not growable) if hit
+    pack_overflow = jnp.any(count > 0xFFFF)
+    payload = (
+        (count.astype(jnp.uint32) << 16) | n_occ.astype(jnp.uint32)
+    )
+
+    # ---- the one big sort: (brick, offset, frame) ascending
+    s_hi, s_lo, s_pay = jax.lax.sort((hi, lo_f, payload), num_keys=2)
+    seg_valid = s_hi != EMPTY_HI
+    n_valid_lanes = jnp.sum(seg_valid).astype(jnp.int32)
+    lanes_overflow = n_valid_lanes > Lb
+
+    b_lo_id = s_lo & brick_mask
+    new_brick = jnp.concatenate(
+        [jnp.ones((1,), bool),
+         (s_hi[1:] != s_hi[:-1]) | (b_lo_id[1:] != b_lo_id[:-1])]
+    )
+    n_bricks = jnp.sum(new_brick & seg_valid).astype(jnp.int32)
+    brick_overflow = n_bricks > NB
+    # distinct voxels (diagnostic stat only — nothing is budgeted on it)
+    vox_id = s_lo & jnp.uint32(0xFFFFFFF0)
+    new_vox = jnp.concatenate(
+        [jnp.ones((1,), bool),
+         (s_hi[1:] != s_hi[:-1]) | (vox_id[1:] != vox_id[:-1])]
+    )
+    n_unique = jnp.sum(new_vox & seg_valid).astype(jnp.int32)
+
+    brick_seg = jnp.cumsum(new_brick.astype(jnp.int32)) - 1
+
+    # ---- dense record scatter at the Lb prefix (sorted + unique indices)
+    s_lo_l = s_lo[:Lb]
+    valid_l = seg_valid[:Lb]
+    offset_l = ((s_lo_l >> 4) & jnp.uint32((1 << o) - 1)).astype(jnp.int32)
+    frame_l = (s_lo_l & jnp.uint32(0xF)).astype(jnp.int32)
+    lane_l = jnp.arange(Lb, dtype=jnp.int32)
+    didx = brick_seg[:Lb] * (vol * B) + offset_l * B + frame_l
+    # tail lanes: ascending unique out-of-range indices keep the sorted/
+    # unique promises honest while dropping the writes
+    didx = jnp.where(valid_l, didx, NB * vol * B + lane_l)
+    dense = (
+        jnp.zeros((NB * vol * B,), jnp.uint32)
+        .at[didx]
+        .set(s_pay[:Lb], mode="drop", unique_indices=True,
+             indices_are_sorted=True)
+        .reshape(NB, vol, B)
+    )
+
+    # ---- compact distinct bricks to the NB budget (record starts live in
+    # the valid prefix, so the compaction sort runs at Lb lanes)
+    not_start = (~(new_brick[:Lb] & valid_l)).astype(jnp.uint32)
+    _, c_hi, c_lo = jax.lax.sort(
+        (not_start, s_hi[:Lb], b_lo_id[:Lb]), num_keys=1
+    )
+
+    def take(x, fill):
+        if NB <= Lb:
+            return x[:NB]
+        return jnp.concatenate([x, jnp.full((NB - Lb,), fill, x.dtype)])
+
+    lane_b = jnp.arange(NB, dtype=jnp.int32)
+    valid_b = lane_b < n_bricks
+    c_hi = jnp.where(valid_b, take(c_hi, EMPTY_HI), EMPTY_HI)
+    c_lo = jnp.where(valid_b, take(c_lo, EMPTY_HI), EMPTY_HI)
+
+    # ---- table ops at NB lanes
+    bucket, found, found_slot, fill = bucket_lookup(state.key_rows, c_hi, c_lo)
+    need = valid_b & ~found
+    plan = plan_insert(
+        state.key_rows, c_hi, c_lo, need, bucket, fill, budget=insert_budget
+    )
+    insert_overflow = plan.budget_overflow
+
+    range_fail = jnp.any(auxs.range_fail)
+    frame_overflow = jnp.any(recs.n_unique > U)
+    failed = (
+        lanes_overflow
+        | brick_overflow
+        | plan.overflowed
+        | range_fail
+        | frame_overflow
+        | pack_overflow
+        | state.poisoned
+    )
+    if fail_reduce is not None:
+        failed = fail_reduce(failed)
+
+    key_rows = commit_insert(state.key_rows, plan, abort=failed)
+    slots = jnp.where(found, found_slot, plan.slots)
+    slots = jnp.where(valid_b, slots, cap)
+    slots_c = jnp.minimum(slots, cap - 1)
+    rows_cur = state.log_odds[slots_c]          # (NB, vol) row gather
+    touched_cur = state.touched[slots_c]        # (NB, words)
+    # rows of never-inserted bricks read 0 — the reference's never-seen
+    # log-odds (3d_mapper.py:117-120); new-brick value rows are still
+    # all-zero by the never-removed invariant
+
+    # ---- dense sequential chain evaluation: B masked elementwise passes
+    occL = jnp.asarray(cfg.log_odds_occupied, dtype)
+    freL = jnp.asarray(cfg.log_odds_free, dtype)
+    v = rows_cur
+    for f in range(B):
+        cnt_f = (dense[:, :, f] >> 16).astype(dtype)
+        occ_f = (dense[:, :, f] & jnp.uint32(0xFFFF)).astype(dtype)
+        lo_sum = occ_f * occL + (cnt_f - occ_f) * freL
+        v = finalize_voxel_updates(v, lo_sum, cnt_f, occ_f > 0, cfg)
+
+    upd_mask = jnp.any(dense != 0, axis=2)      # (NB, vol) updated this window
+    bits = _pack_touched(upd_mask)
+    touched_new = touched_cur | bits
+    n_new = jnp.sum(
+        jnp.where(
+            valid_b[:, None],
+            jax.lax.population_count(bits & ~touched_cur),
+            0,
+        )
+    ).astype(jnp.int32)
+
+    w_slots = jnp.where(failed, cap, slots)
+    new_lo = state.log_odds.at[w_slots].set(v, mode="drop")
+    new_touched = state.touched.at[w_slots].set(touched_new, mode="drop")
+
+    zero = jnp.zeros((), jnp.int32)
+    new_state = state._replace(
+        key_rows=key_rows,
+        log_odds=new_lo,
+        touched=new_touched,
+        min_bounds=jnp.where(
+            failed,
+            state.min_bounds,
+            jnp.minimum(
+                state.min_bounds, jnp.min(auxs.cmin, axis=0).astype(dtype)
+            ),
+        ),
+        max_bounds=jnp.where(
+            failed,
+            state.max_bounds,
+            jnp.maximum(
+                state.max_bounds, jnp.max(auxs.cmax, axis=0).astype(dtype)
+            ),
+        ),
+        used=state.used + jnp.where(failed, zero, n_new),
+        poisoned=state.poisoned | failed,
+    )
+
+    rec_valid = recs.hi != jnp.uint32(EMPTY_HI)  # (B, U)
+    rec_occ = rec_valid & (recs.n_occ > 0)
+    zeroB = jnp.zeros((B,), jnp.int32)
+    stats = {
+        "num_occupied": jnp.where(
+            failed, zeroB, jnp.sum(rec_occ, axis=1).astype(jnp.int32)
+        ),
+        "num_free": jnp.where(
+            failed, zeroB,
+            jnp.sum(rec_valid & ~rec_occ, axis=1).astype(jnp.int32),
+        ),
+        "num_candidates": jnp.where(failed, zeroB, auxs.n_valid),
+        "overflowed": jnp.broadcast_to(failed, (B,)),
+        "unique_overflow": jnp.broadcast_to(frame_overflow, (B,)),
+        # host growth channel: double brick/lane budgets (cheap recompile)
+        "batch_overflow": jnp.broadcast_to(
+            brick_overflow | lanes_overflow, (B,)
+        ),
+        "insert_overflow": jnp.broadcast_to(insert_overflow, (B,)),
+        # measured requirements for snug budget sizing
+        "batch_n_unique": jnp.broadcast_to(n_unique, (B,)),
+        "batch_n_bricks": jnp.broadcast_to(n_bricks, (B,)),
+        "batch_n_lanes": jnp.broadcast_to(n_valid_lanes, (B,)),
+        "batch_n_need": jnp.broadcast_to(plan.n_need, (B,)),
+        "pack_overflow": jnp.broadcast_to(pack_overflow, (B,)),
+        "range_fail": auxs.range_fail,
+    }
+    return new_state, stats
+
+
+# ---------------------------------------------------------------------------
+# Growth
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnames=("new_capacity",))
+def _rehash_bricks_once(state: BrickGridState, new_capacity: int):
+    old_hi, old_lo = state.key_hi, state.key_lo
+    occupied = old_hi != EMPTY_HI
+    fresh = empty_key_rows(new_capacity)
+    bucket, found, _, fill = bucket_lookup(fresh, old_hi, old_lo)
+    plan = plan_insert(fresh, old_hi, old_lo, occupied & ~found, bucket, fill)
+    key_rows = commit_insert(fresh, plan)
+    slots = jnp.minimum(plan.slots, new_capacity)
+    new_lo = jnp.zeros(
+        (new_capacity, state.brick_volume), state.log_odds.dtype
+    ).at[slots].set(state.log_odds, mode="drop")
+    new_touched = jnp.zeros(
+        (new_capacity, state.touched.shape[1]), jnp.uint32
+    ).at[slots].set(state.touched, mode="drop")
+    return (
+        BrickGridState(
+            key_rows=key_rows,
+            log_odds=new_lo,
+            touched=new_touched,
+            min_bounds=state.min_bounds,
+            max_bounds=state.max_bounds,
+            used=state.used,
+            poisoned=jnp.zeros((), bool),
+        ),
+        plan.overflowed,
+    )
+
+
+def rehash_bricks(state: BrickGridState, new_capacity: int) -> BrickGridState:
+    """Host-triggered grow (clears ``poisoned`` for replay), doubling again
+    until every existing bucket fits — grid/hash.rehash for brick tables."""
+    while True:
+        new_state, overflowed = _rehash_bricks_once(
+            state, new_capacity=new_capacity
+        )
+        if not bool(overflowed):
+            return new_state
+        new_capacity *= 2
+
+
+# ---------------------------------------------------------------------------
+# Extraction (reference get_occupied_voxels / classified,
+# 3d_mapper.py:127-188) — brick-level device compaction, O(occupied bricks)
+# transfer, exact float64 per-voxel thresholds applied on the HOST over the
+# pulled rows (no device-side threshold parity tricks needed).
+# ---------------------------------------------------------------------------
+
+@jax.jit
+def _compact_bricks_by_class(key_rows, class_key):
+    hi = key_rows[:, :BUCKET_SLOTS].reshape(-1)
+    lo = key_rows[:, BUCKET_SLOTS:].reshape(-1)
+    counts = jnp.bincount(class_key, length=4)
+    slot = jnp.arange(hi.shape[0], dtype=jnp.int32)
+    _, s_hi, s_lo, s_slot = jax.lax.sort(
+        (class_key.astype(jnp.uint32), hi, lo, slot), num_keys=1
+    )
+    return s_hi, s_lo, s_slot, counts
+
+
+def _touched_bool(touched_rows: np.ndarray, vol: int) -> np.ndarray:
+    """(N, words) uint32 -> (N, vol) bool."""
+    n, words = touched_rows.shape
+    per = min(32, vol)
+    bits = (touched_rows[:, :, None] >> np.arange(per, dtype=np.uint32)) & 1
+    return bits.astype(bool).reshape(n, words * per)[:, :vol]
+
+
+def _pull_brick_rows(state: BrickGridState, sel_slots_sorted, n: int):
+    """Transfer n compacted brick rows (+keys) to host, pow2-padded."""
+    if n == 0:
+        vol = state.brick_volume
+        return (
+            np.empty((0,), np.uint32), np.empty((0,), np.uint32),
+            np.empty((0, vol)), np.empty((0, state.touched.shape[1]), np.uint32),
+        )
+    n_pad = min(1 << (n - 1).bit_length(), sel_slots_sorted[0].shape[0])
+    s_hi, s_lo, s_slot = sel_slots_sorted
+    idx = s_slot[:n_pad]
+    rows = state.log_odds[idx]
+    touched = state.touched[idx]
+    return (
+        np.asarray(s_hi[:n_pad])[:n],
+        np.asarray(s_lo[:n_pad])[:n],
+        np.asarray(rows)[:n],
+        np.asarray(touched)[:n],
+    )
+
+
+def _brick_voxel_points(
+    hi: np.ndarray, lo: np.ndarray, vol: int, brick_bits: int,
+    resolution: float,
+) -> np.ndarray:
+    """(N,) brick codes -> (N, vol, 3) float64 voxel centers."""
+    base = np.asarray(
+        unpack_brick_keys(jnp.asarray(hi), jnp.asarray(lo), brick_bits)
+    )  # offsets decoded as 0 since the stored code has offset bits zero
+    off = np.arange(vol, dtype=np.int32)
+    b = 1 << brick_bits
+    offs = np.stack(
+        [off >> (2 * brick_bits), (off >> brick_bits) & (b - 1), off & (b - 1)],
+        axis=-1,
+    )
+    keys = base[:, None, :] + offs[None, :, :]
+    return (keys.astype(np.float64) + 0.5) * resolution
+
+
+def extract_occupied_brick(
+    state: BrickGridState, cfg: MapperConfig
+) -> Tuple[np.ndarray, np.ndarray]:
+    from sonar_3d_reconstruction_tpu.ops.logodds import probability_to_log_odds
+
+    thr = probability_to_log_odds(cfg.min_probability, cfg)
+    vol = state.brick_volume
+    # conservative device prefilter (one f32 ulp low); exact f64 filter on host
+    t = jnp.asarray(
+        np.nextafter(np.asarray(thr, state.log_odds.dtype),
+                     -np.inf), state.log_odds.dtype
+    )
+    tb = _touched_bool  # alias
+    words = state.touched.shape[1]
+    per = min(32, vol)
+    bitw = (jnp.uint32(1) << jnp.arange(per, dtype=jnp.uint32))
+    tbits = (
+        state.touched[:, :, None] & bitw[None, None, :]
+    ).astype(bool).reshape(state.capacity, words * per)[:, :vol]
+    sel = jnp.any(tbits & (state.log_odds > t), axis=1)
+    occupied_brick = state.key_hi != EMPTY_HI
+    class_key = jnp.where(occupied_brick & sel, 0, 1).astype(jnp.int32)
+    s_hi, s_lo, s_slot, counts = _compact_bricks_by_class(
+        state.key_rows, class_key
+    )
+    n = int(counts[0])
+    hi, lo, rows, touched = _pull_brick_rows(state, (s_hi, s_lo, s_slot), n)
+    if n == 0:
+        return np.empty((0, 3)), np.empty((0,))
+    mask = tb(touched, vol) & (rows.astype(np.float64) > thr)
+    points = _brick_voxel_points(hi, lo, vol, state.brick_bits,
+                                 cfg.voxel_resolution)[mask]
+    probs = 1.0 / (1.0 + np.exp(-rows.astype(np.float64)[mask]))
+    return points.reshape(-1, 3), probs
+
+
+def extract_classified_brick(
+    state: BrickGridState, cfg: MapperConfig
+) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
+    vol = state.brick_volume
+    class_key = jnp.where(state.key_hi != EMPTY_HI, 0, 1).astype(jnp.int32)
+    s_hi, s_lo, s_slot, counts = _compact_bricks_by_class(
+        state.key_rows, class_key
+    )
+    n = int(counts[0])
+    hi, lo, rows, touched = _pull_brick_rows(state, (s_hi, s_lo, s_slot), n)
+    free_thr = np.log(0.3 / 0.7)
+    occ_thr = np.log(cfg.min_probability / (1.0 - cfg.min_probability))
+    out = {}
+    if n == 0:
+        for k in ("free", "occupied", "unknown"):
+            out[k] = (np.empty((0, 3)), np.empty((0,)))
+        return out
+    tmask = _touched_bool(touched, vol)
+    lo_v = rows.astype(np.float64)
+    points = _brick_voxel_points(hi, lo, vol, state.brick_bits,
+                                 cfg.voxel_resolution)
+    free_m = tmask & (lo_v < free_thr)
+    occ_m = tmask & ~free_m & (lo_v > occ_thr)
+    unk_m = tmask & ~free_m & ~occ_m
+    for name, m in (("free", free_m), ("occupied", occ_m), ("unknown", unk_m)):
+        out[name] = (
+            points[m].reshape(-1, 3),
+            1.0 / (1.0 + np.exp(-lo_v[m])),
+        )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Point queries (reference SimpleOctree.get_log_odds / get_probability)
+# ---------------------------------------------------------------------------
+
+def query_log_odds_brick(
+    state: BrickGridState, points, cfg: MapperConfig
+) -> np.ndarray:
+    """Batched (N, 3) world coords -> (N,) log-odds; 0.0 where never updated.
+    Host float64 quantization (see grid/hash.query_log_odds rationale)."""
+    pts = np.asarray(points, np.float64).reshape(-1, 3)
+    keys = jnp.asarray(
+        np.clip(
+            np.floor(pts / cfg.voxel_resolution), -(2**30), 2**30
+        ).astype(np.int32)
+    )
+    bb = state.brick_bits
+    vol = state.brick_volume
+    hi, lo, in_range = pack_brick_keys(keys, bb)
+    brick_mask, o = _masks(bb)
+    b_lo = lo & brick_mask
+    offset = ((lo >> 4) & jnp.uint32((1 << o) - 1)).astype(jnp.int32)
+    _, found, found_slot, _ = bucket_lookup(state.key_rows, hi, b_lo)
+    slot = jnp.minimum(found_slot, state.capacity - 1)
+    vals = state.log_odds[slot, offset]
+    word = state.touched[slot, offset // 32]
+    bit = (word >> (offset % 32).astype(jnp.uint32)) & 1
+    hit = found & in_range & (bit == 1)
+    zero = jnp.zeros((), state.log_odds.dtype)
+    return np.asarray(jnp.where(hit, vals, zero))
+
+
+def query_probability_brick(
+    state: BrickGridState, points, cfg: MapperConfig
+) -> np.ndarray:
+    lo = query_log_odds_brick(state, points, cfg).astype(np.float64)
+    return 1.0 / (1.0 + np.exp(-lo))

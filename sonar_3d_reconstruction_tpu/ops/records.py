@@ -23,7 +23,7 @@ from sonar_3d_reconstruction_tpu.ops.backproject import (
     backproject_ping,
 )
 from sonar_3d_reconstruction_tpu.ops.dedup import UniqueRecords, dedup_frame
-from sonar_3d_reconstruction_tpu.ops.packing import pack_keys
+from sonar_3d_reconstruction_tpu.ops.packing import pack_brick_keys, pack_keys
 
 
 class FrameAux(NamedTuple):
@@ -44,6 +44,7 @@ def frame_records(
     dtype=jnp.float32,
     frame_on=None,
     dedup_lane_budget: int = 0,
+    brick_bits: int = 0,
 ) -> Tuple[UniqueRecords, FrameAux]:
     """One ping -> (UniqueRecords, FrameAux). Pure, state-independent.
 
@@ -54,6 +55,10 @@ def frame_records(
     arrays — and the window sort, scans and stats that scale with U —
     without the compaction-coverage constraint inflating U (~14% on the
     bench survey).  Both overflows report through ``n_unique``.
+
+    ``brick_bits`` > 0 packs keys brick-major (ops/packing.pack_brick_keys)
+    for the grid/brick.py backend; 0 keeps the voxel packing.  Dedup
+    semantics are identical either way (equal voxels <=> equal codes).
     """
     cand = backproject_ping(image, T_sonar_to_world, tables, cfg, dtype=dtype)
     valid = cand["valid"]
@@ -61,7 +66,10 @@ def frame_records(
         valid = valid & frame_on
 
     keys = jnp.floor(cand["points"] / cfg.voxel_resolution).astype(jnp.int32)
-    hi, lo, in_range = pack_keys(keys)
+    if brick_bits:
+        hi, lo, in_range = pack_brick_keys(keys, brick_bits)
+    else:
+        hi, lo, in_range = pack_keys(keys)
     range_fail = jnp.any(valid & ~in_range)
     valid = valid & in_range
 

@@ -118,16 +118,35 @@ def apply_record_segments(
     cfg: MapperConfig,
     *,
     window: int = 8,
+    batch_budget: Optional[int] = None,
+    start: int = 0,
 ) -> Tuple[HashGridState, List[dict]]:
     """Fold precomputed record segments into the map IN ORDER.
 
     ``segments`` must be ordered by stream time (segment s's last ping
     precedes segment s+1's first).  Returns (state, list of per-frame stats
     dicts).  A poisoned frame (overflow) poisons the rest — the caller grows
-    capacity / unique budget and replays, as in pipeline.map_ping_sequence.
+    capacity / unique budget / batch budget and replays from the first
+    failed frame, exactly as pipeline.map_ping_sequence does (the
+    ``map_ping_sequence_multihost`` wrapper below implements that loop).
+
+    ``start`` skips the first ``start`` frames (across segments) — the
+    replay cursor.  Window re-alignment at the replay point is exact: the
+    batched apply preserves per-frame sequential semantics regardless of
+    window boundaries.  ``batch_budget`` overrides the per-window distinct-
+    voxel budget (default: the snug ``min(w*u, 4*u)``).
     """
     all_stats: List[dict] = []
+    skip = int(start)
     for recs, auxs in segments:
+        if skip:
+            P_seg = recs.hi.shape[0]
+            take = min(skip, P_seg)
+            skip -= take
+            if take == P_seg:
+                continue
+            recs = jax.tree_util.tree_map(lambda x: x[take:], recs)
+            auxs = jax.tree_util.tree_map(lambda x: x[take:], auxs)
         P = recs.hi.shape[0]
         if P == 0:
             continue
@@ -164,10 +183,110 @@ def apply_record_segments(
             aux_w = jax.tree_util.tree_map(lambda x: x[b : b + w], auxs_dev)
             state, stats = _apply_batched(
                 state, rec_w, aux_w, cfg=cfg,
-                batch_budget=min(w * u, 4 * u),
+                batch_budget=batch_budget or min(w * u, 4 * u),
             )
             for i in range(min(w, P - b)):
                 all_stats.append(
                     {k: np.asarray(v)[i] for k, v in stats.items()}
                 )
     return state, all_stats
+
+
+def map_ping_sequence_multihost(
+    images: np.ndarray,
+    positions: np.ndarray,
+    quaternions: np.ndarray,
+    cfg: Optional[MapperConfig] = None,
+    *,
+    n_hosts: int = 2,
+    window: int = 8,
+    dtype=jnp.float32,
+    initial_capacity: int = 1 << 20,
+    state: Optional[HashGridState] = None,
+    unique_budget: Optional[int] = None,
+    batch_budget: Optional[int] = None,
+    max_grow_retries: int = 12,
+) -> Tuple[HashGridState, List[dict]]:
+    """map_ping_sequence-grade host wrapper for the DCN decomposition
+    (VERDICT r2 #7): split the ping stream into ``n_hosts`` contiguous
+    segments, compute each segment's records independently (what each host
+    would do with its bag slice), fold them in stream order, and on any
+    overflow grow the RIGHT knob and replay from the first failed frame:
+
+      * ``unique_overflow``  -> double the per-frame unique budget and
+        RECOMPUTE the records (they are budget-shaped — in deployment the
+        owning host broadcasts the new budget to the record producers);
+      * ``batch_overflow``   -> double the apply's window budget (records
+        are reused — only the fold re-runs);
+      * capacity / bucket    -> rehash the map 2x (records reused);
+      * ``range_fail``       -> raise (growth cannot fix an unpackable key).
+
+    Results are bit-identical to pipeline.map_ping_sequence on the same
+    inputs.  Returns (state, per-frame stats dicts for all applied frames).
+    """
+    from sonar_3d_reconstruction_tpu.grid.hash import init_hash_grid, rehash
+
+    cfg = cfg or MapperConfig()
+    images = np.asarray(images)
+    P = images.shape[0]
+    st = state if state is not None else init_hash_grid(
+        initial_capacity, dtype
+    )
+    if P == 0:
+        return st, []
+    bounds = np.linspace(0, P, n_hosts + 1).astype(int)
+
+    def compute_segments(ub):
+        return [
+            records_for_segment(
+                images[a:b], positions[a:b], quaternions[a:b], cfg,
+                unique_budget=ub, dtype=dtype,
+            )
+            for a, b in zip(bounds[:-1], bounds[1:])
+            if b > a
+        ]
+
+    segments = compute_segments(unique_budget)
+    applied: List[dict] = [None] * P
+    start = 0
+    for _ in range(max_grow_retries):
+        new_st, stats = apply_record_segments(
+            st, segments, cfg, window=window, batch_budget=batch_budget,
+            start=start,
+        )
+        over = [bool(s["overflowed"]) for s in stats]
+        n_ok = len(stats) if True not in over else over.index(True)
+        for i in range(n_ok):
+            applied[start + i] = stats[i]
+        if True not in over:
+            return new_st, applied
+        tail = stats[n_ok:]
+        start = start + n_ok
+        if any(bool(s["range_fail"]) for s in tail):
+            raise ValueError(
+                f"frame >= {start}: voxel keys outside the packable range "
+                "— check odometry frame offsets; growth cannot fix this"
+            )
+        if any(bool(s["unique_overflow"]) for s in tail):
+            if unique_budget is None:
+                R, B = images.shape[1:]
+                tables = build_fan_tables(cfg, R, B)
+                unique_budget = default_unique_budget(
+                    tables.candidates_per_ping(cfg.occupied_window)
+                )
+            unique_budget *= 2
+            batch_budget = None
+            segments = compute_segments(unique_budget)
+            st = new_st._replace(poisoned=jnp.zeros((), bool))
+        elif any(bool(s.get("batch_overflow", False)) for s in tail):
+            if batch_budget is None:
+                u = segments[0][0].hi.shape[1]
+                w = min(window, P)
+                batch_budget = min(w * u, 4 * u)
+            batch_budget *= 2
+            st = new_st._replace(poisoned=jnp.zeros((), bool))
+        else:
+            st = rehash(new_st, new_capacity=new_st.key_hi.shape[0] * 2)
+    raise RuntimeError(
+        f"multihost growth did not converge after {max_grow_retries} retries"
+    )

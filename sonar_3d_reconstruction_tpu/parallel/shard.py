@@ -373,11 +373,16 @@ def make_window_scan_sharded(
     failure flag is psum-reduced before any write), so grow+replay matches
     the single-chip window engine bit-for-bit.
 
-    ``lane_budget`` / ``insert_budget`` are PER-SHARD static ints (this
-    builder is lru_cached and compiles ONE window program, so the
-    per-window [cold, warm] list scan_pings_hash accepts is not supported
-    here — size the insert budget for the worst window, or start from a
-    pre-warmed sharded state).
+    ``lane_budget`` / ``insert_budget`` are PER-SHARD static values;
+    ``insert_budget`` also accepts a [cold, warm, ...] TUPLE exactly like
+    scan_pings_hash — one window program is compiled per distinct value
+    (window 0 uses the first, later windows the last), so a fresh sharded
+    map can run a generous cold first-window insert plan and a snug warm
+    one after, matching the single-chip engine's measured-budget
+    configuration.  The per-shard requirement for snug sizing is reported
+    in ``batch_n_need_max`` / ``batch_n_unique_max`` (per-shard maxima —
+    the psum'd ``batch_n_need`` is the global sum, which over-sizes a
+    per-shard budget by ~S).
 
     Backprojection runs replicated inside the shard body (each shard
     re-derives the candidate stream rather than all-gathering an 80 MB
@@ -396,8 +401,15 @@ def make_window_scan_sharded(
         )
     if batch_budget is None:
         batch_budget = default_batch_budget(window, unique_budget)
+    # normalize insert_budget to a tuple of per-window-position values; one
+    # compiled window program per DISTINCT value (cold + warm = two)
+    if insert_budget is None or isinstance(insert_budget, int):
+        insert_schedule = (insert_budget,)
+    else:
+        insert_schedule = tuple(insert_budget)
 
-    def local_window(state_blk, images, transforms, w_start, start, stop):
+    def local_window(state_blk, images, transforms, w_start, start, stop,
+                     *, window_insert_budget):
         my = jax.lax.axis_index(axis_name)
         S = jax.lax.axis_size(axis_name)
 
@@ -436,12 +448,20 @@ def make_window_scan_sharded(
         )
         new_local, stats = apply_records_batched(
             local, recs, auxs, cfg, batch_budget=batch_budget,
-            lane_budget=lane_budget, insert_budget=insert_budget,
+            lane_budget=lane_budget, insert_budget=window_insert_budget,
             fail_reduce=lambda f: jax.lax.psum(
                 f.astype(jnp.int32), axis_name
             ) > 0,
         )
         stats = dict(stats)
+        # per-shard maxima FIRST (hosts size per-shard snug budgets from
+        # these; the psums below overwrite the keys with global sums)
+        stats["batch_n_unique_max"] = jax.lax.pmax(
+            stats["batch_n_unique"], axis_name
+        )
+        stats["batch_n_need_max"] = jax.lax.pmax(
+            stats["batch_n_need"], axis_name
+        )
         for k in ("num_occupied", "num_free", "num_candidates"):
             stats[k] = jax.lax.psum(stats[k], axis_name)
         for k in ("unique_overflow", "batch_overflow", "insert_overflow"):
@@ -464,17 +484,21 @@ def make_window_scan_sharded(
         "num_occupied": P(), "num_free": P(), "num_candidates": P(),
         "overflowed": P(), "unique_overflow": P(), "batch_overflow": P(),
         "insert_overflow": P(), "batch_n_unique": P(), "batch_n_need": P(),
+        "batch_n_unique_max": P(), "batch_n_need_max": P(),
         "range_fail": P(),
     }
-    window_step = jax.jit(
-        shard_map(
-            local_window,
-            mesh=mesh,
-            in_specs=(_state_specs(axis_name), P(), P(), P(), P(), P()),
-            out_specs=(_state_specs(axis_name), stats_specs),
-            check_vma=False,
+    window_steps = {
+        ib: jax.jit(
+            shard_map(
+                partial(local_window, window_insert_budget=ib),
+                mesh=mesh,
+                in_specs=(_state_specs(axis_name), P(), P(), P(), P(), P()),
+                out_specs=(_state_specs(axis_name), stats_specs),
+                check_vma=False,
+            )
         )
-    )
+        for ib in set(insert_schedule)
+    }
 
     def scan(state, images, transforms, start=0):
         P_ = images.shape[0]
@@ -483,8 +507,9 @@ def make_window_scan_sharded(
         start = jnp.asarray(start, jnp.int32)
         stop = jnp.int32(P_)
         window_stats = []
-        for w in range(0, P_, window):
-            state, stats = window_step(
+        for wi, w in enumerate(range(0, P_, window)):
+            ib = insert_schedule[min(wi, len(insert_schedule) - 1)]
+            state, stats = window_steps[ib](
                 state, images, transforms, jnp.int32(w), start, stop
             )
             window_stats.append(stats)
@@ -509,12 +534,20 @@ def map_ping_sequence_sharded(
     axis_name: str = "space",
     window: int = 1,
     unique_budget: Optional[int] = None,
+    batch_budget: Optional[int] = None,
+    lane_budget: Optional[int] = None,
+    insert_budget=None,
     max_grow_retries: int = 12,
 ) -> Tuple[ShardedHashState, Dict[str, np.ndarray]]:
     """Sharded equivalent of pipeline.map_ping_sequence: map a whole ping
     sequence over the mesh with grow+replay-from-first-failure and the same
-    cause attribution (unique budget vs batch budget vs capacity vs key
-    range).  Returns (final sharded state, per-ping stats arrays)."""
+    cause attribution (unique budget vs batch/lane budget vs insert budget
+    vs capacity vs key range).  ``batch_budget``/``lane_budget`` are
+    PER-SHARD statics; ``insert_budget`` accepts an int or a [cold, warm]
+    schedule (see make_window_scan_sharded) — all forwarded to the window
+    engine so a sharded deployment can run the single-chip engine's
+    measured snug-budget configuration.  Returns (final sharded state,
+    per-ping stats arrays)."""
     from sonar_3d_reconstruction_tpu.grid.hash import (
         default_batch_budget,
         default_unique_budget,
@@ -538,14 +571,15 @@ def map_ping_sequence_sharded(
     if P_ == 0:
         return st, {}
     window = min(window, P_)
-    batch_budget = None
+    if isinstance(insert_budget, list):
+        insert_budget = tuple(insert_budget)  # lru_cache key must hash
     merged: Dict[str, np.ndarray] = {}
     start = 0
     for _ in range(max_grow_retries):
         if window > 1:
             scan = make_window_scan_sharded(
                 mesh, tables, cfg, dtype, axis_name, unique_budget,
-                window, batch_budget,
+                window, batch_budget, lane_budget, insert_budget,
             )
         else:
             scan = make_scan_pings_sharded(
@@ -575,6 +609,20 @@ def map_ping_sequence_sharded(
                 )
             )
             batch_budget = None
+            st = new_st._replace(
+                poisoned=jnp.zeros_like(new_st.poisoned)
+            )
+        elif "insert_overflow" in stats and bool(
+            np.asarray(stats["insert_overflow"])[tail].any()
+        ):
+            # a snug insert schedule proved too tight: double every entry
+            # (recompiles only the affected window programs)
+            if isinstance(insert_budget, tuple):
+                insert_budget = tuple(2 * b for b in insert_budget)
+            elif insert_budget is not None:
+                insert_budget = 2 * insert_budget
+            else:  # cannot happen with insert_budget=None (plan unbudgeted)
+                insert_budget = None
             st = new_st._replace(
                 poisoned=jnp.zeros_like(new_st.poisoned)
             )

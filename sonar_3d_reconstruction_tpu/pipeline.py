@@ -171,7 +171,7 @@ def _apply_batched(
     jax.jit,
     static_argnames=(
         "tables", "cfg", "dtype", "unique_budget", "window",
-        "dedup_lane_budget",
+        "dedup_lane_budget", "brick_bits",
     ),
 )
 def _records_window(
@@ -187,6 +187,7 @@ def _records_window(
     unique_budget: int,
     window: int,
     dedup_lane_budget: int = 0,
+    brick_bits: int = 0,
 ):
     """Records for a whole window of pings in ONE dispatch.
 
@@ -206,7 +207,7 @@ def _records_window(
         frame_on = (idx >= start) & (idx < stop)
         return frame_records(
             image, T, tables, cfg, unique_budget, dtype, frame_on=frame_on,
-            dedup_lane_budget=dedup_lane_budget,
+            dedup_lane_budget=dedup_lane_budget, brick_bits=brick_bits,
         )
 
     return jax.lax.map(body, jnp.arange(window, dtype=jnp.int32))
@@ -312,6 +313,89 @@ def scan_pings_hash(
     }
 
 
+@partial(
+    jax.jit,
+    static_argnames=("cfg", "brick_budget", "lane_budget", "insert_budget"),
+)
+def _apply_brick(
+    state, recs, auxs, *, cfg: MapperConfig, brick_budget: int,
+    lane_budget=None, insert_budget=None,
+):
+    from sonar_3d_reconstruction_tpu.grid.brick import (
+        apply_brick_records_batched,
+    )
+
+    return apply_brick_records_batched(
+        state, recs, auxs, cfg, brick_budget=brick_budget,
+        lane_budget=lane_budget, insert_budget=insert_budget,
+    )
+
+
+def scan_pings_brick(
+    state,
+    images: jnp.ndarray,
+    transforms: jnp.ndarray,
+    start=None,
+    stop=None,
+    *,
+    tables: FanTables,
+    cfg: MapperConfig,
+    dtype=jnp.float32,
+    unique_budget=None,
+    window: int = 8,
+    brick_budget=None,
+    lane_budget=None,
+    insert_budget=None,
+    dedup_lane_budget=0,
+):
+    """Whole ping sequence -> brick map (host-driven window engine; the
+    brick backend is window-batched by construction — grid/brick.py — and
+    window=1 degenerates to per-ping apply).  Budgets/overflow contract
+    mirror scan_pings_hash."""
+    from sonar_3d_reconstruction_tpu.grid.brick import default_brick_budget
+    from sonar_3d_reconstruction_tpu.grid.hash import default_unique_budget
+
+    P = images.shape[0]
+    if P == 0:
+        return state, {}
+    start = jnp.int32(0) if start is None else jnp.asarray(start, jnp.int32)
+    stop = jnp.int32(P) if stop is None else jnp.asarray(stop, jnp.int32)
+    window = min(window, P)
+    if unique_budget is None:
+        unique_budget = default_unique_budget(
+            tables.candidates_per_ping(cfg.occupied_window)
+        )
+    if brick_budget is None:
+        brick_budget = default_brick_budget(window, unique_budget)
+
+    images_dev = jnp.asarray(images)
+    T_dev = jnp.asarray(transforms, dtype)
+    bb = state.brick_bits
+
+    window_stats = []
+    for wi, w in enumerate(range(0, P, window)):
+        ib = (
+            insert_budget[min(wi, len(insert_budget) - 1)]
+            if isinstance(insert_budget, (list, tuple))
+            else insert_budget
+        )
+        recs, auxs = _records_window(
+            images_dev, T_dev, jnp.int32(w), start, stop,
+            tables=tables, cfg=cfg, dtype=dtype,
+            unique_budget=unique_budget, window=window,
+            dedup_lane_budget=dedup_lane_budget, brick_bits=bb,
+        )
+        state, stats = _apply_brick(
+            state, recs, auxs, cfg=cfg, brick_budget=brick_budget,
+            lane_budget=lane_budget, insert_budget=ib,
+        )
+        window_stats.append(stats)
+    return state, {
+        k: jnp.concatenate([s[k] for s in window_stats])[:P]
+        for k in window_stats[0]
+    }
+
+
 @partial(jax.jit, static_argnames=("tables", "spec", "cfg", "dtype"))
 def dense_ping_step(
     state,
@@ -406,6 +490,10 @@ def map_ping_sequence(
     if P == 0:
         empty_i = np.zeros((0,), np.int32)
         empty_b = np.zeros((0,), bool)
+        if state is None and backend == "brick":
+            from sonar_3d_reconstruction_tpu.grid.brick import init_brick_grid
+
+            state = init_brick_grid(1 << 15, dtype)
         return (
             state if state is not None
             else init_hash_grid(initial_capacity, dtype),
@@ -439,6 +527,14 @@ def map_ping_sequence(
             dtype=dtype,
         )
         return st, {k: np.asarray(v) for k, v in stats.items()}
+
+    if backend == "brick":
+        return _map_ping_sequence_brick(
+            images_dev, T_dev, cfg, tables=tables, state=state,
+            dtype=dtype, window=max(window, 1),
+            unique_budget=unique_budget, effective=effective,
+            max_grow_retries=max_grow_retries,
+        )
 
     if backend != "hash":
         raise ValueError(f"unknown backend {backend!r}")
@@ -520,4 +616,90 @@ def map_ping_sequence(
             st = rehash(new_st, new_capacity=new_st.key_hi.shape[0] * 2)
     raise RuntimeError(
         f"hash capacity growth did not converge after {max_grow_retries} retries"
+    )
+
+
+def _map_ping_sequence_brick(
+    images_dev,
+    T_dev,
+    cfg: MapperConfig,
+    *,
+    tables: FanTables,
+    state,
+    dtype,
+    window: int,
+    unique_budget: Optional[int],
+    effective: Optional[Dict[str, int]],
+    max_grow_retries: int,
+) -> Tuple[Any, Dict[str, np.ndarray]]:
+    """Brick-backend host wrapper: grow-and-replay with cause attribution
+    (unique / brick+lane / insert budget / capacity), mirroring the hash
+    branch of map_ping_sequence."""
+    from sonar_3d_reconstruction_tpu.grid.brick import (
+        default_brick_budget,
+        init_brick_grid,
+        rehash_bricks,
+    )
+    from sonar_3d_reconstruction_tpu.grid.hash import default_unique_budget
+
+    P = images_dev.shape[0]
+    if unique_budget is None:
+        unique_budget = default_unique_budget(
+            tables.candidates_per_ping(cfg.occupied_window)
+        )
+    st = state if state is not None else init_brick_grid(1 << 15, dtype)
+    merged: Dict[str, np.ndarray] = {}
+    start = 0
+    brick_budget = None
+    for _ in range(max_grow_retries):
+        new_st, stats = scan_pings_brick(
+            st, images_dev, T_dev, jnp.int32(start),
+            tables=tables, cfg=cfg, dtype=dtype,
+            unique_budget=unique_budget, window=window,
+            brick_budget=brick_budget,
+        )
+        over = np.asarray(stats["overflowed"])
+        applied_hi = P if not over.any() else int(np.argmax(over))
+        for k, v in stats.items():
+            arr = merged.setdefault(k, np.zeros((P,), np.asarray(v).dtype))
+            arr[start:applied_hi] = np.asarray(v)[start:applied_hi]
+        if not over.any():
+            if effective is not None:
+                effective["unique_budget"] = unique_budget
+                effective["brick_budget"] = (
+                    brick_budget
+                    if brick_budget is not None
+                    else default_brick_budget(min(window, P), unique_budget)
+                )
+                effective["capacity"] = new_st.capacity
+                effective["fan_cap"] = tables.nvo_cap
+            return new_st, merged
+        start = applied_hi
+        tail = slice(applied_hi, None)
+        if bool(np.asarray(stats["range_fail"])[tail].any()):
+            raise ValueError(
+                f"frame >= {applied_hi}: voxel keys outside the packable "
+                "range — check odometry frame offsets; growth cannot fix this"
+            )
+        if bool(np.asarray(stats["pack_overflow"])[tail].any()):
+            raise ValueError(
+                f"frame >= {applied_hi}: a voxel received 2^16+ emissions "
+                "in one frame (count packing width) — use backend='hash' "
+                "for this degenerate geometry"
+            )
+        if bool(np.asarray(stats["unique_overflow"])[tail].any()):
+            unique_budget *= 2
+            brick_budget = None
+            st = new_st._replace(poisoned=jnp.zeros((), bool))
+        elif bool(np.asarray(stats["batch_overflow"])[tail].any()):
+            if brick_budget is None:
+                brick_budget = default_brick_budget(
+                    min(window, P), unique_budget
+                )
+            brick_budget *= 2
+            st = new_st._replace(poisoned=jnp.zeros((), bool))
+        else:
+            st = rehash_bricks(new_st, new_capacity=new_st.capacity * 2)
+    raise RuntimeError(
+        f"brick growth did not converge after {max_grow_retries} retries"
     )

@@ -42,7 +42,9 @@ from sonar_3d_reconstruction_tpu.pipeline import (
 @dataclass
 class StreamStats:
     """Counters mirroring the reference's periodic frame logs (node:345-357)
-    plus the dropped/unsynced counter the reference lacks (SURVEY.md 5.3)."""
+    plus the dropped/unsynced counter the reference lacks (SURVEY.md 5.3)
+    and real arrival->state-committed latency percentiles (BASELINE.md
+    metric "p50 ping→map latency")."""
 
     pings_in: int = 0
     poses_in: int = 0
@@ -52,14 +54,33 @@ class StreamStats:
     dropped_unsynced: int = 0
     chunks: int = 0
     grows: int = 0
+    fan_cap_recompiles: int = 0
     device_time: float = 0.0
     stamp_skew_sum: float = 0.0  # measured sonar<->odom stamp delta (node:352-357)
+    # wall-clock seconds from a ping's (decoded, paired) arrival to its
+    # frame being COMMITTED in device map state — measured per frame, the
+    # chunk flush syncs on the overflow check so commit time is real
+    latencies: List[float] = field(default_factory=list)
+
+    def latency_percentiles(self) -> Dict[str, float]:
+        if not self.latencies:
+            return {"p50": 0.0, "p95": 0.0, "max": 0.0}
+        arr = np.asarray(self.latencies)
+        return {
+            "p50": float(np.percentile(arr, 50)),
+            "p95": float(np.percentile(arr, 95)),
+            "max": float(arr.max()),
+        }
 
     def summary(self) -> Dict[str, Any]:
-        d = self.__dict__.copy()
+        d = {k: v for k, v in self.__dict__.items() if k != "latencies"}
         d["avg_stamp_skew"] = (
             self.stamp_skew_sum / self.pairs if self.pairs else 0.0
         )
+        lat = self.latency_percentiles()
+        d["latency_p50_s"] = lat["p50"]
+        d["latency_p95_s"] = lat["p95"]
+        d["latency_max_s"] = lat["max"]
         return d
 
 
@@ -68,6 +89,15 @@ class StreamingMapper:
 
     Feed pings/poses in any interleaving (``on_ping`` / ``on_pose``), or an
     entire bag (``run_bag``); call ``finish()`` to flush the tail.
+
+    Latency vs throughput: a ping waits until its chunk fills before any
+    device work happens, so the worst-case ping->map latency is
+    ``chunk_size / ping_rate`` plus the chunk's device time.  The default
+    chunk of 32 maximizes throughput for offline replay; the documented
+    LOW-LATENCY configuration is ``chunk_size == window`` (e.g. both 8),
+    which bounds the wait to one window while keeping the batched-apply
+    engine — per-frame arrival->committed latencies are measured into
+    ``stats.latencies`` either way (p50/p95 in ``stats.summary()``).
     """
 
     def __init__(
@@ -80,6 +110,9 @@ class StreamingMapper:
         initial_capacity: int = 1 << 20,
         dtype=jnp.float32,
         publish: Optional[Callable[[Dict], None]] = None,
+        fan_cap: Any = "auto",
+        unique_budget: Optional[int] = None,
+        batch_budget: Optional[int] = None,
     ):
         self.cfg = cfg or MapperConfig()
         self.stream_cfg = stream_cfg or StreamConfig()
@@ -95,12 +128,22 @@ class StreamingMapper:
         self.stats = StreamStats()
         self._tables = None
         self._tables_shape: Optional[Tuple[int, int]] = None
-        self._unique_budget: Optional[int] = None
-        self._batch_budget: Optional[int] = None
+        self._unique_budget: Optional[int] = unique_budget
+        self._batch_budget: Optional[int] = batch_budget
+        # per-chunk host-gated occupied-fan cap ("auto", an int, or None for
+        # the max_range worst case).  "auto" sizes the static fan width from
+        # the deepest above-threshold return seen SO FAR (monotone grow-only,
+        # so a deeper mid-stream return costs one recompile — the compile
+        # cache makes repeats cheap) — live replay then runs the same
+        # candidate lattice as offline fan_cap="auto" instead of the ~2x
+        # max_range worst case.
+        self._fan_cap_mode = fan_cap
+        self._fan_cap: int = 0
         self._chunk_images: List[np.ndarray] = []
         self._chunk_positions: List[np.ndarray] = []
         self._chunk_quats: List[np.ndarray] = []
         self._chunk_stamps: List[float] = []
+        self._chunk_arrivals: List[float] = []
         self._next_publish_t: Optional[float] = None
         self._sync = ApproximateTimeSync(
             self._on_pair,
@@ -144,18 +187,42 @@ class StreamingMapper:
         self._chunk_positions.append(np.asarray(odom_msg.position))
         self._chunk_quats.append(np.asarray(odom_msg.orientation))
         self._chunk_stamps.append(image_msg.stamp)
+        self._chunk_arrivals.append(time.perf_counter())
         if len(self._chunk_images) >= self.chunk_size:
             self._flush_chunk()
 
     # -- device work ----------------------------------------------------
+    def _resolve_tables(self, shape: Tuple[int, int]) -> None:
+        """(Re)build fan tables for this image geometry and the current
+        host-gated fan cap (see __init__ fan_cap note)."""
+        cap = self._fan_cap
+        if self._fan_cap_mode == "auto":
+            from sonar_3d_reconstruction_tpu.ops.backproject import (
+                required_fan_cap,
+            )
+
+            need = required_fan_cap(
+                np.stack(self._chunk_images), self.cfg, shape[0]
+            )
+            if need > cap:
+                if cap:  # a deeper return arrived: adopt + recompile
+                    self.stats.fan_cap_recompiles += 1
+                cap = need
+        elif self._fan_cap_mode:
+            cap = int(self._fan_cap_mode)
+        if self._tables is None or self._tables_shape != shape or cap != self._fan_cap:
+            self._tables = build_fan_tables(
+                self.cfg, shape[0], shape[1], fan_cap=cap
+            )
+            self._tables_shape = shape
+            self._fan_cap = cap
+
     def _flush_chunk(self) -> None:
         n = len(self._chunk_images)
         if n == 0:
             return
         shape = self._chunk_images[0].shape
-        if self._tables is None or self._tables_shape != shape:
-            self._tables = build_fan_tables(self.cfg, shape[0], shape[1])
-            self._tables_shape = shape
+        self._resolve_tables(shape)
 
         pad = self.chunk_size - n
         images = np.stack(
@@ -243,9 +310,15 @@ class StreamingMapper:
             raise RuntimeError(
                 "hash growth did not converge after 12 retries in one chunk"
             )
-        self.stats.device_time += time.perf_counter() - t0
+        done = time.perf_counter()
+        self.stats.device_time += done - t0
         self.stats.frames_mapped += n
         self.stats.chunks += 1
+        # arrival -> state-committed latency per frame: the overflow check
+        # above transferred per-frame stats, which synchronizes on the
+        # chunk's final state — `done` is a real commit time, not a
+        # dispatch time (BASELINE.md "p50 ping→map latency")
+        self.stats.latencies.extend(done - a for a in self._chunk_arrivals)
 
         if self.publish is not None:
             self._maybe_publish(self._chunk_stamps[-1])
@@ -254,6 +327,7 @@ class StreamingMapper:
         self._chunk_positions.clear()
         self._chunk_quats.clear()
         self._chunk_stamps.clear()
+        self._chunk_arrivals.clear()
 
     def _maybe_publish(self, now: float) -> None:
         period = 1.0 / self.stream_cfg.publish_rate_hz
