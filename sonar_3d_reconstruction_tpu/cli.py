@@ -149,7 +149,8 @@ def _map_bag_offline(args, cfg, stream_cfg) -> int:
     t_load = time.perf_counter() - t0
     t0 = time.perf_counter()
     state, stats = map_ping_sequence(
-        images, positions, quats, cfg, dtype=jnp.float32, window=args.window
+        images, positions, quats, cfg, dtype=jnp.float32, window=args.window,
+        backend=args.backend,
     )
     t_map = time.perf_counter() - t0
     n = len(images)
@@ -171,10 +172,18 @@ def _map_bag_offline(args, cfg, stream_cfg) -> int:
 
         save_map(args.save_map, state, cfg)
     if args.save_cloud:
-        from sonar_3d_reconstruction_tpu.grid.hash import extract_occupied_hash
         from sonar_3d_reconstruction_tpu.io.pointcloud import serialize_pointcloud2
 
-        pts, probs = extract_occupied_hash(state, cfg)
+        if args.backend == "brick":
+            from sonar_3d_reconstruction_tpu.grid.brick import (
+                extract_occupied_brick as _extract,
+            )
+        else:
+            from sonar_3d_reconstruction_tpu.grid.hash import (
+                extract_occupied_hash as _extract,
+            )
+
+        pts, probs = _extract(state, cfg)
         with open(args.save_cloud, "wb") as f:
             f.write(serialize_pointcloud2(pts, probs)["data"])
     return 0
@@ -266,6 +275,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         help="config override (highest priority), repeatable",
     )
     p.add_argument("--chunk", type=int, default=32)
+    p.add_argument(
+        "--backend", choices=("hash", "brick"), default="hash",
+        help="--offline map backend: per-voxel hash table or sparse-of-"
+        "dense brick table (grid/brick.py; measured faster at survey "
+        "scale, see PERFORMANCE.md)",
+    )
     p.add_argument(
         "--offline", action="store_true",
         help="batch path: native decode + whole-bag mapping "

@@ -539,6 +539,104 @@ def extract_classified_brick(
     return out
 
 
+def touched_voxels_brick(
+    state: BrickGridState,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """((N, 3) int32 voxel keys, (N,) log-odds) of every TOUCHED voxel —
+    the layout-independent view io/checkpoint.py snapshots (same content
+    as grid/hash's occupied-slot dump)."""
+    vol = state.brick_volume
+    class_key = jnp.where(state.key_hi != EMPTY_HI, 0, 1).astype(jnp.int32)
+    s_hi, s_lo, s_slot, counts = _compact_bricks_by_class(
+        state.key_rows, class_key
+    )
+    n = int(counts[0])
+    hi, lo, rows, touched = _pull_brick_rows(state, (s_hi, s_lo, s_slot), n)
+    if n == 0:
+        return np.empty((0, 3), np.int32), np.empty((0,), rows.dtype if n else np.float32)
+    mask = _touched_bool(touched, vol)
+    base = np.asarray(
+        unpack_brick_keys(jnp.asarray(hi), jnp.asarray(lo), state.brick_bits)
+    )
+    b = 1 << state.brick_bits
+    off = np.arange(vol, dtype=np.int32)
+    offs = np.stack(
+        [off >> (2 * state.brick_bits), (off >> state.brick_bits) & (b - 1),
+         off & (b - 1)], axis=-1,
+    )
+    keys = (base[:, None, :] + offs[None, :, :])[mask]
+    return keys.astype(np.int32), rows[mask]
+
+
+def load_voxels_brick(
+    keys: np.ndarray,
+    log_odds: np.ndarray,
+    capacity: Optional[int] = None,
+    dtype=jnp.float32,
+    brick_bits: int = DEFAULT_BRICK_BITS,
+) -> BrickGridState:
+    """Build a BrickGridState holding the given voxel set (io/checkpoint.py
+    restore path; bounds are set by the caller).  ``keys`` must be unique."""
+    keys = np.asarray(keys, np.int32).reshape(-1, 3)
+    n = len(keys)
+    bb = brick_bits
+    vol = 1 << (3 * bb)
+
+    hi, lo, in_range = pack_brick_keys(jnp.asarray(keys), bb)
+    assert n == 0 or bool(jnp.all(in_range)), "keys out of packable range"
+    brick_mask, o = _masks(bb)
+    b_lo = lo & brick_mask
+    offset = ((lo >> 4) & jnp.uint32((1 << o) - 1)).astype(jnp.int32)
+
+    # one insert per distinct brick: flag each brick code's first occurrence
+    # (host-side — restore is a host operation)
+    codes = (
+        np.asarray(hi).astype(np.int64) << 32
+    ) | np.asarray(b_lo).astype(np.int64)
+    _, first = np.unique(codes, return_index=True)
+    n_bricks = len(first)
+    first_mask = np.zeros((n,), bool)
+    first_mask[first] = True
+    if capacity is None:
+        capacity = 1 << 10
+        while capacity < 4 * max(1, n_bricks):
+            capacity *= 2
+
+    from sonar_3d_reconstruction_tpu.grid.hash import insert_unique
+
+    while True:
+        state = init_brick_grid(capacity, dtype, brick_bits=bb)
+        bucket, found, _, fill = bucket_lookup(state.key_rows, hi, b_lo)
+        key_rows, _, overflowed, _ = insert_unique(
+            state.key_rows, hi, b_lo, jnp.asarray(first_mask) & ~found,
+            bucket, fill,
+        )
+        if not bool(overflowed):
+            break
+        capacity *= 2
+
+    # resolve every voxel's slot against the committed table
+    _, found2, slot2, _ = bucket_lookup(key_rows, hi, b_lo)
+    assert n == 0 or bool(jnp.all(found2))
+    log = jnp.zeros((capacity * vol,), dtype).at[
+        slot2 * vol + offset
+    ].set(jnp.asarray(log_odds, dtype), mode="drop").reshape(capacity, vol)
+    words = max(1, vol // 32)
+    tb = np.zeros((capacity, words), np.uint32)
+    slot_np = np.asarray(slot2)
+    off_np = np.asarray(offset)
+    np.bitwise_or.at(
+        tb, (slot_np, off_np // 32),
+        np.uint32(1) << (off_np % 32).astype(np.uint32),
+    )
+    return state._replace(
+        key_rows=key_rows,
+        log_odds=log,
+        touched=jnp.asarray(tb),
+        used=jnp.asarray(n, jnp.int32),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Point queries (reference SimpleOctree.get_log_odds / get_probability)
 # ---------------------------------------------------------------------------

@@ -29,11 +29,23 @@ from sonar_3d_reconstruction_tpu.ops.packing import pack_keys
 _FORMAT = "sonar3d-map-v1"
 
 
-def save_map(path: str, state: HashGridState, cfg: MapperConfig) -> None:
-    """Snapshot occupied hash entries + bounds + config to ``path`` (.npz)."""
-    mask = occupied_key_mask(state)
-    keys = np.asarray(state.keys)[mask]
-    lo = np.asarray(state.log_odds)[mask]
+def save_map(path: str, state, cfg: MapperConfig) -> None:
+    """Snapshot touched voxels + bounds + config to ``path`` (.npz).
+
+    Accepts a HashGridState or a BrickGridState — the snapshot stores
+    UNPACKED voxel keys, so the format is identical and a map saved from
+    one backend restores into either (``load_map`` / ``load_map_brick``)."""
+    from sonar_3d_reconstruction_tpu.grid.brick import (
+        BrickGridState,
+        touched_voxels_brick,
+    )
+
+    if isinstance(state, BrickGridState):
+        keys, lo = touched_voxels_brick(state)
+    else:
+        mask = occupied_key_mask(state)
+        keys = np.asarray(state.keys)[mask]
+        lo = np.asarray(state.log_odds)[mask]
     np.savez_compressed(
         path,
         format=np.asarray(_FORMAT),
@@ -85,6 +97,40 @@ def load_map(
             max_bounds=jnp.asarray(max_bounds, dtype),
             used=jnp.asarray(n_inserted, jnp.int32),
             poisoned=jnp.zeros((), bool),
+        ),
+        cfg,
+    )
+
+
+def load_map_brick(
+    path: str,
+    capacity: Optional[int] = None,
+    dtype=jnp.float32,
+    brick_bits: Optional[int] = None,
+):
+    """Restore a snapshot into a fresh BRICK grid (grid/brick.py) — the
+    snapshot format is backend-independent, so hash-saved maps load too.
+    Returns (BrickGridState, MapperConfig)."""
+    from sonar_3d_reconstruction_tpu.grid.brick import (
+        DEFAULT_BRICK_BITS,
+        load_voxels_brick,
+    )
+
+    with np.load(path, allow_pickle=False) as z:
+        assert str(z["format"]) == _FORMAT, f"unknown snapshot format in {path}"
+        keys = z["keys"]
+        lo = z["log_odds"]
+        min_bounds = z["min_bounds"]
+        max_bounds = z["max_bounds"]
+        cfg = config_from_dict(json.loads(str(z["config"])))
+    state = load_voxels_brick(
+        keys, lo, capacity=capacity, dtype=dtype,
+        brick_bits=brick_bits or DEFAULT_BRICK_BITS,
+    )
+    return (
+        state._replace(
+            min_bounds=jnp.asarray(min_bounds, dtype),
+            max_bounds=jnp.asarray(max_bounds, dtype),
         ),
         cfg,
     )

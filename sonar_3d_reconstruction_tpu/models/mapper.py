@@ -71,6 +71,31 @@ def _hash_step(state, image, T, *, tables, cfg, dtype, unique_budget):
     return update_hash_grid(state, cand, cfg, unique_budget=unique_budget)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "tables", "cfg", "dtype", "unique_budget", "brick_bits",
+        "brick_budget",
+    ),
+)
+def _brick_step(state, image, T, *, tables, cfg, dtype, unique_budget,
+                brick_bits, brick_budget=None):
+    from sonar_3d_reconstruction_tpu.grid.brick import (
+        apply_brick_records_batched,
+    )
+    from sonar_3d_reconstruction_tpu.ops.records import frame_records
+
+    rec, aux = frame_records(
+        image, T, tables, cfg, unique_budget, dtype, brick_bits=brick_bits
+    )
+    recs = jax.tree_util.tree_map(lambda x: x[None], rec)
+    auxs = jax.tree_util.tree_map(lambda x: x[None], aux)
+    state, stats = apply_brick_records_batched(
+        state, recs, auxs, cfg, brick_budget=brick_budget
+    )
+    return state, {k: v[0] if v.ndim else v for k, v in stats.items()}
+
+
 @partial(jax.jit, static_argnames=("tables", "spec", "cfg", "dtype"))
 def _dense_step(state, image, T, *, tables, spec, cfg, dtype):
     cand = backproject_ping(image, T, tables, cfg, dtype=dtype)
@@ -109,6 +134,14 @@ class SonarMapper:
             self.state = init_dense_grid(dense_spec, dtype)
         elif backend == "hash":
             self.state = init_hash_grid(initial_capacity, dtype)
+        elif backend == "brick":
+            from sonar_3d_reconstruction_tpu.grid.brick import init_brick_grid
+
+            # brick capacity counts BRICKS (~1/30 of voxels on realistic
+            # surveys); grow/replay is the safety net either way
+            self.state = init_brick_grid(
+                max(128, initial_capacity >> 4), dtype
+            )
         else:
             raise ValueError(f"unknown backend {backend!r}")
 
@@ -119,6 +152,8 @@ class SonarMapper:
         self._tables: Optional[FanTables] = None
         # static per-frame unique-voxel budget; doubled on unique_overflow
         self._unique_budget: Optional[int] = None
+        # brick backend's distinct-brick budget; doubled on batch_overflow
+        self._brick_budget: Optional[int] = None
         # optional per-voxel update-count histograms (reference debug stats,
         # 3d_mapper.py:306-308, 549-551, printed every 10 frames :575-585);
         # host-side dicts keyed by voxel triple, fed from per-frame unique
@@ -148,6 +183,72 @@ class SonarMapper:
     def _grow(self) -> None:
         new_cap = self.state.key_hi.shape[0] * 2
         self.state = rehash(self.state, new_capacity=new_cap)
+
+    def _process_brick(self, image_dev, T_dev, tables):
+        """Per-ping brick-backend step with reactive grow/replay (cause
+        attribution mirrors pipeline._map_ping_sequence_brick)."""
+        from sonar_3d_reconstruction_tpu.grid.brick import rehash_bricks
+        from sonar_3d_reconstruction_tpu.grid.hash import (
+            default_unique_budget,
+        )
+
+        while True:
+            new_state, stats = _brick_step(
+                self.state, image_dev, T_dev, tables=tables, cfg=self.cfg,
+                dtype=self.dtype,
+                unique_budget=self._unique_budget
+                or default_unique_budget(
+                    tables.candidates_per_ping(self.cfg.occupied_window)
+                ),
+                brick_bits=self.state.brick_bits,
+                brick_budget=self._brick_budget,
+            )
+            if not bool(stats["overflowed"]):
+                self.state = new_state
+                return stats
+            if bool(stats["range_fail"]):
+                raise ValueError(
+                    "voxel keys outside the packable range: check odometry "
+                    "frame offsets — growing the table cannot fix this"
+                )
+            if bool(stats["pack_overflow"]):
+                raise ValueError(
+                    "a voxel received 2^16+ emissions in one frame — use "
+                    "backend='hash' for this degenerate geometry"
+                )
+            if bool(stats["unique_overflow"]):
+                self._unique_budget = 2 * (
+                    self._unique_budget
+                    or default_unique_budget(
+                        tables.candidates_per_ping(self.cfg.occupied_window)
+                    )
+                )
+                self.state = self.state._replace(poisoned=jnp.zeros((), bool))
+            elif bool(stats["batch_overflow"]):
+                # a very sparse geometry can exceed the default distinct-
+                # brick budget even in one frame: double just that knob
+                from sonar_3d_reconstruction_tpu.grid.brick import (
+                    default_brick_budget,
+                )
+
+                self._brick_budget = 2 * (
+                    self._brick_budget
+                    or default_brick_budget(
+                        1,
+                        self._unique_budget
+                        or default_unique_budget(
+                            tables.candidates_per_ping(
+                                self.cfg.occupied_window
+                            )
+                        ),
+                    )
+                )
+                self.state = self.state._replace(poisoned=jnp.zeros((), bool))
+            else:
+                # remaining causes are capacity/bucket pressure
+                self.state = rehash_bricks(
+                    self.state, new_capacity=self.state.capacity * 2
+                )
 
     # ------------------------------------------------------------------
     def process_sonar_image(
@@ -181,6 +282,8 @@ class SonarMapper:
                 cfg=self.cfg,
                 dtype=self.dtype,
             )
+        elif self.backend == "brick":
+            stats = self._process_brick(image_dev, T_dev, tables)
         else:
             # proactive growth, then replay-on-overflow as a backstop
             while True:
@@ -260,9 +363,9 @@ class SonarMapper:
         (much faster than per-ping process_sonar_image for offline replay —
         no per-frame host sync; ``window`` > 1 opts into the batched-apply
         engine).  Updates this mapper's state in place; returns per-ping
-        stats arrays.  Hash backend only."""
-        if self.backend != "hash":
-            raise ValueError("map_sequence requires the hash backend")
+        stats arrays.  Hash and brick backends."""
+        if self.backend not in ("hash", "brick"):
+            raise ValueError("map_sequence requires the hash or brick backend")
         from sonar_3d_reconstruction_tpu.pipeline import map_ping_sequence
 
         t0 = time.time()
@@ -276,6 +379,7 @@ class SonarMapper:
             images, positions, quaternions, self.cfg,
             state=self.state, dtype=self.dtype, window=window,
             unique_budget=self._unique_budget, fan_cap=None,
+            backend=self.backend,
         )
         if self.track_update_counts:
             tables = self._tables_for(images.shape[1:])
@@ -385,7 +489,7 @@ class SonarMapper:
     def num_voxels(self) -> int:
         if self.backend == "dense":
             return int(jnp.sum(self.state.touched))
-        return int(self.state.used)
+        return int(self.state.used)  # hash: slots; brick: touched voxels
 
     def get_point_cloud(self, include_free: bool = False) -> Dict[str, Any]:
         """Map extraction with the reference result schema
@@ -394,6 +498,12 @@ class SonarMapper:
         if include_free:
             if self.backend == "dense":
                 cls = extract_classified(self.state, self.dense_spec, cfg)
+            elif self.backend == "brick":
+                from sonar_3d_reconstruction_tpu.grid.brick import (
+                    extract_classified_brick,
+                )
+
+                cls = extract_classified_brick(self.state, cfg)
             else:
                 cls = extract_classified_hash(self.state, cfg)
             occupied, free, unknown = cls["occupied"], cls["free"], cls["unknown"]
@@ -418,6 +528,12 @@ class SonarMapper:
             }
         if self.backend == "dense":
             points, probs = extract_occupied(self.state, self.dense_spec, cfg)
+        elif self.backend == "brick":
+            from sonar_3d_reconstruction_tpu.grid.brick import (
+                extract_occupied_brick,
+            )
+
+            points, probs = extract_occupied_brick(self.state, cfg)
         else:
             points, probs = extract_occupied_hash(self.state, cfg)
         return {
@@ -443,6 +559,12 @@ class SonarMapper:
             return query_probability_dense(
                 self.state, points, self.dense_spec, self.cfg
             )
+        if self.backend == "brick":
+            from sonar_3d_reconstruction_tpu.grid.brick import (
+                query_probability_brick,
+            )
+
+            return query_probability_brick(self.state, points, self.cfg)
         from sonar_3d_reconstruction_tpu.grid.hash import query_probability
 
         return query_probability(self.state, points, self.cfg)
@@ -458,6 +580,14 @@ class SonarMapper:
         if self.backend == "dense":
             p = self.get_probability(x, y, z)
             return float(np.log(p / (1.0 - p)))
+        if self.backend == "brick":
+            from sonar_3d_reconstruction_tpu.grid.brick import (
+                query_log_odds_brick,
+            )
+
+            return float(
+                query_log_odds_brick(self.state, [[x, y, z]], self.cfg)[0]
+            )
         from sonar_3d_reconstruction_tpu.grid.hash import query_log_odds
 
         return float(query_log_odds(self.state, [[x, y, z]], self.cfg)[0])
@@ -471,6 +601,13 @@ class SonarMapper:
         """Clear the map (reference reset_map, 3d_mapper.py:644-650)."""
         if self.backend == "dense":
             self.state = init_dense_grid(self.dense_spec, self.dtype)
+        elif self.backend == "brick":
+            from sonar_3d_reconstruction_tpu.grid.brick import init_brick_grid
+
+            self.state = init_brick_grid(
+                self.state.capacity, self.dtype,
+                brick_bits=self.state.brick_bits,
+            )
         else:
             self.state = init_hash_grid(self.state.key_hi.shape[0], self.dtype)
         self.frame_count = 0

@@ -240,6 +240,79 @@ def test_brick_extraction_and_queries(small_cfg):
     assert p_miss[0] == pytest.approx(0.5)
 
 
+def test_brick_mapper_api(small_cfg):
+    """SonarMapper(backend='brick'): per-ping processing, growth, batch
+    API, extraction and queries behave identically to the hash backend."""
+    from sonar_3d_reconstruction_tpu.models import SonarMapper
+
+    cfg = small_cfg
+    mb = SonarMapper(cfg, backend="brick", initial_capacity=1 << 11,
+                     dtype=jnp.float64)
+    mh = SonarMapper(cfg, backend="hash", initial_capacity=1 << 13,
+                     dtype=jnp.float64)
+    images, positions, quats = make_sequence(cfg, 3, seed=380)
+    for i in range(3):
+        sb = mb.process_sonar_image(images[i], positions[i], quats[i])
+        sh = mh.process_sonar_image(images[i], positions[i], quats[i])
+        for k in ("num_occupied", "num_free", "num_voxels"):
+            assert sb[k] == sh[k], (i, k)
+    rb, rh = mb.get_point_cloud(), mh.get_point_cloud()
+    assert rb["num_occupied"] == rh["num_occupied"]
+    assert rb["num_voxels"] == rh["num_voxels"]
+    b = {tuple(np.round(p, 9)) for p in rb["points"]}
+    h = {tuple(np.round(p, 9)) for p in rh["points"]}
+    assert b == h
+    q = np.asarray(rh["points"][:16])
+    np.testing.assert_array_equal(
+        mb.query_probabilities(q), mh.query_probabilities(q)
+    )
+    # batch API continues on the same state
+    more = np.stack(
+        [synthetic_ping(cfg.image_height, cfg.image_width, seed=390 + i)
+         for i in range(2)]
+    )
+    p2, q2 = circular_trajectory(2, radius=0.5)
+    mb.map_sequence(more, p2, q2, window=2)
+    mh.map_sequence(more, p2, q2, window=2)
+    assert mb.num_voxels == mh.num_voxels
+    mb.reset_map()
+    assert mb.num_voxels == 0
+
+
+def test_brick_checkpoint_roundtrip(tmp_path, small_cfg):
+    """save_map on a brick state restores into BOTH backends with identical
+    voxels/values/bounds (the snapshot format is layout-independent)."""
+    from sonar_3d_reconstruction_tpu.io.checkpoint import (
+        load_map, load_map_brick, save_map,
+    )
+
+    cfg = small_cfg
+    images, positions, quats = make_sequence(cfg, 4, seed=395)
+    bs, _ = map_ping_sequence(
+        images, positions, quats, cfg, backend="brick",
+        dtype=jnp.float64, window=2,
+    )
+    path = str(tmp_path / "brick_map.npz")
+    save_map(path, bs, cfg)
+
+    rb, cfg_b = load_map_brick(path, dtype=jnp.float64)
+    a, b = brick_state_to_dict(rb), brick_state_to_dict(bs)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k]
+    np.testing.assert_array_equal(
+        np.asarray(rb.min_bounds), np.asarray(bs.min_bounds)
+    )
+    assert int(rb.used) == int(bs.used)
+    assert cfg_b.voxel_resolution == cfg.voxel_resolution
+
+    rh, _ = load_map(path, dtype=jnp.float64)
+    c = hash_state_to_dict(rh)
+    assert c.keys() == b.keys()
+    for k in c:
+        assert c[k] == b[k]
+
+
 def test_brick_untouched_voxel_in_touched_brick(small_cfg):
     """A never-updated voxel inside a brick that has other updates must
     answer p=0.5 and stay out of classified extraction (the reference dict

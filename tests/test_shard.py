@@ -351,11 +351,13 @@ def test_sharded_cold_warm_insert_schedule(small_cfg):
     assert not np.asarray(stats0["overflowed"]).any()
     need_max = np.asarray(stats0["batch_n_need_max"]).reshape(-1, window)
     need_sum = np.asarray(stats0["batch_n_need"]).reshape(-1, window)
-    # per-shard max <= global sum, and cold window inserts more than warm
+    # per-shard max <= global (psum'd) requirement
     assert (need_max <= need_sum).all()
+    # size each schedule slot from its own windows' measured per-shard need
+    # (on this small circular survey later windows can insert MORE than the
+    # first — the schedule is positional, not ordered)
     cold = int(need_max[0, 0]) + 8
     warm = int(need_max[1:, 0].max()) + 8
-    assert warm <= cold
 
     st1, stats1 = map_ping_sequence_sharded(
         images, positions, quats, cfg, mesh=mesh,
