@@ -99,6 +99,7 @@ def cmd_map_bag(args: argparse.Namespace) -> int:
         chunk_size=args.chunk,
         window=args.window,
         dtype=jnp.float32,
+        backend=args.backend,
     )
     t0 = time.perf_counter()
     stats = mapper.run_bag(args.bag)
@@ -277,9 +278,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--chunk", type=int, default=32)
     p.add_argument(
         "--backend", choices=("hash", "brick"), default="hash",
-        help="--offline map backend: per-voxel hash table or sparse-of-"
-        "dense brick table (grid/brick.py; measured faster at survey "
-        "scale, see PERFORMANCE.md)",
+        help="map backend (streaming and --offline): per-voxel hash table "
+        "or sparse-of-dense brick table (grid/brick.py; measured faster "
+        "at survey scale, see PERFORMANCE.md)",
     )
     p.add_argument(
         "--offline", action="store_true",

@@ -113,6 +113,7 @@ class StreamingMapper:
         fan_cap: Any = "auto",
         unique_budget: Optional[int] = None,
         batch_budget: Optional[int] = None,
+        backend: str = "hash",
     ):
         self.cfg = cfg or MapperConfig()
         self.stream_cfg = stream_cfg or StreamConfig()
@@ -124,12 +125,24 @@ class StreamingMapper:
         self.window = max(1, min(window, chunk_size))
         self.dtype = dtype
         self.publish = publish
-        self.state = init_hash_grid(initial_capacity, dtype)
+        self.backend = backend
+        if backend == "brick":
+            from sonar_3d_reconstruction_tpu.grid.brick import init_brick_grid
+
+            # capacity counts BRICKS (~1/30 of voxels on realistic surveys)
+            self.state = init_brick_grid(
+                max(128, initial_capacity >> 4), dtype
+            )
+        elif backend == "hash":
+            self.state = init_hash_grid(initial_capacity, dtype)
+        else:
+            raise ValueError(f"unknown backend {backend!r}")
         self.stats = StreamStats()
         self._tables = None
         self._tables_shape: Optional[Tuple[int, int]] = None
         self._unique_budget: Optional[int] = unique_budget
         self._batch_budget: Optional[int] = batch_budget
+        self._brick_budget: Optional[int] = None
         # per-chunk host-gated occupied-fan cap ("auto", an int, or None for
         # the max_range worst case).  "auto" sizes the static fan width from
         # the deepest above-threshold return seen SO FAR (monotone grow-only,
@@ -240,6 +253,10 @@ class StreamingMapper:
         images_dev = jnp.asarray(images)
         T_dev = jnp.asarray(T, self.dtype)
         t0 = time.perf_counter()
+        if self.backend == "brick":
+            self._run_chunk_brick(images_dev, T_dev, n)
+            self._finish_chunk(t0, n)
+            return
         start = 0
         for _retry in range(12):
             new_state, stats = scan_pings_hash(
@@ -310,6 +327,68 @@ class StreamingMapper:
             raise RuntimeError(
                 "hash growth did not converge after 12 retries in one chunk"
             )
+        self._finish_chunk(t0, n)
+
+    def _run_chunk_brick(self, images_dev, T_dev, n: int) -> None:
+        """Brick-backend chunk engine with the same grow/replay contract."""
+        from sonar_3d_reconstruction_tpu.grid.brick import (
+            default_brick_budget,
+            rehash_bricks,
+        )
+        from sonar_3d_reconstruction_tpu.grid.hash import (
+            effective_unique_budget,
+        )
+        from sonar_3d_reconstruction_tpu.pipeline import scan_pings_brick
+
+        start = 0
+        for _retry in range(12):
+            new_state, stats = scan_pings_brick(
+                self.state, images_dev, T_dev, jnp.int32(start), jnp.int32(n),
+                tables=self._tables, cfg=self.cfg, dtype=self.dtype,
+                unique_budget=self._unique_budget,
+                window=self.window, brick_budget=self._brick_budget,
+            )
+            over = np.asarray(stats["overflowed"])
+            if not over.any():
+                self.state = new_state
+                return
+            start = int(np.argmax(over))
+            tail = slice(start, None)
+            if bool(np.asarray(stats["range_fail"])[tail].any()):
+                raise ValueError(
+                    f"chunk frame {start}: voxel keys outside the packable "
+                    "range — check odometry frame offsets"
+                )
+            if bool(np.asarray(stats["pack_overflow"])[tail].any()):
+                raise ValueError(
+                    "a voxel received 2^16+ emissions in one frame — use "
+                    "backend='hash' for this degenerate geometry"
+                )
+            if bool(np.asarray(stats["unique_overflow"])[tail].any()):
+                self._unique_budget = 2 * (
+                    self._unique_budget
+                    or effective_unique_budget(self._tables, self.cfg)
+                )
+                self._brick_budget = None
+                self.state = new_state._replace(poisoned=jnp.zeros((), bool))
+            elif bool(np.asarray(stats["batch_overflow"])[tail].any()):
+                if self._brick_budget is None:
+                    ub = self._unique_budget or effective_unique_budget(
+                        self._tables, self.cfg
+                    )
+                    self._brick_budget = default_brick_budget(
+                        min(self.window, self.chunk_size), ub
+                    )
+                self._brick_budget *= 2
+                self.state = new_state._replace(poisoned=jnp.zeros((), bool))
+            else:
+                self.state = rehash_bricks(new_state, self.state.capacity * 2)
+            self.stats.grows += 1
+        raise RuntimeError(
+            "brick growth did not converge after 12 retries in one chunk"
+        )
+
+    def _finish_chunk(self, t0: float, n: int) -> None:
         done = time.perf_counter()
         self.stats.device_time += done - t0
         self.stats.frames_mapped += n
@@ -340,7 +419,14 @@ class StreamingMapper:
 
     # -- extraction ------------------------------------------------------
     def pointcloud_msg(self, stamp: float = 0.0) -> Dict:
-        points, probs = extract_occupied_hash(self.state, self.cfg)
+        if self.backend == "brick":
+            from sonar_3d_reconstruction_tpu.grid.brick import (
+                extract_occupied_brick,
+            )
+
+            points, probs = extract_occupied_brick(self.state, self.cfg)
+        else:
+            points, probs = extract_occupied_hash(self.state, self.cfg)
         sec = int(stamp)
         return serialize_pointcloud2(
             points,

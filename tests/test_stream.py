@@ -117,6 +117,56 @@ def test_stream_fan_cap_and_latency(tmp_path, small_cfg):
     assert c.keys() == b.keys()
 
 
+def test_stream_brick_backend(tmp_path, small_cfg):
+    """StreamingMapper(backend='brick') maps a bag bit-identically to the
+    brick offline pipeline, grows under capacity pressure, and publishes
+    the same occupied cloud as the hash stream."""
+    from sonar_3d_reconstruction_tpu.grid.brick import init_brick_grid
+    from sonar_3d_reconstruction_tpu.io.pointcloud import parse_pointcloud2
+    from test_brick_grid import brick_state_to_dict
+
+    cfg = small_cfg
+    path, images, positions, quats = make_bag(tmp_path, cfg, 5, seed=600)
+    sm = StreamingMapper(
+        cfg, chunk_size=3, window=3, initial_capacity=1 << 11,
+        dtype=jnp.float64, backend="brick",
+    )
+    stats = sm.run_bag(path)
+    assert stats.frames_mapped == 5
+    direct, _ = map_ping_sequence(
+        images, positions, quats, cfg, backend="brick",
+        dtype=jnp.float64, window=3,
+    )
+    a, b = brick_state_to_dict(sm.state), brick_state_to_dict(direct)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-12
+
+    # publish path: same cloud as the hash streaming mapper on the same bag
+    smh = StreamingMapper(
+        cfg, chunk_size=3, window=3, initial_capacity=1 << 13,
+        dtype=jnp.float64,
+    )
+    smh.run_bag(path)
+    pb, _ = parse_pointcloud2(sm.pointcloud_msg())
+    ph, _ = parse_pointcloud2(smh.pointcloud_msg())
+    assert {tuple(np.round(p, 6)) for p in pb} == {
+        tuple(np.round(p, 6)) for p in ph
+    }
+
+    # growth under a tiny brick capacity converges to the same map
+    smt = StreamingMapper(
+        cfg, chunk_size=5, window=3, initial_capacity=1 << 8,  # 16 bricks
+        dtype=jnp.float64, backend="brick",
+    )
+    smt.run_bag(path)
+    assert smt.stats.grows > 0
+    c = brick_state_to_dict(smt.state)
+    assert c.keys() == b.keys()
+    for k in c:
+        assert c[k] == b[k]
+
+
 def test_stream_growth(tmp_path, small_cfg):
     cfg = small_cfg
     path, images, positions, quats = make_bag(tmp_path, cfg, 5, seed=200)
