@@ -65,9 +65,11 @@ def test_stream_fan_cap_and_latency(tmp_path, small_cfg):
         [synthetic_ping(cfg.image_height, cfg.image_width, seed=400 + i)
          for i in range(n)]
     )
-    # first chunk sees shallow returns only; a deeper return arrives later
+    # first chunk sees shallow returns only; a deeper (but still below the
+    # max_range worst case) return arrives in the second chunk
     shallow = images.copy()
-    shallow[:3, 60:, :] = 0          # chunk 1: hits only in the top 60 bins
+    shallow[:3, 40:, :] = 0          # chunk 1: hits only in the top 40 bins
+    shallow[3:, 60:, :] = 0          # chunk 2: deeper, yet < worst case
     positions, quats = circular_trajectory(n, radius=0.8)
     path = str(tmp_path / "fan.db3")
     write_synthetic_bag(path, shallow, positions, quats)
