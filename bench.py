@@ -315,18 +315,39 @@ def main_brick(cfg, n_pings, reps, window):
         cfg, cfg.image_height, cfg.image_width, fan_cap=fan_cap
     )
 
+    # optional explicit warmup budgets (experiments at window sizes whose
+    # DEFAULT brick budget would not fit HBM, e.g. BENCH_WINDOW=16)
+    warm_bb = os.environ.get("BENCH_BRICK_BUDGET")
     effective = {}
-    st, stats = map_ping_sequence(
-        images, positions, quats, cfg, backend="brick",
-        dtype=jnp.float32, window=window, effective=effective,
-        state=init_brick_grid(
-            int(os.environ.get("BENCH_BRICK_CAPACITY", str(1 << 16))),
-            jnp.float32,
-        ),
-    )
-    capacity = effective["capacity"]
-    unique_budget = effective["unique_budget"]
-    brick_budget = effective["brick_budget"]
+    if warm_bb:
+        from sonar_3d_reconstruction_tpu.pipeline import scan_pings_brick
+
+        capacity = int(os.environ.get("BENCH_BRICK_CAPACITY", str(1 << 16)))
+        unique_budget = int(os.environ.get("BENCH_UNIQUE_BUDGET", "131072"))
+        brick_budget = int(warm_bb)
+        st, stats = scan_pings_brick(
+            init_brick_grid(capacity, jnp.float32),
+            jnp.asarray(images),
+            jnp.asarray(batched_sonar_to_world(positions, quats, cfg),
+                        jnp.float32),
+            tables=tables, cfg=cfg, dtype=jnp.float32,
+            unique_budget=unique_budget, window=window,
+            brick_budget=brick_budget,
+        )
+        assert not bool(np.asarray(stats["overflowed"]).any()), \
+            "explicit warmup budgets overflowed"
+    else:
+        st, stats = map_ping_sequence(
+            images, positions, quats, cfg, backend="brick",
+            dtype=jnp.float32, window=window, effective=effective,
+            state=init_brick_grid(
+                int(os.environ.get("BENCH_BRICK_CAPACITY", str(1 << 16))),
+                jnp.float32,
+            ),
+        )
+        capacity = effective["capacity"]
+        unique_budget = effective["unique_budget"]
+        brick_budget = effective["brick_budget"]
     total_updates = int(np.asarray(stats["num_candidates"]).sum())
     _ = int(st.used)
 

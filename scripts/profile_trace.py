@@ -33,42 +33,6 @@ from sonar_3d_reconstruction_tpu.pipeline import (
 from sonar_3d_reconstruction_tpu.utils.profiling import device_trace
 from bench import make_inputs
 
-OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sonar3d_trace"
-
-cfg = MapperConfig()
-N = 16
-images, positions, quats = make_inputs(cfg, N)
-tables = build_fan_tables(cfg, cfg.image_height, cfg.image_width)
-T = jnp.asarray(batched_sonar_to_world(positions, quats, cfg), jnp.float32)
-imgs = jnp.asarray(images)
-print("device:", jax.devices()[0].platform, flush=True)
-
-# warm/compile outside the trace
-st = init_hash_grid(1 << 24, jnp.float32)
-st, _ = scan_pings_hash(st, imgs, T, tables=tables, cfg=cfg,
-                        dtype=jnp.float32, window=8)
-_ = int(st.used)
-print("warm; tracing...", flush=True)
-
-t0 = time.perf_counter()
-with device_trace(OUT):
-    st2 = init_hash_grid(1 << 24, jnp.float32)
-    st2, _ = scan_pings_hash(
-        st2, imgs.at[0, 0, 0].set(np.uint8(7)), T, tables=tables, cfg=cfg,
-        dtype=jnp.float32, window=8,
-    )
-    _ = int(st2.used)
-print(f"traced run: {(time.perf_counter()-t0)*1e3:.0f} ms "
-      f"({(time.perf_counter()-t0)/N*1e3:.1f} ms/ping)", flush=True)
-
-artifacts = glob.glob(os.path.join(OUT, "**", "*"), recursive=True)
-xplanes = [a for a in artifacts if a.endswith(".xplane.pb")]
-print(f"{len(artifacts)} artifacts under {OUT}")
-for a in sorted(artifacts)[-8:]:
-    print("  ", a, os.path.getsize(a) if os.path.isfile(a) else "(dir)")
-
-# best-effort xplane summarization (no tensorboard in the image; parse the
-# raw proto for event durations by op name using the generic wire format)
 def parse_xplane_top_ops(path, top=25):
     """Minimal XSpace reader: extracts (event metadata name, total duration
     ps) from the serialized proto without the generated classes."""
@@ -149,10 +113,53 @@ def parse_xplane_top_ops(path, top=25):
     return totals.most_common(top)
 
 
-for xp in xplanes:
-    try:
-        print(f"\nTop device ops by total duration ({os.path.basename(xp)}):")
-        for name, ps in parse_xplane_top_ops(xp):
-            print(f"  {ps/1e9:10.3f} ms  {name[:90]}")
-    except Exception as e:  # parsing is best-effort
-        print("xplane parse failed:", e)
+
+def main():
+    OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sonar3d_trace"
+
+    cfg = MapperConfig()
+    N = 16
+    images, positions, quats = make_inputs(cfg, N)
+    tables = build_fan_tables(cfg, cfg.image_height, cfg.image_width)
+    T = jnp.asarray(batched_sonar_to_world(positions, quats, cfg), jnp.float32)
+    imgs = jnp.asarray(images)
+    print("device:", jax.devices()[0].platform, flush=True)
+
+    # warm/compile outside the trace
+    st = init_hash_grid(1 << 24, jnp.float32)
+    st, _ = scan_pings_hash(st, imgs, T, tables=tables, cfg=cfg,
+                            dtype=jnp.float32, window=8)
+    _ = int(st.used)
+    print("warm; tracing...", flush=True)
+
+    t0 = time.perf_counter()
+    with device_trace(OUT):
+        st2 = init_hash_grid(1 << 24, jnp.float32)
+        st2, _ = scan_pings_hash(
+            st2, imgs.at[0, 0, 0].set(np.uint8(7)), T, tables=tables, cfg=cfg,
+            dtype=jnp.float32, window=8,
+        )
+        _ = int(st2.used)
+    print(f"traced run: {(time.perf_counter()-t0)*1e3:.0f} ms "
+          f"({(time.perf_counter()-t0)/N*1e3:.1f} ms/ping)", flush=True)
+
+    artifacts = glob.glob(os.path.join(OUT, "**", "*"), recursive=True)
+    xplanes = [a for a in artifacts if a.endswith(".xplane.pb")]
+    print(f"{len(artifacts)} artifacts under {OUT}")
+    for a in sorted(artifacts)[-8:]:
+        print("  ", a, os.path.getsize(a) if os.path.isfile(a) else "(dir)")
+
+    # best-effort xplane summarization (no tensorboard in the image; parse the
+    # raw proto for event durations by op name using the generic wire format)
+    for xp in xplanes:
+        try:
+            print(f"\nTop device ops by total duration ({os.path.basename(xp)}):")
+            for name, ps in parse_xplane_top_ops(xp):
+                print(f"  {ps/1e9:10.3f} ms  {name[:90]}")
+        except Exception as e:  # parsing is best-effort
+            print("xplane parse failed:", e)
+
+
+
+if __name__ == "__main__":
+    main()

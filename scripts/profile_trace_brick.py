@@ -1,0 +1,83 @@
+"""Op-level device trace of the BRICK-backend bench step (records + apply)
+on the axon TPU — the round-3 counterpart of profile_trace.py, aimed at the
+records program (now ~70% of the step, PERFORMANCE.md round-3 section).
+
+Usage: python scripts/profile_trace_brick.py [outdir]
+"""
+
+import glob
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(__file__))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sonar_3d_reconstruction_tpu.utils.compile_cache import enable as _enable
+_enable()
+
+from sonar_3d_reconstruction_tpu.config import MapperConfig
+from sonar_3d_reconstruction_tpu.grid.brick import init_brick_grid
+from sonar_3d_reconstruction_tpu.ops.backproject import (
+    build_fan_tables,
+    required_fan_cap,
+)
+from sonar_3d_reconstruction_tpu.pipeline import (
+    batched_sonar_to_world,
+    scan_pings_brick,
+)
+from sonar_3d_reconstruction_tpu.utils.profiling import device_trace
+from bench import make_inputs
+from profile_trace import parse_xplane_top_ops  # raw-proto xplane reader
+
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sonar3d_trace_brick"
+
+cfg = MapperConfig()
+N = 16
+images, positions, quats = make_inputs(cfg, 64)
+fan_cap = required_fan_cap(images, cfg, cfg.image_height)
+tables = build_fan_tables(cfg, cfg.image_height, cfg.image_width,
+                          fan_cap=fan_cap)
+T = jnp.asarray(batched_sonar_to_world(positions, quats, cfg), jnp.float32)
+imgs = jnp.asarray(images)
+print("device:", jax.devices()[0].platform, flush=True)
+
+# the bench's measured snug budgets (BENCH_r03 conditions)
+kw = dict(
+    tables=tables, cfg=cfg, dtype=jnp.float32,
+    unique_budget=106496, window=8, brick_budget=7168,
+    lane_budget=688128, insert_budget=3072, dedup_lane_budget=245760,
+)
+
+st = init_brick_grid(1 << 16, jnp.float32)
+st, stats = scan_pings_brick(st, imgs[:N], T[:N], **kw)
+assert not bool(np.asarray(stats["overflowed"]).any())
+_ = int(st.used)
+print("warm; tracing...", flush=True)
+
+t0 = time.perf_counter()
+with device_trace(OUT):
+    st2 = init_brick_grid(1 << 16, jnp.float32)
+    st2, stats2 = scan_pings_brick(
+        st2, imgs[:N].at[0, 0, 0].set(np.uint8(7)), T[:N], **kw
+    )
+    _ = int(st2.used)
+assert not bool(np.asarray(stats2["overflowed"]).any())
+print(f"traced run: {(time.perf_counter()-t0)*1e3:.0f} ms "
+      f"({(time.perf_counter()-t0)/N*1e3:.1f} ms/ping)", flush=True)
+
+xplanes = [
+    a for a in glob.glob(os.path.join(OUT, "**", "*"), recursive=True)
+    if a.endswith(".xplane.pb")
+]
+for xp in xplanes:
+    try:
+        print(f"\nTop device ops by total duration ({os.path.basename(xp)}):")
+        for name, ps in parse_xplane_top_ops(xp, top=30):
+            print(f"  {ps/1e9:10.3f} ms  {name[:100]}")
+    except Exception as e:
+        print("xplane parse failed:", e)

@@ -144,8 +144,13 @@ def default_brick_budget(window: int, unique_budget: int) -> int:
     occupancy on realistic surveys is ~30+ voxels/brick at 4x4x4 and 5 cm
     (PERFORMANCE.md); the default only assumes >= 4 with a generous floor —
     hosts double it on ``batch_overflow`` and the bench tunes it snugly from
-    the reported ``batch_n_bricks``."""
-    return max(8192, (window * unique_budget) // 4)
+    the reported ``batch_n_bricks``.
+
+    The window factor is capped at 8: consecutive pings overlap heavily
+    (grid/hash.default_batch_budget rationale) AND the dense chain buffer
+    is (budget, volume, window) — an uncapped w16 default put a 2 GB+
+    buffer in one program and blew the 16 GB HBM at compile time."""
+    return max(8192, (min(window, 8) * unique_budget) // 4)
 
 
 def apply_brick_records_batched(
