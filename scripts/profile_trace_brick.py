@@ -50,7 +50,8 @@ print("device:", jax.devices()[0].platform, flush=True)
 kw = dict(
     tables=tables, cfg=cfg, dtype=jnp.float32,
     unique_budget=106496, window=8, brick_budget=7168,
-    lane_budget=688128, insert_budget=3072, dedup_lane_budget=245760,
+    lane_budget=688128, insert_budget=[6144, 3072],
+    dedup_lane_budget=245760,
 )
 
 st = init_brick_grid(1 << 16, jnp.float32)

@@ -197,8 +197,12 @@ def apply_brick_records_batched(
         (count.astype(jnp.uint32) << 16) | n_occ.astype(jnp.uint32)
     )
 
-    # ---- the one big sort: (brick, offset, frame) ascending
-    s_hi, s_lo, s_pay = jax.lax.sort((hi, lo_f, payload), num_keys=2)
+    # ---- the one big sort: (brick, offset, frame) ascending.  Keys are
+    # UNIQUE per (voxel, frame) record, so the unstable sort (no implicit
+    # tiebreak array) is exact
+    s_hi, s_lo, s_pay = jax.lax.sort(
+        (hi, lo_f, payload), num_keys=2, is_stable=False
+    )
     seg_valid = s_hi != EMPTY_HI
     n_valid_lanes = jnp.sum(seg_valid).astype(jnp.int32)
     lanes_overflow = n_valid_lanes > Lb
@@ -240,9 +244,12 @@ def apply_brick_records_batched(
 
     # ---- compact distinct bricks to the NB budget (record starts live in
     # the valid prefix, so the compaction sort runs at Lb lanes)
+    # brick identities are distinct among start lanes, so promoting them to
+    # sort keys keeps the compacted list key-ordered (brick_seg indexes it)
+    # without stable-sort cost
     not_start = (~(new_brick[:Lb] & valid_l)).astype(jnp.uint32)
     _, c_hi, c_lo = jax.lax.sort(
-        (not_start, s_hi[:Lb], b_lo_id[:Lb]), num_keys=1
+        (not_start, s_hi[:Lb], b_lo_id[:Lb]), num_keys=3, is_stable=False
     )
 
     def take(x, fill):

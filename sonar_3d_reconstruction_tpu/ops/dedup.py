@@ -90,8 +90,12 @@ def dedup_frame(
     hi = jnp.where(valid, hi, big)
     lo = jnp.where(valid, lo, big)
 
+    # is_stable=False: a stable sort carries an implicit iota tiebreak
+    # array through every merge stage (measured in the round-3 op trace);
+    # per-voxel aggregation is order-independent, so equal-key order is
+    # irrelevant here
     hi, lo, occ_i = jax.lax.sort(
-        (hi, lo, occ.astype(jnp.int32)), num_keys=2
+        (hi, lo, occ.astype(jnp.int32)), num_keys=2, is_stable=False
     )
 
     idx = jnp.arange(n, dtype=jnp.int32)
@@ -119,12 +123,16 @@ def dedup_frame(
         n_valid > lane_budget, jnp.int32(n + 1), n_unique
     )
 
-    # compaction: stable sort on the one-bit "not a record" key, on the
-    # valid-prefix slice only
+    # compaction: sort on the one-bit "not a record" key, on the
+    # valid-prefix slice only.  The packed code is promoted into the sort
+    # KEYS (records are distinct, so the order is fully determined) — that
+    # keeps the compacted records key-sorted without paying for the stable
+    # sort's implicit tiebreak array
     lb = lane_budget
     not_rec = (~rec[:lb]).astype(jnp.uint32)
     _, c_hi, c_lo, c_count, c_occ = jax.lax.sort(
-        (not_rec, hi[:lb], lo[:lb], seg_count[:lb], seg_occ[:lb]), num_keys=1
+        (not_rec, hi[:lb], lo[:lb], seg_count[:lb], seg_occ[:lb]),
+        num_keys=3, is_stable=False,
     )
     u = unique_budget
 
