@@ -63,9 +63,10 @@ def main():
     # batched-apply engine (one table interaction per 8 pings) measures
     # consistently fastest: 43-45 pings/s vs 25-34 for per-ping dispatch
     window = int(os.environ.get("BENCH_WINDOW", "8"))
-    # "hash" = per-voxel bucketized table; "brick" = sparse-of-dense brick
-    # table (grid/brick.py) — see PERFORMANCE.md for the measured comparison
-    backend = os.environ.get("BENCH_BACKEND", "hash")
+    # "brick" (default) = sparse-of-dense brick table (grid/brick.py) —
+    # measured fastest; "hash" = the per-voxel bucketized table.  See
+    # PERFORMANCE.md for the comparison; both are bit-identical in output.
+    backend = os.environ.get("BENCH_BACKEND", "brick")
     if backend == "brick":
         return main_brick(cfg, n_pings, reps, window)
 
@@ -246,7 +247,7 @@ def main():
 
 def measure_stream_latency(
     cfg, images, positions, quats, window, capacity, unique_budget,
-    batch_budget,
+    batch_budget, backend="hash",
 ):
     """p50/p95 arrival->state-committed latency through StreamingMapper in
     the LOW-LATENCY configuration (chunk == window), back-to-back arrivals.
@@ -255,10 +256,14 @@ def measure_stream_latency(
     from sonar_3d_reconstruction_tpu.io.bag import ImageMsg, OdometryMsg
     from sonar_3d_reconstruction_tpu.stream import StreamingMapper
 
+    if backend == "brick":
+        # streaming brick capacity arg counts voxel-equivalents (>> 4 split
+        # in StreamingMapper) — undo so the brick table matches the bench's
+        capacity = capacity << 4
     sm = StreamingMapper(
         cfg, chunk_size=window, window=window, initial_capacity=capacity,
         dtype=jnp.float32, unique_budget=unique_budget,
-        batch_budget=batch_budget,
+        batch_budget=batch_budget, backend=backend,
     )
     h, w = images.shape[1:]
     for i in range(images.shape[0]):
@@ -277,8 +282,9 @@ def measure_stream_latency(
     sm2 = StreamingMapper(
         cfg, chunk_size=window, window=window, initial_capacity=capacity,
         dtype=jnp.float32, unique_budget=sm._unique_budget,
-        batch_budget=sm._batch_budget,
+        batch_budget=sm._batch_budget, backend=backend,
     )
+    sm2._brick_budget = sm._brick_budget  # reuse any grown brick budget
     for i in range(images.shape[0]):
         t = 2000.0 + 0.5 * i
         img = images[i].copy()
@@ -416,6 +422,13 @@ def main_brick(cfg, n_pings, reps, window):
         run(rep)
         best = min(best, time.perf_counter() - t0)
 
+    latency = {}
+    if os.environ.get("BENCH_LATENCY", "1") == "1":
+        latency = measure_stream_latency(
+            cfg, images, positions, quats, window, capacity,
+            unique_budget, None, backend="brick",
+        )
+
     updates_per_sec = total_updates / best
     print(
         json.dumps(
@@ -428,6 +441,7 @@ def main_brick(cfg, n_pings, reps, window):
                     "backend": "brick",
                     "pings_per_sec": n_pings / best,
                     "mean_ping_latency_ms": 1e3 * best / n_pings,
+                    **latency,
                     "updates_per_ping": total_updates / n_pings,
                     "device": jax.devices()[0].platform,
                     "n_pings": n_pings,

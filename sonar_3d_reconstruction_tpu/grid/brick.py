@@ -149,8 +149,11 @@ def default_brick_budget(window: int, unique_budget: int) -> int:
     The window factor is capped at 8: consecutive pings overlap heavily
     (grid/hash.default_batch_budget rationale) AND the dense chain buffer
     is (budget, volume, window) — an uncapped w16 default put a 2 GB+
-    buffer in one program and blew the 16 GB HBM at compile time."""
-    return max(8192, (min(window, 8) * unique_budget) // 4)
+    buffer in one program and blew the 16 GB HBM at compile time (and the
+    //4 default grazed it at w8 on a 16 GB chip: 15.76/15.75 G).  //6
+    still assumes well under the measured ~32 voxels/brick; hosts grow on
+    ``batch_overflow`` if a geometry is sparser."""
+    return max(8192, (min(window, 8) * unique_budget) // 6)
 
 
 def apply_brick_records_batched(
@@ -298,13 +301,15 @@ def apply_brick_records_batched(
     occL = jnp.asarray(cfg.log_odds_occupied, dtype)
     freL = jnp.asarray(cfg.log_odds_free, dtype)
     v = rows_cur
+    upd_mask = jnp.zeros((NB, vol), bool)  # touched-this-window accumulator
     for f in range(B):
-        cnt_f = (dense[:, :, f] >> 16).astype(dtype)
-        occ_f = (dense[:, :, f] & jnp.uint32(0xFFFF)).astype(dtype)
+        d = dense[:, :, f]
+        cnt_f = (d >> 16).astype(dtype)
+        occ_f = (d & jnp.uint32(0xFFFF)).astype(dtype)
         lo_sum = occ_f * occL + (cnt_f - occ_f) * freL
+        upd_mask = upd_mask | (d != 0)
         v = finalize_voxel_updates(v, lo_sum, cnt_f, occ_f > 0, cfg)
 
-    upd_mask = jnp.any(dense != 0, axis=2)      # (NB, vol) updated this window
     bits = _pack_touched(upd_mask)
     touched_new = touched_cur | bits
     n_new = jnp.sum(
