@@ -48,9 +48,14 @@ class UniqueRecords(NamedTuple):
 
 
 def running_max(x: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive running maximum (log-depth associative scan) — the segment
-    rebase/rank primitive shared by dedup and the bucket-insert ranking."""
-    return jax.lax.associative_scan(jnp.maximum, x)
+    """Inclusive running maximum — the segment rebase/rank primitive shared
+    by dedup and the bucket-insert ranking.
+
+    ``lax.cummax`` lowers to a reduce-window (measured ~0.07 ms/ping for
+    the same-width cumsum in the round-3 op trace) while
+    ``associative_scan(maximum)`` materialized half-width slice/pad
+    intermediates at every level (~0.5 ms/ping across the dedup scans)."""
+    return jax.lax.cummax(x, axis=0)
 
 
 _running_max = running_max  # internal alias

@@ -240,6 +240,36 @@ def test_brick_extraction_and_queries(small_cfg):
     assert p_miss[0] == pytest.approx(0.5)
 
 
+def test_brick_sizes_match_golden(small_cfg):
+    """2^3 and 8^3 bricks (the non-default layouts) reproduce the golden
+    map exactly too — exercises the parameterized packing end to end."""
+    from sonar_3d_reconstruction_tpu.grid.brick import init_brick_grid
+    from sonar_3d_reconstruction_tpu.ops.backproject import build_fan_tables
+    from sonar_3d_reconstruction_tpu.pipeline import (
+        batched_sonar_to_world,
+        scan_pings_brick,
+    )
+
+    cfg = small_cfg
+    images, positions, quats = make_sequence(cfg, 4, seed=305)
+    g = golden_run(cfg, images, positions, quats)
+    tables = build_fan_tables(cfg, cfg.image_height, cfg.image_width)
+    T = jnp.asarray(batched_sonar_to_world(positions, quats, cfg),
+                    jnp.float64)
+    for bb in (1, 3):
+        st = init_brick_grid(1 << 13, jnp.float64, brick_bits=bb)
+        st, stats = scan_pings_brick(
+            st, jnp.asarray(images), T, tables=tables, cfg=cfg,
+            dtype=jnp.float64, window=2,
+        )
+        assert not bool(np.asarray(stats["overflowed"]).any()), bb
+        got = brick_state_to_dict(st)
+        assert len(got) == len(g.map.log_odds), bb
+        for key, lo_gold in g.map.log_odds.items():
+            assert abs(got[key] - lo_gold) < 1e-12, (bb, key)
+        assert int(st.used) == len(g.map.log_odds)
+
+
 def test_brick_mapper_api(small_cfg):
     """SonarMapper(backend='brick'): per-ping processing, growth, batch
     API, extraction and queries behave identically to the hash backend."""
