@@ -92,13 +92,29 @@ class FanTables:
     # silently truncated.
     nvo_cap: int
 
+    # Static occupied-WINDOW depth actually allocated (0 = the config's
+    # full occupied_window).  Same host-gate contract as nvo_cap: the
+    # reference emits a window bin only if it is itself above the intensity
+    # threshold (3d_mapper.py:452), so the deepest above-threshold offset
+    # past any first hit — host-visible, ``required_window_cap`` — bounds
+    # the window depth these images can ever use; a return slab thinner
+    # than the 50-bin worst case shrinks the occupied lattice
+    # proportionally (the slab is the lattice's dominant axis).
+    win_cap: int = 0
+
     @property
     def n_rays(self) -> int:
         return int(self.ray_indices.shape[0])
 
+    def effective_window(self, occupied_window: int) -> int:
+        w = min(occupied_window, self.range_bins)
+        if self.win_cap > 0:
+            w = min(w, self.win_cap)
+        return max(w, 1)
+
     def candidates_per_ping(self, occupied_window: int = 50) -> int:
         f = self.free_idx.shape[0]
-        w = min(occupied_window, self.range_bins)
+        w = self.effective_window(occupied_window)
         return self.n_rays * (f + w * (2 * self.nvo_cap + 1))
 
 
@@ -311,16 +327,26 @@ def backproject_ping(
     # table so f32 rounding can never flip it across an integer boundary.
     w_off = jnp.arange(W, dtype=jnp.int32)
     occ_bin = jnp.minimum(first_hit[:, None] + w_off[None, :], R)  # (n_rays, W)
-    # intensity gate at the absolute bin (strict >, reference :452)
-    bin_hit = jnp.take_along_axis(
+    # ONE (n_rays, W) gather serves both the intensity gate (strict >,
+    # reference :452) and the exact fan count: the per-(ray, bin) value
+    # where(hit, occ_nv[bin], 0) is built elementwise (free — gathers cost
+    # ~10 ns/index, so merging the former separate bin_hit and nv gathers
+    # halves the per-window-bin indexed lanes), with 0 doubling as the
+    # not-hit sentinel (table nv is always >= 2) and the R column as the
+    # past-the-image sentinel.
+    hit_nv_tab = jnp.where(
         jnp.concatenate([hits, jnp.zeros((hits.shape[0], 1), bool)], axis=1),
-        occ_bin,
-        axis=1,
+        jnp.asarray(tables.occ_nv)[None, :],
+        0,
     )
+    hit_nv = jnp.take_along_axis(hit_nv_tab, occ_bin, axis=1)
+    bin_hit = hit_nv > 0
     rres = cfg.max_range / R  # reference :404
     occ_r = occ_bin.astype(dtype)[:, :, None] * dtype(rres)
     half_ap = dtype(cfg.half_aperture_rad)
-    nv = jnp.asarray(tables.occ_nv)[occ_bin][:, :, None]  # (n_rays, W, 1)
+    # max(, 1) only guards the masked not-hit lanes' vang division (their
+    # trig feeds lanes dedup discards); hit lanes keep the exact table nv
+    nv = jnp.maximum(hit_nv, 1)[:, :, None]  # (n_rays, W, 1)
     nvo_cap = tables.nvo_cap  # host gate guarantees nv <= cap on emitting bins
     steps = jnp.arange(-nvo_cap, nvo_cap + 1, dtype=jnp.int32)[None, None, :]
     vang = steps.astype(dtype) / nv.astype(dtype) * half_ap  # reference :466

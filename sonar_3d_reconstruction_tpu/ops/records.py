@@ -78,13 +78,24 @@ def frame_records(
         lane_budget=dedup_lane_budget,
     )
 
-    centers = (keys.astype(dtype) + 0.5) * cfg.voxel_resolution
+    # Bounds reduce over INT keys, not (N, 3) float centers: the center map
+    # k -> (k + 0.5) * res is exact for packable k (|k| < 2^20 so k + 0.5
+    # is exact in f32) and monotone through IEEE rounding (res > 0,
+    # round-to-nearest preserves <=), so min/max commute with it — the
+    # (3,)-wide affine runs once on the reduced keys instead of
+    # materializing an (N, 3) float centers array.
+    imax = jnp.iinfo(jnp.int32).max
+    kmin = jnp.min(jnp.where(valid[:, None], keys, imax), axis=0)
+    kmax = jnp.max(jnp.where(valid[:, None], keys, -imax), axis=0)
+    n_valid = jnp.sum(valid).astype(jnp.int32)
+    any_valid = n_valid > 0
     inf = jnp.asarray(jnp.inf, dtype)
+    center = lambda k: (k.astype(dtype) + 0.5) * cfg.voxel_resolution
     aux = FrameAux(
-        cmin=jnp.min(jnp.where(valid[:, None], centers, inf), axis=0),
-        cmax=jnp.max(jnp.where(valid[:, None], centers, -inf), axis=0),
+        cmin=jnp.where(any_valid, center(kmin), inf),
+        cmax=jnp.where(any_valid, center(kmax), -inf),
         range_fail=range_fail,
-        n_valid=jnp.sum(valid).astype(jnp.int32),
+        n_valid=n_valid,
     )
     return rec, aux
 
