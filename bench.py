@@ -73,11 +73,16 @@ def main():
     images, positions, quats = make_inputs(cfg, n_pings)
     # size the static occupied-fan width exactly for this survey (host gate;
     # identical emissions, smaller candidate lattice — see PERFORMANCE.md)
-    from sonar_3d_reconstruction_tpu.ops.backproject import required_fan_cap
+    from sonar_3d_reconstruction_tpu.ops.backproject import (
+        required_fan_cap,
+        required_window_cap,
+    )
 
     fan_cap = required_fan_cap(images, cfg, cfg.image_height)
+    window_cap = required_window_cap(images, cfg, cfg.image_height)
     tables = build_fan_tables(
-        cfg, cfg.image_height, cfg.image_width, fan_cap=fan_cap
+        cfg, cfg.image_height, cfg.image_width, fan_cap=fan_cap,
+        window_cap=window_cap,
     )
 
     # warmup: compiles + discovers the capacity AND budgets the sequence
@@ -308,7 +313,10 @@ def main_brick(cfg, n_pings, reps, window):
     """Brick-backend bench path (BENCH_BACKEND=brick): same survey, same
     metric, the grid/brick.py engine with snug measured budgets."""
     from sonar_3d_reconstruction_tpu.grid.brick import init_brick_grid
-    from sonar_3d_reconstruction_tpu.ops.backproject import required_fan_cap
+    from sonar_3d_reconstruction_tpu.ops.backproject import (
+        required_fan_cap,
+        required_window_cap,
+    )
     from sonar_3d_reconstruction_tpu.pipeline import (
         batched_sonar_to_world,
         map_ping_sequence,
@@ -317,8 +325,10 @@ def main_brick(cfg, n_pings, reps, window):
 
     images, positions, quats = make_inputs(cfg, n_pings)
     fan_cap = required_fan_cap(images, cfg, cfg.image_height)
+    window_cap = required_window_cap(images, cfg, cfg.image_height)
     tables = build_fan_tables(
-        cfg, cfg.image_height, cfg.image_width, fan_cap=fan_cap
+        cfg, cfg.image_height, cfg.image_width, fan_cap=fan_cap,
+        window_cap=window_cap,
     )
 
     # optional explicit warmup budgets (experiments at window sizes whose

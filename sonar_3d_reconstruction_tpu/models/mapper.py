@@ -378,7 +378,7 @@ class SonarMapper:
         self.state, stats = map_ping_sequence(
             images, positions, quaternions, self.cfg,
             state=self.state, dtype=self.dtype, window=window,
-            unique_budget=self._unique_budget, fan_cap=None,
+            unique_budget=self._unique_budget, fan_cap=None, window_cap=None,
             backend=self.backend,
         )
         if self.track_update_counts:

@@ -140,16 +140,20 @@ def build_fan_tables(
     range_bins: int,
     bearing_bins: int,
     fan_cap: int = 0,
+    window_cap: int = 0,
 ) -> FanTables:
     """Precompute all static tables for this config + image geometry.
 
-    Memoized on (cfg, geometry, fan_cap): FanTables hashes by identity (it
-    is a jit static argument), so returning the SAME instance for the same
-    inputs is what lets every caller share one compiled program per geometry.
+    Memoized on (cfg, geometry, fan_cap, window_cap): FanTables hashes by
+    identity (it is a jit static argument), so returning the SAME instance
+    for the same inputs is what lets every caller share one compiled
+    program per geometry.
 
     ``fan_cap`` (0 = exact worst case): static occupied-fan half-width.
-    Callers with host-visible images size it with ``required_fan_cap`` —
-    see the FanTables.nvo_cap field note.
+    ``window_cap`` (0 = the config's occupied_window): static occupied
+    window depth.  Callers with host-visible images size them with
+    ``required_fan_cap`` / ``required_window_cap`` — see the
+    FanTables.nvo_cap / win_cap field notes.
     """
     half_ap = cfg.half_aperture_rad
     res = cfg.voxel_resolution
@@ -201,6 +205,7 @@ def build_fan_tables(
     ).astype(np.int32)
 
     nvo_cap = nvo_max if fan_cap <= 0 else max(2, min(fan_cap, nvo_max))
+    win_cap = 0 if window_cap <= 0 else max(1, min(window_cap, range_bins))
 
     return FanTables(
         range_bins=range_bins,
@@ -216,6 +221,7 @@ def build_fan_tables(
         occ_nv=occ_nv,
         nvo_max=nvo_max,
         nvo_cap=nvo_cap,
+        win_cap=win_cap,
     )
 
 
@@ -245,6 +251,43 @@ def required_fan_cap(
     r = deepest * rres
     return max(2, int(r * math.tan(cfg.half_aperture_rad)
                       / (cfg.voxel_resolution * 1.5)))
+
+
+def required_window_cap(
+    images: np.ndarray, cfg: MapperConfig, range_bins: int
+) -> int:
+    """Exact host-side occupied-window depth for these images.
+
+    The reference's occupied pass walks bins ``first_hit + w`` for
+    w < occupied_window but emits ONLY bins above the intensity threshold
+    (3d_mapper.py:449-459), so the deepest above-threshold offset past any
+    column's first hit bounds the window depth these images can use.
+    Conservative over every bearing column (the subsampled rays are a
+    subset) and every ping; tables built with this cap are exactly
+    equivalent to full-window tables for these images.  A thin return slab
+    (e.g. a 12-bin bottom echo vs the 50-bin worst case) shrinks the
+    occupied candidate lattice — the dominant lattice axis — by the same
+    factor.
+    """
+    images = np.asarray(images)
+    if images.ndim == 2:
+        images = images[None]
+    W = min(cfg.occupied_window, range_bins)
+    hits = images > cfg.intensity_threshold  # (P, R, B)
+    if not hits.any():
+        return 1
+    bins = np.arange(range_bins, dtype=np.int64)[:, None]
+    deepest = 0
+    for h in hits:  # per ping: keeps the (R, B) offset temp small
+        cols = h.any(axis=0)
+        if not cols.any():
+            continue
+        first = np.where(cols, np.argmax(h, axis=0), range_bins)
+        off = bins - first[None, :]
+        off_ok = h & (off >= 0) & (off < W)
+        if off_ok.any():
+            deepest = max(deepest, int(off[off_ok].max()))
+    return max(1, deepest + 1)
 
 
 def _local_points(r, cos_v, sin_v, cos_b, sin_b):
@@ -290,7 +333,7 @@ def backproject_ping(
     """
     R, B = tables.range_bins, tables.bearing_bins
     assert polar_image.shape == (R, B), (polar_image.shape, (R, B))
-    W = min(cfg.occupied_window, R)
+    W = tables.effective_window(cfg.occupied_window)
 
     cos_b = jnp.asarray(tables.cos_b, dtype)[:, None, None]
     sin_b = jnp.asarray(tables.sin_b, dtype)[:, None, None]

@@ -462,6 +462,7 @@ def map_ping_sequence(
     unique_budget: Optional[int] = None,
     effective: Optional[Dict[str, int]] = None,
     fan_cap: Any = "auto",
+    window_cap: Any = "auto",
 ) -> Tuple[Any, Dict[str, np.ndarray]]:
     """Map a whole recorded ping sequence in one (or, after growth, few) scans.
 
@@ -481,6 +482,11 @@ def map_ping_sequence(
         substantially; an int forces a width; 0/None uses the max_range
         worst case.  All choices are exactly equivalent for the given
         images; they differ only in compiled-program shape.
+      window_cap: "auto" (default) sizes the static occupied-window depth
+        exactly for THESE images (ops/backproject.required_window_cap) —
+        a return slab thinner than cfg.occupied_window shrinks the
+        dominant lattice axis; an int forces a depth; 0/None uses the
+        config worst case.  Same exact-equivalence contract as fan_cap.
 
     Returns (final_state, per-ping stats dict of (P,) arrays).
     """
@@ -509,7 +515,15 @@ def map_ping_sequence(
         )
 
         fan_cap = required_fan_cap(images, cfg, R) if P else 0
-    tables = build_fan_tables(cfg, R, B, fan_cap=int(fan_cap or 0))
+    if window_cap == "auto":
+        from sonar_3d_reconstruction_tpu.ops.backproject import (
+            required_window_cap,
+        )
+
+        window_cap = required_window_cap(images, cfg, R) if P else 0
+    tables = build_fan_tables(
+        cfg, R, B, fan_cap=int(fan_cap or 0), window_cap=int(window_cap or 0)
+    )
     T = batched_sonar_to_world(positions, quaternions, cfg)
 
     images_dev = jnp.asarray(images)
@@ -562,6 +576,9 @@ def map_ping_sequence(
             )
             effective["capacity"] = final_state.key_hi.shape[0]
             effective["fan_cap"] = tables.nvo_cap
+            effective["window_cap"] = tables.effective_window(
+                cfg.occupied_window
+            )
 
     st = state if state is not None else init_hash_grid(initial_capacity, dtype)
     merged: Dict[str, np.ndarray] = {}
@@ -673,6 +690,9 @@ def _map_ping_sequence_brick(
                 )
                 effective["capacity"] = new_st.capacity
                 effective["fan_cap"] = tables.nvo_cap
+                effective["window_cap"] = tables.effective_window(
+                    cfg.occupied_window
+                )
             return new_st, merged
         start = applied_hi
         tail = slice(applied_hi, None)

@@ -55,6 +55,7 @@ class StreamStats:
     chunks: int = 0
     grows: int = 0
     fan_cap_recompiles: int = 0
+    window_cap_recompiles: int = 0
     device_time: float = 0.0
     stamp_skew_sum: float = 0.0  # measured sonar<->odom stamp delta (node:352-357)
     # wall-clock seconds from a ping's (decoded, paired) arrival to its
@@ -111,6 +112,7 @@ class StreamingMapper:
         dtype=jnp.float32,
         publish: Optional[Callable[[Dict], None]] = None,
         fan_cap: Any = "auto",
+        window_cap: Any = "auto",
         unique_budget: Optional[int] = None,
         batch_budget: Optional[int] = None,
         backend: str = "hash",
@@ -152,6 +154,11 @@ class StreamingMapper:
         # max_range worst case.
         self._fan_cap_mode = fan_cap
         self._fan_cap: int = 0
+        # per-chunk host-gated occupied-WINDOW depth, same grow-only
+        # contract as the fan cap: "auto" sizes the static window depth
+        # from the thickest return slab seen so far
+        self._window_cap_mode = window_cap
+        self._window_cap: int = 0
         self._chunk_images: List[np.ndarray] = []
         self._chunk_positions: List[np.ndarray] = []
         self._chunk_quats: List[np.ndarray] = []
@@ -223,12 +230,33 @@ class StreamingMapper:
                 cap = need
         elif self._fan_cap_mode:
             cap = int(self._fan_cap_mode)
-        if self._tables is None or self._tables_shape != shape or cap != self._fan_cap:
+        wcap = self._window_cap
+        if self._window_cap_mode == "auto":
+            from sonar_3d_reconstruction_tpu.ops.backproject import (
+                required_window_cap,
+            )
+
+            wneed = required_window_cap(
+                np.stack(self._chunk_images), self.cfg, shape[0]
+            )
+            if wneed > wcap:
+                if wcap:  # a thicker return slab arrived: adopt + recompile
+                    self.stats.window_cap_recompiles += 1
+                wcap = wneed
+        elif self._window_cap_mode:
+            wcap = int(self._window_cap_mode)
+        if (
+            self._tables is None
+            or self._tables_shape != shape
+            or cap != self._fan_cap
+            or wcap != self._window_cap
+        ):
             self._tables = build_fan_tables(
-                self.cfg, shape[0], shape[1], fan_cap=cap
+                self.cfg, shape[0], shape[1], fan_cap=cap, window_cap=wcap
             )
             self._tables_shape = shape
             self._fan_cap = cap
+            self._window_cap = wcap
 
     def _flush_chunk(self) -> None:
         n = len(self._chunk_images)

@@ -191,3 +191,82 @@ def test_required_fan_cap_edge_cases(small_cfg):
     cap = required_fan_cap(img[None], cfg, R)
     assert cap == int(t_full.occ_nv[R - 1])
     assert cap <= t_full.nvo_max
+
+
+def test_required_window_cap_and_capped_tables_equivalence(small_cfg):
+    """Tables whose occupied-window depth is capped by the host gate
+    (required_window_cap) produce EXACTLY the same map as the config's
+    full-window worst case for the images the cap was computed from —
+    like the fan cap, the knob must be invisible to the map."""
+    import jax.numpy as jnp
+
+    from sonar_3d_reconstruction_tpu.ops.backproject import (
+        required_window_cap,
+    )
+    from sonar_3d_reconstruction_tpu.pipeline import map_ping_sequence
+
+    cfg = small_cfg
+    images = np.stack(
+        [synthetic_ping(cfg.image_height, cfg.image_width, seed=90 + i)
+         for i in range(5)]
+    )
+    positions = np.cumsum(np.full((5, 3), 0.08), axis=0)
+    quats = np.tile([0.0, 0.0, 0.0, 1.0], (5, 1))
+
+    wcap = required_window_cap(images, cfg, cfg.image_height)
+    full_w = min(cfg.occupied_window, cfg.image_height)
+    assert 1 <= wcap <= full_w
+    # the synthetic blobs are at most ~10 bins thick, so the gate must bite
+    assert wcap < full_w
+    t_full = build_fan_tables(cfg, cfg.image_height, cfg.image_width)
+    t_cap = build_fan_tables(
+        cfg, cfg.image_height, cfg.image_width, window_cap=wcap
+    )
+    assert t_cap.effective_window(cfg.occupied_window) == wcap
+    assert t_cap.candidates_per_ping(cfg.occupied_window) < \
+        t_full.candidates_per_ping(cfg.occupied_window)
+
+    st_a, stats_a = map_ping_sequence(
+        images, positions, quats, cfg, dtype=jnp.float64, window_cap=None,
+        initial_capacity=1 << 14,
+    )
+    st_b, stats_b = map_ping_sequence(
+        images, positions, quats, cfg, dtype=jnp.float64, window_cap="auto",
+        initial_capacity=1 << 14,
+    )
+    for k in ("num_occupied", "num_free", "num_candidates"):
+        np.testing.assert_array_equal(
+            np.asarray(stats_a[k]), np.asarray(stats_b[k]), err_msg=k
+        )
+    assert int(st_a.used) == int(st_b.used)
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(st_a.log_odds)), np.sort(np.asarray(st_b.log_odds))
+    )
+
+
+def test_required_window_cap_edge_cases(small_cfg):
+    from sonar_3d_reconstruction_tpu.ops.backproject import (
+        required_window_cap,
+    )
+
+    cfg = small_cfg
+    R, B = cfg.image_height, cfg.image_width
+    W = min(cfg.occupied_window, R)
+    # no hits anywhere -> minimal 1-bin window
+    assert required_window_cap(np.zeros((3, R, B), np.uint8), cfg, R) == 1
+    # a contiguous slab of k bins after the first hit -> exactly k
+    img = np.zeros((R, B), np.uint8)
+    img[10:22, :] = 255
+    assert required_window_cap(img[None], cfg, R) == 12
+    # a hit BEYOND the window of its column's first hit is never emitted
+    # by the reference walk, so it must not widen the cap
+    img2 = np.zeros((R, B), np.uint8)
+    img2[5, :] = 255
+    img2[5 + W + 3, 0] = 255
+    assert required_window_cap(img2[None], cfg, R) == 1
+    # 2D (single image) input accepted
+    assert required_window_cap(img, cfg, R) == 12
+    # slab thicker than the window saturates at W
+    img3 = np.zeros((R, B), np.uint8)
+    img3[0:R, 0] = 255
+    assert required_window_cap(img3[None], cfg, R) == W

@@ -183,7 +183,7 @@ def test_effective_budgets_reported_and_reusable(small_cfg):
         dtype=jnp.float64, window=3, effective=eff,
     )
     assert set(eff) == {
-        "unique_budget", "batch_budget", "capacity", "fan_cap"
+        "unique_budget", "batch_budget", "capacity", "fan_cap", "window_cap"
     }
     assert eff["capacity"] == ref.key_hi.shape[0]
 
