@@ -25,6 +25,7 @@ from sonar_3d_reconstruction_tpu.grid.brick import init_brick_grid
 from sonar_3d_reconstruction_tpu.ops.backproject import (
     build_fan_tables,
     required_fan_cap,
+    required_window_cap,
 )
 from sonar_3d_reconstruction_tpu.pipeline import (
     batched_sonar_to_world,
@@ -40,8 +41,9 @@ cfg = MapperConfig()
 N = 16
 images, positions, quats = make_inputs(cfg, 64)
 fan_cap = required_fan_cap(images, cfg, cfg.image_height)
+window_cap = required_window_cap(images, cfg, cfg.image_height)
 tables = build_fan_tables(cfg, cfg.image_height, cfg.image_width,
-                          fan_cap=fan_cap)
+                          fan_cap=fan_cap, window_cap=window_cap)
 T = jnp.asarray(batched_sonar_to_world(positions, quats, cfg), jnp.float32)
 imgs = jnp.asarray(images)
 print("device:", jax.devices()[0].platform, flush=True)
