@@ -399,10 +399,21 @@ def main_brick(cfg, n_pings, reps, window):
         insert_budget = [cold, warm]
         unique_budget = snug_u
 
+    T_host = batched_sonar_to_world(positions, quats, cfg)
     images_dev = jnp.asarray(images)
-    T_dev = jnp.asarray(batched_sonar_to_world(positions, quats, cfg),
-                        jnp.float32)
+    T_dev = jnp.asarray(T_host, jnp.float32)
     jax.block_until_ready((images_dev, T_dev))
+
+    # compact box-key engine (single-u32 sort keys) whenever the survey's
+    # per-window extents fit — same partition as scan_pings_brick's windows
+    from sonar_3d_reconstruction_tpu.grid.brick import DEFAULT_BRICK_BITS
+    from sonar_3d_reconstruction_tpu.ops.packing import compute_window_boxes
+
+    boxes = compute_window_boxes(
+        T_host[:, :3, 3], cfg.max_range, cfg.voxel_resolution, window,
+        DEFAULT_BRICK_BITS,
+        frame_bits=max(1, (window - 1).bit_length()),
+    )
 
     def run(rep):
         imgs = images_dev.at[0, 0, 0].set(np.uint8(rep % 251))
@@ -412,7 +423,7 @@ def main_brick(cfg, n_pings, reps, window):
             unique_budget=unique_budget, window=window,
             brick_budget=brick_budget, lane_budget=lane_budget,
             insert_budget=insert_budget,
-            dedup_lane_budget=dedup_lane_budget,
+            dedup_lane_budget=dedup_lane_budget, boxes=boxes,
         )
         assert not bool(np.asarray(stats["overflowed"]).any())
         return int(st.used)

@@ -59,9 +59,11 @@ from sonar_3d_reconstruction_tpu.grid.hash import (
 )
 from sonar_3d_reconstruction_tpu.ops.logodds import finalize_voxel_updates
 from sonar_3d_reconstruction_tpu.ops.packing import (
+    EMPTY32,
     EMPTY_HI,
     brick_layout,
     pack_brick_keys,
+    unpack_box_brick,
     unpack_brick_keys,
 )
 
@@ -265,6 +267,37 @@ def apply_brick_records_batched(
     c_hi = jnp.where(valid_b, take(c_hi, EMPTY_HI), EMPTY_HI)
     c_lo = jnp.where(valid_b, take(c_lo, EMPTY_HI), EMPTY_HI)
 
+    rec_valid = recs.hi != jnp.uint32(EMPTY_HI)  # (B, U)
+    return _apply_window_tail(
+        state, cfg, c_hi, c_lo, valid_b, n_bricks, dense,
+        lanes_overflow=lanes_overflow, brick_overflow=brick_overflow,
+        pack_overflow=pack_overflow,
+        frame_overflow=jnp.any(recs.n_unique > U),
+        auxs=auxs, rec_valid=rec_valid, rec_occ=rec_valid & (recs.n_occ > 0),
+        n_unique=n_unique, n_valid_lanes=n_valid_lanes,
+        insert_budget=insert_budget, fail_reduce=fail_reduce,
+    )
+
+
+def _apply_window_tail(
+    state: BrickGridState,
+    cfg: MapperConfig,
+    c_hi, c_lo, valid_b, n_bricks, dense,
+    *,
+    lanes_overflow, brick_overflow, pack_overflow, frame_overflow,
+    auxs, rec_valid, rec_occ, n_unique, n_valid_lanes,
+    insert_budget, fail_reduce,
+) -> Tuple[BrickGridState, Dict[str, jnp.ndarray]]:
+    """Shared second half of the window apply: table interaction at NB
+    compacted-brick lanes, dense sequential chain evaluation, all-or-nothing
+    commit and stats — identical for global-key and compact box-key fronts.
+    """
+    B = dense.shape[2]
+    vol = state.brick_volume
+    cap = state.capacity
+    dtype = state.log_odds.dtype
+    NB = c_hi.shape[0]
+
     # ---- table ops at NB lanes
     bucket, found, found_slot, fill = bucket_lookup(state.key_rows, c_hi, c_lo)
     need = valid_b & ~found
@@ -274,7 +307,6 @@ def apply_brick_records_batched(
     insert_overflow = plan.budget_overflow
 
     range_fail = jnp.any(auxs.range_fail)
-    frame_overflow = jnp.any(recs.n_unique > U)
     failed = (
         lanes_overflow
         | brick_overflow
@@ -347,8 +379,6 @@ def apply_brick_records_batched(
         poisoned=state.poisoned | failed,
     )
 
-    rec_valid = recs.hi != jnp.uint32(EMPTY_HI)  # (B, U)
-    rec_occ = rec_valid & (recs.n_occ > 0)
     zeroB = jnp.zeros((B,), jnp.int32)
     stats = {
         "num_occupied": jnp.where(
@@ -375,6 +405,133 @@ def apply_brick_records_batched(
         "range_fail": auxs.range_fail,
     }
     return new_state, stats
+
+
+def apply_brick_records_compact(
+    state: BrickGridState,
+    recs,   # ops.dedup.CompactRecords stacked over B frames (box keys)
+    auxs,   # ops.records.FrameAux stacked over B frames
+    cfg: MapperConfig,
+    box_min,                 # (3,) int32 brick-aligned box-origin voxel key
+    box_bits: Tuple[int, int, int],
+    brick_budget: Optional[int] = None,
+    lane_budget: Optional[int] = None,
+    insert_budget: Optional[int] = None,
+    fail_reduce=None,
+) -> Tuple[BrickGridState, Dict[str, jnp.ndarray]]:
+    """apply_brick_records_batched over single-u32 BOX-RELATIVE keys
+    (ops/packing box-key section).  The window sort carries (key, payload)
+    instead of (hi, lo, payload) and the brick compaction sort carries ONE
+    u32 instead of three — sort cost is ~linear in bytes.  Identical
+    semantics, budgets, and failure contract; the compacted brick list is
+    translated back to global codes (NB elementwise lanes) before the
+    shared table/chain tail.
+    """
+    B, U = recs.key.shape
+    bb = state.brick_bits
+    vol = state.brick_volume
+    o = 3 * bb
+    V = sum(box_bits) + o
+    f_bits = max(1, (B - 1).bit_length())
+    assert V + f_bits <= 31, (box_bits, B)
+
+    n = B * U
+    NB = brick_budget or default_brick_budget(B, U)
+    Lb = min(n, max(lane_budget or n, 1))
+
+    key = recs.key.reshape(-1)
+    rec_valid_flat = key != EMPTY32
+    frame = jnp.repeat(
+        jnp.arange(B, dtype=jnp.uint32), U
+    )
+    # (voxel, frame) flat key; valid keys stay < 2^31 (V + f_bits <= 31)
+    flat = jnp.where(rec_valid_flat, (key << f_bits) | frame, EMPTY32)
+    count = recs.count.reshape(-1)
+    n_occ = recs.n_occ.reshape(-1)
+    pack_overflow = jnp.any(count > 0xFFFF)
+    payload = (
+        (count.astype(jnp.uint32) << 16) | n_occ.astype(jnp.uint32)
+    )
+
+    # ---- the one big sort: (brick, offset, frame) ascending, TWO arrays.
+    # Valid keys are unique per (voxel, frame) record; EMPTY lanes carry
+    # payload 0, so the unstable tie order among them is irrelevant
+    s_flat, s_pay = jax.lax.sort((flat, payload), num_keys=1, is_stable=False)
+    seg_valid = s_flat != EMPTY32
+    n_valid_lanes = jnp.sum(seg_valid).astype(jnp.int32)
+    lanes_overflow = n_valid_lanes > Lb
+
+    brick_id = s_flat >> (f_bits + o)   # EMPTY lanes -> all-ones id
+    new_brick = jnp.concatenate(
+        [jnp.ones((1,), bool), brick_id[1:] != brick_id[:-1]]
+    )
+    n_bricks = jnp.sum(new_brick & seg_valid).astype(jnp.int32)
+    brick_overflow = n_bricks > NB
+    vox_id = s_flat >> f_bits
+    new_vox = jnp.concatenate(
+        [jnp.ones((1,), bool), vox_id[1:] != vox_id[:-1]]
+    )
+    n_unique = jnp.sum(new_vox & seg_valid).astype(jnp.int32)
+
+    brick_seg = jnp.cumsum(new_brick.astype(jnp.int32)) - 1
+
+    # ---- dense record scatter at the Lb prefix (sorted + unique indices)
+    s_flat_l = s_flat[:Lb]
+    valid_l = seg_valid[:Lb]
+    offset_l = ((s_flat_l >> f_bits) & jnp.uint32((1 << o) - 1)).astype(
+        jnp.int32
+    )
+    frame_l = (s_flat_l & jnp.uint32((1 << f_bits) - 1)).astype(jnp.int32)
+    lane_l = jnp.arange(Lb, dtype=jnp.int32)
+    didx = brick_seg[:Lb] * (vol * B) + offset_l * B + frame_l
+    didx = jnp.where(valid_l, didx, NB * vol * B + lane_l)
+    dense = (
+        jnp.zeros((NB * vol * B,), jnp.uint32)
+        .at[didx]
+        .set(s_pay[:Lb], mode="drop", unique_indices=True,
+             indices_are_sorted=True)
+        .reshape(NB, vol, B)
+    )
+
+    # ---- compact distinct bricks to NB: ONE u32 sort array (brick ids are
+    # distinct among start lanes and < 2^(V-o), so EMPTY32 is a safe
+    # not-a-start sentinel that sorts last)
+    c_bid = jnp.where(new_brick[:Lb] & valid_l, brick_id[:Lb], EMPTY32)
+    (c_bid,) = jax.lax.sort((c_bid,), num_keys=1, is_stable=False)
+
+    if NB > Lb:
+        c_bid = jnp.concatenate(
+            [c_bid, jnp.full((NB - Lb,), EMPTY32, jnp.uint32)]
+        )
+    else:
+        c_bid = c_bid[:NB]
+    lane_b = jnp.arange(NB, dtype=jnp.int32)
+    valid_b = lane_b < n_bricks
+
+    # ---- translate compacted brick box ids -> global brick codes (NB
+    # elementwise lanes; box_min is brick-aligned so corners stay aligned).
+    # compute_window_boxes pre-verified the box against the global packable
+    # range, so in_range can only fail on a (would-be) engine bug — fold it
+    # into range_fail to keep the failure contract airtight.
+    corner = unpack_box_brick(
+        jnp.where(valid_b, c_bid, 0), box_min, box_bits, bb
+    )
+    g_hi, g_lo, g_ok = pack_brick_keys(corner, bb)
+    trans_fail = jnp.any(valid_b & ~g_ok)
+    c_hi = jnp.where(valid_b, g_hi, EMPTY_HI)
+    c_lo = jnp.where(valid_b, g_lo, EMPTY_HI)
+
+    auxs = auxs._replace(range_fail=auxs.range_fail | trans_fail)
+    rec_valid = recs.key != EMPTY32  # (B, U)
+    return _apply_window_tail(
+        state, cfg, c_hi, c_lo, valid_b, n_bricks, dense,
+        lanes_overflow=lanes_overflow, brick_overflow=brick_overflow,
+        pack_overflow=pack_overflow,
+        frame_overflow=jnp.any(recs.n_unique > U),
+        auxs=auxs, rec_valid=rec_valid, rec_occ=rec_valid & (recs.n_occ > 0),
+        n_unique=n_unique, n_valid_lanes=n_valid_lanes,
+        insert_budget=insert_budget, fail_reduce=fail_reduce,
+    )
 
 
 # ---------------------------------------------------------------------------

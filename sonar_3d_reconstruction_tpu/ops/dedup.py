@@ -38,7 +38,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from sonar_3d_reconstruction_tpu.ops.packing import EMPTY_HI
+from sonar_3d_reconstruction_tpu.ops.packing import EMPTY32, EMPTY_HI
 
 
 class UniqueRecords(NamedTuple):
@@ -170,6 +170,93 @@ def dedup_frame(
     return UniqueRecords(
         hi=jnp.where(valid_u, take(c_hi, big), big),
         lo=jnp.where(valid_u, take(c_lo, big), big),
+        count=jnp.where(valid_u, take(c_count, 0), 0),
+        n_occ=jnp.where(valid_u, take(c_occ, 0), 0),
+        valid=valid_u,
+        n_unique=n_unique,
+    )
+
+
+class CompactRecords(NamedTuple):
+    """Per-frame unique-voxel records with single-u32 BOX-RELATIVE keys
+    (ops/packing.pack_box_keys; EMPTY32 on unused lanes).  Semantically
+    identical to UniqueRecords — only the key representation differs."""
+
+    key: jnp.ndarray       # (U,) uint32 box key (V bits; EMPTY32 = unused)
+    count: jnp.ndarray     # (U,) int32
+    n_occ: jnp.ndarray     # (U,) int32
+    valid: jnp.ndarray     # (U,) bool
+    n_unique: jnp.ndarray  # () int32 (may exceed U -> overflow)
+
+    @property
+    def overflowed(self) -> jnp.ndarray:
+        return self.n_unique > self.key.shape[0]
+
+
+def dedup_frame_compact(
+    key: jnp.ndarray,
+    occ: jnp.ndarray,
+    valid: jnp.ndarray,
+    unique_budget: int,
+    lane_budget: int = 0,
+) -> CompactRecords:
+    """dedup_frame for single-u32 box keys (< 2^30, so ``key << 1 | occ``
+    still clears bit 31).  The sort carries ONE array where the wide path
+    carries three (hi, lo, occ) — sort cost is ~linear in total bytes —
+    and the compaction sort carries three where the wide path carries five.
+    Aggregation logic (segment ends, adjacent differences) is identical.
+    """
+    n = key.shape[0]
+    if lane_budget <= 0:
+        lane_budget = min(n, 2 * unique_budget)
+    lane_budget = min(n, max(lane_budget, unique_budget))
+    # occupied bit folded into the sort key: EMPTY32 (all ones) for invalid
+    # lanes sorts last and is unreachable from any valid (key << 1 | occ)
+    skey = jnp.where(valid, (key << 1) | occ.astype(jnp.uint32), EMPTY32)
+    (skey,) = jax.lax.sort((skey,), num_keys=1, is_stable=False)
+
+    vox = skey >> 1
+    idx = jnp.arange(n, dtype=jnp.int32)
+    # invalid lanes contribute their sentinel's low bit only BEYOND the last
+    # record (they sort past every valid lane) — same argument as dedup_frame
+    csum_occ = jnp.cumsum((skey & 1).astype(jnp.int32))
+
+    new_seg = jnp.concatenate([jnp.ones((1,), bool), vox[1:] != vox[:-1]])
+    is_end = jnp.concatenate([new_seg[1:], jnp.ones((1,), bool)])
+    seg_valid = skey != EMPTY32
+    rec = is_end & seg_valid
+    n_unique = jnp.sum(rec).astype(jnp.int32)
+    n_valid = jnp.sum(seg_valid).astype(jnp.int32)
+    n_unique = jnp.where(n_valid > lane_budget, jnp.int32(n + 1), n_unique)
+
+    # NOTE (occ-bit segment split): a voxel with BOTH occupied and free
+    # candidates forms two adjacent skey segments (key<<1|0 then key<<1|1)
+    # but ONE vox segment — new_seg/is_end compare vox, so the record and
+    # its adjacent-difference aggregates span both halves exactly.
+    lb = lane_budget
+    c_key = jnp.where(rec[:lb], vox[:lb], EMPTY32)
+    c_key, c_csum, c_idx = jax.lax.sort(
+        (c_key, csum_occ[:lb], idx[:lb]), num_keys=1, is_stable=False
+    )
+
+    c_count = c_idx - jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32), c_idx[:-1]]
+    )
+    c_occ = c_csum - jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), c_csum[:-1]]
+    )
+    u = unique_budget
+
+    def take(x, fill):
+        if u <= lb:
+            return x[:u]
+        pad = jnp.full((u - lb,), fill, x.dtype)
+        return jnp.concatenate([x, pad])
+
+    lane = jnp.arange(u, dtype=jnp.int32)
+    valid_u = lane < n_unique
+    return CompactRecords(
+        key=jnp.where(valid_u, take(c_key, EMPTY32), EMPTY32),
         count=jnp.where(valid_u, take(c_count, 0), 0),
         n_occ=jnp.where(valid_u, take(c_occ, 0), 0),
         valid=valid_u,

@@ -153,6 +153,138 @@ def unpack_brick_keys(
     return (bk << brick_bits) + jnp.stack([ox, oy, oz], axis=-1)
 
 
+# ---------------------------------------------------------------------------
+# Box-relative compact keys (single u32).
+#
+# Sorts dominate the records + window-apply programs and their cost is
+# ~linear in total key+payload BYTES (PERFORMANCE.md cost table), so when a
+# window's voxel extent fits a u32 the engines switch to BOX-RELATIVE keys:
+# the host subtracts a per-window brick-aligned box origin (positions are
+# host inputs and every emitted point lies within max_range of the sonar
+# origin — reference 3d_mapper.py:404/:458 range gates — so the box
+# [min(pos)-max_range, max(pos)+max_range] provably covers all candidates)
+# and the device packs the offset brick-major into ONE u32:
+#
+#   key = bx:ax | by:ay | bz:az | offc:o      (o = 3*brick_bits)
+#
+# V = ax+ay+az+o bits.  The per-frame dedup appends the occupied bit
+# (key<<1|occ — ONE sort array instead of three), the window apply appends
+# the frame index (key<<f|frame), and compaction sorts promote their
+# selection bit to bit 31 — so the engines require V + max(1, f) <= 31.
+# 0xFFFFFFFF (EMPTY32) is the invalid/empty sentinel, unreachable because
+# valid keys are < 2^31.  Global brick codes are recovered by translating
+# the (few-k) compacted brick list back through the box origin.
+# ---------------------------------------------------------------------------
+
+EMPTY32 = jnp.uint32(0xFFFFFFFF)
+
+
+def pack_box_keys(
+    keys: jnp.ndarray,
+    box_min: jnp.ndarray,
+    box_bits: Tuple[int, int, int],
+    brick_bits: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(N, 3) int32 voxel keys -> ((N,) u32 box key, (N,) in_box).
+
+    ``box_min`` (3,) int32 is the box-origin voxel key, BRICK-ALIGNED
+    (each component a multiple of 2**brick_bits — the caller guarantees it,
+    compute_window_boxes does); ``box_bits`` = per-axis BRICK bits
+    (ax, ay, az).  Out-of-box keys still produce a (meaningless) code;
+    callers must mask with ``in_box``.
+    """
+    ax, ay, az = box_bits
+    o = 3 * brick_bits
+    rel = keys - box_min  # (N, 3) box-relative voxel coords
+    bk = rel >> brick_bits
+    off = rel & jnp.int32((1 << brick_bits) - 1)
+    lim = jnp.array([1 << ax, 1 << ay, 1 << az], jnp.int32)
+    in_box = jnp.all((bk >= 0) & (bk < lim), axis=-1)
+    offc = (
+        (off[..., 0].astype(jnp.uint32) << (2 * brick_bits))
+        | (off[..., 1].astype(jnp.uint32) << brick_bits)
+        | off[..., 2].astype(jnp.uint32)
+    )
+    key = (
+        (bk[..., 0].astype(jnp.uint32) << (ay + az + o))
+        | (bk[..., 1].astype(jnp.uint32) << (az + o))
+        | (bk[..., 2].astype(jnp.uint32) << o)
+        | offc
+    )
+    return key, in_box
+
+
+def unpack_box_brick(
+    brick_id: jnp.ndarray,
+    box_min: jnp.ndarray,
+    box_bits: Tuple[int, int, int],
+    brick_bits: int,
+) -> jnp.ndarray:
+    """(N,) u32 box BRICK ids (box key >> 3*brick_bits) -> (N, 3) int32
+    GLOBAL voxel keys of each brick's corner (brick-aligned)."""
+    ax, ay, az = box_bits
+    bx = (brick_id >> (ay + az)).astype(jnp.int32)
+    by = ((brick_id >> az) & jnp.uint32((1 << ay) - 1)).astype(jnp.int32)
+    bz = (brick_id & jnp.uint32((1 << az) - 1)).astype(jnp.int32)
+    return box_min + (jnp.stack([bx, by, bz], axis=-1) << brick_bits)
+
+
+def compute_window_boxes(
+    positions,
+    max_range: float,
+    resolution: float,
+    window: int,
+    brick_bits: int,
+    frame_bits: int,
+    margin_voxels: int = 2,
+):
+    """Host gate: per-window box origins + static per-axis brick bits.
+
+    ``positions``: (P, 3) sonar/world positions (float64 host array — the
+    sensor origin of each ping; every candidate lies within ``max_range``
+    of it, see the section comment above).  Returns
+    ``(box_mins (n_windows, 3) int32 brick-aligned voxel keys,
+    (ax, ay, az))`` — or ``None`` when the required key width exceeds the
+    u32 budget (V + max(1, frame_bits) > 31) or a box would leave the
+    global packable range; callers then keep the wide two-word path.
+
+    Only ``box_mins`` varies per window (a dynamic program argument); the
+    BITS are static and maxed over all windows so every window shares one
+    compiled program.
+    """
+    import numpy as np
+
+    positions = np.asarray(positions, np.float64).reshape(-1, 3)
+    P = len(positions)
+    if P == 0:
+        return None
+    brick = 1 << brick_bits
+    reach = float(max_range) + margin_voxels * float(resolution)
+    mins, extents = [], []
+    for w in range(0, P, window):
+        seg = positions[w : w + window]
+        lo = np.floor((seg.min(axis=0) - reach) / resolution).astype(np.int64)
+        hi = np.floor((seg.max(axis=0) + reach) / resolution).astype(np.int64)
+        bm = (lo >> brick_bits) << brick_bits  # brick-align down (floors)
+        mins.append(bm)
+        extents.append(hi - bm + 1)
+    mins = np.stack(mins)
+    n_bricks = (np.stack(extents).max(axis=0) + brick - 1) // brick
+    bits = tuple(int(max(1, np.ceil(np.log2(b)))) for b in n_bricks)
+    V = sum(bits) + 3 * brick_bits
+    if V + max(1, frame_bits) > 31:
+        return None
+    # every box must stay inside the GLOBAL packable range so the apply's
+    # brick translation (unpack_box_brick -> pack_brick_keys) cannot fail
+    a = AXIS_BITS - brick_bits
+    gmax = ((1 << (a - 1)) - 1) << brick_bits  # biased range, see pack_brick_keys
+    gmin = -(1 << (a - 1)) << brick_bits
+    span = (np.array([1 << b for b in bits], np.int64) << brick_bits)
+    if (mins < gmin).any() or (mins + span > gmax).any():
+        return None
+    return mins.astype(np.int32), bits
+
+
 def mix2(hi: jnp.ndarray, lo: jnp.ndarray) -> jnp.ndarray:
     """32-bit avalanche of the packed key (murmur3 finalizer over a simple
     combine) — uniform bucket index bits for spatially clustered keys."""

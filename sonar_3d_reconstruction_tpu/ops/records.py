@@ -22,8 +22,17 @@ from sonar_3d_reconstruction_tpu.ops.backproject import (
     FanTables,
     backproject_ping,
 )
-from sonar_3d_reconstruction_tpu.ops.dedup import UniqueRecords, dedup_frame
-from sonar_3d_reconstruction_tpu.ops.packing import pack_brick_keys, pack_keys
+from sonar_3d_reconstruction_tpu.ops.dedup import (
+    CompactRecords,
+    UniqueRecords,
+    dedup_frame,
+    dedup_frame_compact,
+)
+from sonar_3d_reconstruction_tpu.ops.packing import (
+    pack_box_keys,
+    pack_brick_keys,
+    pack_keys,
+)
 
 
 class FrameAux(NamedTuple):
@@ -45,6 +54,8 @@ def frame_records(
     frame_on=None,
     dedup_lane_budget: int = 0,
     brick_bits: int = 0,
+    box_min=None,
+    box_bits=None,
 ) -> Tuple[UniqueRecords, FrameAux]:
     """One ping -> (UniqueRecords, FrameAux). Pure, state-independent.
 
@@ -59,6 +70,13 @@ def frame_records(
     ``brick_bits`` > 0 packs keys brick-major (ops/packing.pack_brick_keys)
     for the grid/brick.py backend; 0 keeps the voxel packing.  Dedup
     semantics are identical either way (equal voxels <=> equal codes).
+
+    ``box_min``/``box_bits`` (with ``brick_bits``) switch to single-u32
+    box-relative keys (ops/packing.pack_box_keys) and return a
+    CompactRecords instead — ~3x less sort traffic (the records program's
+    dominant cost).  A candidate outside the box reports through
+    ``range_fail`` (host gate compute_window_boxes makes that provably
+    impossible for boxes it emits).
     """
     cand = backproject_ping(image, T_sonar_to_world, tables, cfg, dtype=dtype)
     valid = cand["valid"]
@@ -66,17 +84,26 @@ def frame_records(
         valid = valid & frame_on
 
     keys = jnp.floor(cand["points"] / cfg.voxel_resolution).astype(jnp.int32)
-    if brick_bits:
+    if box_min is not None:
+        assert brick_bits > 0 and box_bits is not None
+        bkey, in_range = pack_box_keys(keys, box_min, box_bits, brick_bits)
+    elif brick_bits:
         hi, lo, in_range = pack_brick_keys(keys, brick_bits)
     else:
         hi, lo, in_range = pack_keys(keys)
     range_fail = jnp.any(valid & ~in_range)
     valid = valid & in_range
 
-    rec = dedup_frame(
-        hi, lo, cand["is_occupied"], valid, unique_budget,
-        lane_budget=dedup_lane_budget,
-    )
+    if box_min is not None:
+        rec = dedup_frame_compact(
+            bkey, cand["is_occupied"], valid, unique_budget,
+            lane_budget=dedup_lane_budget,
+        )
+    else:
+        rec = dedup_frame(
+            hi, lo, cand["is_occupied"], valid, unique_budget,
+            lane_budget=dedup_lane_budget,
+        )
 
     # Bounds reduce over INT keys, not (N, 3) float centers: the center map
     # k -> (k + 0.5) * res is exact for packable k (|k| < 2^20 so k + 0.5

@@ -171,7 +171,7 @@ def _apply_batched(
     jax.jit,
     static_argnames=(
         "tables", "cfg", "dtype", "unique_budget", "window",
-        "dedup_lane_budget", "brick_bits",
+        "dedup_lane_budget", "brick_bits", "box_bits",
     ),
 )
 def _records_window(
@@ -180,6 +180,7 @@ def _records_window(
     w_start,      # () int32 first ping of the window
     start,
     stop,
+    box_min=None,  # (3,) int32 window box origin (compact-key path)
     *,
     tables: FanTables,
     cfg: MapperConfig,
@@ -188,6 +189,7 @@ def _records_window(
     window: int,
     dedup_lane_budget: int = 0,
     brick_bits: int = 0,
+    box_bits=None,
 ):
     """Records for a whole window of pings in ONE dispatch.
 
@@ -208,6 +210,7 @@ def _records_window(
         return frame_records(
             image, T, tables, cfg, unique_budget, dtype, frame_on=frame_on,
             dedup_lane_budget=dedup_lane_budget, brick_bits=brick_bits,
+            box_min=box_min, box_bits=box_bits,
         )
 
     return jax.lax.map(body, jnp.arange(window, dtype=jnp.int32))
@@ -331,6 +334,27 @@ def _apply_brick(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "brick_budget", "lane_budget", "insert_budget", "box_bits",
+    ),
+)
+def _apply_brick_compact(
+    state, recs, auxs, box_min, *, cfg: MapperConfig, brick_budget: int,
+    box_bits, lane_budget=None, insert_budget=None,
+):
+    from sonar_3d_reconstruction_tpu.grid.brick import (
+        apply_brick_records_compact,
+    )
+
+    return apply_brick_records_compact(
+        state, recs, auxs, cfg, box_min, box_bits,
+        brick_budget=brick_budget, lane_budget=lane_budget,
+        insert_budget=insert_budget,
+    )
+
+
 def scan_pings_brick(
     state,
     images: jnp.ndarray,
@@ -347,11 +371,21 @@ def scan_pings_brick(
     lane_budget=None,
     insert_budget=None,
     dedup_lane_budget=0,
+    boxes=None,
 ):
     """Whole ping sequence -> brick map (host-driven window engine; the
     brick backend is window-batched by construction — grid/brick.py — and
     window=1 degenerates to per-ping apply).  Budgets/overflow contract
-    mirror scan_pings_hash."""
+    mirror scan_pings_hash.
+
+    ``boxes``: optional ``(box_mins (n_windows, 3) int32, (ax, ay, az))``
+    from ops/packing.compute_window_boxes (the host gate proves coverage)
+    — switches records + apply to the single-u32 box-relative key engine
+    (~3x less sort traffic at identical results).  ``None`` keeps the
+    global two-word keys.  The window partition here is
+    ``range(0, P, window)`` — box_mins must be computed for the SAME
+    partition (window index ``wi`` uses ``box_mins[wi]``).
+    """
     from sonar_3d_reconstruction_tpu.grid.brick import default_brick_budget
     from sonar_3d_reconstruction_tpu.grid.hash import default_unique_budget
 
@@ -372,6 +406,10 @@ def scan_pings_brick(
     T_dev = jnp.asarray(transforms, dtype)
     bb = state.brick_bits
 
+    box_mins, box_bits = (None, None) if boxes is None else (
+        np.asarray(boxes[0], np.int32), tuple(boxes[1])
+    )
+
     window_stats = []
     for wi, w in enumerate(range(0, P, window)):
         ib = (
@@ -379,16 +417,27 @@ def scan_pings_brick(
             if isinstance(insert_budget, (list, tuple))
             else insert_budget
         )
+        box_min = (
+            None if box_mins is None else jnp.asarray(box_mins[wi])
+        )
         recs, auxs = _records_window(
-            images_dev, T_dev, jnp.int32(w), start, stop,
+            images_dev, T_dev, jnp.int32(w), start, stop, box_min,
             tables=tables, cfg=cfg, dtype=dtype,
             unique_budget=unique_budget, window=window,
             dedup_lane_budget=dedup_lane_budget, brick_bits=bb,
+            box_bits=box_bits,
         )
-        state, stats = _apply_brick(
-            state, recs, auxs, cfg=cfg, brick_budget=brick_budget,
-            lane_budget=lane_budget, insert_budget=ib,
-        )
+        if box_bits is not None:
+            state, stats = _apply_brick_compact(
+                state, recs, auxs, box_min, cfg=cfg,
+                brick_budget=brick_budget, box_bits=box_bits,
+                lane_budget=lane_budget, insert_budget=ib,
+            )
+        else:
+            state, stats = _apply_brick(
+                state, recs, auxs, cfg=cfg, brick_budget=brick_budget,
+                lane_budget=lane_budget, insert_budget=ib,
+            )
         window_stats.append(stats)
     return state, {
         k: jnp.concatenate([s[k] for s in window_stats])[:P]
@@ -548,6 +597,7 @@ def map_ping_sequence(
             dtype=dtype, window=max(window, 1),
             unique_budget=unique_budget, effective=effective,
             max_grow_retries=max_grow_retries,
+            sonar_positions=T[:, :3, 3],
         )
 
     if backend != "hash":
@@ -648,16 +698,23 @@ def _map_ping_sequence_brick(
     unique_budget: Optional[int],
     effective: Optional[Dict[str, int]],
     max_grow_retries: int,
+    sonar_positions=None,
 ) -> Tuple[Any, Dict[str, np.ndarray]]:
     """Brick-backend host wrapper: grow-and-replay with cause attribution
     (unique / brick+lane / insert budget / capacity), mirroring the hash
-    branch of map_ping_sequence."""
+    branch of map_ping_sequence.
+
+    ``sonar_positions`` (host (P, 3) float64 sonar-frame origins, i.e.
+    T_sonar_to_world translations): enables the compact box-key engine
+    when the per-window voxel extents fit a u32
+    (ops/packing.compute_window_boxes — on typical surveys they do)."""
     from sonar_3d_reconstruction_tpu.grid.brick import (
         default_brick_budget,
         init_brick_grid,
         rehash_bricks,
     )
     from sonar_3d_reconstruction_tpu.grid.hash import default_unique_budget
+    from sonar_3d_reconstruction_tpu.ops.packing import compute_window_boxes
 
     P = images_dev.shape[0]
     if unique_budget is None:
@@ -665,6 +722,13 @@ def _map_ping_sequence_brick(
             tables.candidates_per_ping(cfg.occupied_window)
         )
     st = state if state is not None else init_brick_grid(1 << 15, dtype)
+    boxes = None
+    if sonar_positions is not None:
+        boxes = compute_window_boxes(
+            sonar_positions, cfg.max_range, cfg.voxel_resolution,
+            min(window, P), st.brick_bits,
+            frame_bits=max(1, (min(window, P) - 1).bit_length()),
+        )
     merged: Dict[str, np.ndarray] = {}
     start = 0
     brick_budget = None
@@ -673,7 +737,7 @@ def _map_ping_sequence_brick(
             st, images_dev, T_dev, jnp.int32(start),
             tables=tables, cfg=cfg, dtype=dtype,
             unique_budget=unique_budget, window=window,
-            brick_budget=brick_budget,
+            brick_budget=brick_budget, boxes=boxes,
         )
         over = np.asarray(stats["overflowed"])
         applied_hi = P if not over.any() else int(np.argmax(over))
@@ -693,6 +757,7 @@ def _map_ping_sequence_brick(
                 effective["window_cap"] = tables.effective_window(
                     cfg.occupied_window
                 )
+                effective["box_bits"] = None if boxes is None else boxes[1]
             return new_st, merged
         start = applied_hi
         tail = slice(applied_hi, None)

@@ -371,3 +371,115 @@ def test_brick_untouched_voxel_in_touched_brick(small_cfg):
             pt = (np.array(cand, np.float64) + 0.5) * cfg.voxel_resolution
             assert query_probability_brick(bs, [pt], cfg)[0] == pytest.approx(0.5)
             break
+
+
+# ---------------------------------------------------------------------------
+# Compact box-key engine (single-u32 sort keys; ops/packing box-key section)
+# ---------------------------------------------------------------------------
+
+
+def test_compute_window_boxes_gate():
+    """The host gate emits brick-aligned per-window origins when the extent
+    fits a u32 key and declines (None) when it cannot."""
+    from sonar_3d_reconstruction_tpu.ops.packing import compute_window_boxes
+
+    pos = np.stack([0.1 * np.arange(8), np.zeros(8), np.zeros(8)], -1)
+    out = compute_window_boxes(pos, 5.0, 0.1, window=4, brick_bits=2,
+                               frame_bits=2)
+    assert out is not None
+    mins, bits = out
+    assert mins.shape == (2, 3) and mins.dtype == np.int32
+    assert (mins % 4 == 0).all()  # brick-aligned
+    assert sum(bits) + 6 + 2 <= 31
+    # each window box must cover position +- max_range
+    for wi, w in enumerate(range(0, 8, 4)):
+        seg = pos[w:w + 4]
+        lo = np.floor((seg.min(0) - 5.0) / 0.1)
+        hi = np.floor((seg.max(0) + 5.0) / 0.1)
+        span = (np.array([1 << b for b in bits]) << 2)
+        assert (mins[wi] <= lo).all() and (mins[wi] + span > hi).all()
+
+    # a kilometer-long window extent cannot fit -> wide-path fallback
+    far = np.stack([1000.0 * np.arange(8), np.zeros(8), np.zeros(8)], -1)
+    assert compute_window_boxes(far, 5.0, 0.01, window=8, brick_bits=2,
+                                frame_bits=3) is None
+    # out of the global packable range -> fallback
+    off = pos + np.array([0.1 * (1 << 20), 0.0, 0.0])
+    assert compute_window_boxes(off, 5.0, 0.1, window=4, brick_bits=2,
+                                frame_bits=2) is None
+
+
+def test_brick_compact_engine_bit_equals_wide(small_cfg):
+    """The compact box-key engine is bit-identical to the two-word engine
+    (same voxels, same float64 log-odds, same stats) — map_ping_sequence
+    auto-engages it; forcing boxes=None reproduces the wide path."""
+    from sonar_3d_reconstruction_tpu.pipeline import (
+        _map_ping_sequence_brick,
+        batched_sonar_to_world,
+        build_fan_tables,
+    )
+    from sonar_3d_reconstruction_tpu.ops.backproject import (
+        required_fan_cap,
+        required_window_cap,
+    )
+
+    cfg = small_cfg
+    images, positions, quats = make_sequence(cfg, 7, seed=333)
+    eff = {}
+    bs, bstats = map_ping_sequence(
+        images, positions, quats, cfg, backend="brick",
+        dtype=jnp.float64, window=3, effective=eff,
+    )
+    assert eff["box_bits"] is not None  # compact engine actually engaged
+
+    R, B = cfg.image_height, cfg.image_width
+    tables = build_fan_tables(
+        cfg, R, B, fan_cap=required_fan_cap(images, cfg, R),
+        window_cap=required_window_cap(images, cfg, R),
+    )
+    T = batched_sonar_to_world(positions, quats, cfg)
+    ws, wstats = _map_ping_sequence_brick(
+        jnp.asarray(images), jnp.asarray(T, jnp.float64), cfg,
+        tables=tables, state=None, dtype=jnp.float64, window=3,
+        unique_budget=None, effective=None, max_grow_retries=12,
+        sonar_positions=None,  # disables the compact gate
+    )
+    a, b = brick_state_to_dict(bs), brick_state_to_dict(ws)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k], k
+    for k in bstats:
+        np.testing.assert_array_equal(
+            np.asarray(bstats[k]), np.asarray(wstats[k]), err_msg=k
+        )
+    np.testing.assert_array_equal(
+        np.asarray(bs.min_bounds), np.asarray(ws.min_bounds)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(bs.max_bounds), np.asarray(ws.max_bounds)
+    )
+
+
+def test_brick_compact_growth_replay(small_cfg):
+    """Growth/replay (unique + brick budgets, capacity) works through the
+    compact engine: tiny initial budgets must converge to the same map."""
+    from sonar_3d_reconstruction_tpu.grid.brick import init_brick_grid
+
+    cfg = small_cfg
+    images, positions, quats = make_sequence(cfg, 6, seed=340)
+    eff = {}
+    big, _ = map_ping_sequence(
+        images, positions, quats, cfg, backend="brick",
+        dtype=jnp.float64, window=3, effective=eff,
+    )
+    assert eff["box_bits"] is not None
+    small, sstats = map_ping_sequence(
+        images, positions, quats, cfg, backend="brick",
+        dtype=jnp.float64, window=3, unique_budget=256,
+        state=init_brick_grid(1 << 7, jnp.float64),
+    )
+    assert not np.asarray(sstats["overflowed"]).any()
+    a, b = brick_state_to_dict(big), brick_state_to_dict(small)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k], k

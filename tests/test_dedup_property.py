@@ -122,3 +122,92 @@ def test_incremental_inserts_preserve_invariants():
         for i, k in enumerate(map(tuple, keys)):
             if need[i]:
                 all_keys[k] = int(slots[i])
+
+
+def test_dedup_frame_compact_random_property():
+    """dedup_frame_compact over box-relative u32 keys produces the same
+    aggregates as the naive dict (and hence as dedup_frame)."""
+    from sonar_3d_reconstruction_tpu.ops.dedup import dedup_frame_compact
+    from sonar_3d_reconstruction_tpu.ops.packing import (
+        EMPTY32, pack_box_keys, unpack_box_brick,
+    )
+
+    rng = np.random.default_rng(11)
+    brick_bits = 2
+    box_bits = (4, 4, 4)
+    for trial in range(8):
+        n = int(rng.integers(10, 3000))
+        spread = int(rng.integers(2, 12))
+        keys = rng.integers(-spread, spread, (n, 3)).astype(np.int32)
+        occ = rng.random(n) < 0.4
+        valid = rng.random(n) < 0.8
+        box_min = np.asarray([-16, -16, -16], np.int32)  # brick-aligned
+        bkey, in_box = pack_box_keys(
+            jnp.asarray(keys), jnp.asarray(box_min), box_bits, brick_bits
+        )
+        assert bool(jnp.all(in_box)), "spread exceeds test box"
+        budget = 1 << int(np.ceil(np.log2(max(8, n))))
+        rec = dedup_frame_compact(
+            bkey, jnp.asarray(occ), jnp.asarray(valid), budget
+        )
+        expect = naive_dedup(keys, occ, valid)
+        assert int(rec.n_unique) == len(expect), trial
+        # decode: brick corner + offset from the box key
+        rkey = np.asarray(rec.key)
+        rvalid = np.asarray(rec.valid)
+        o = 3 * brick_bits
+        corner = np.asarray(unpack_box_brick(
+            jnp.asarray(rkey >> o), jnp.asarray(box_min), box_bits,
+            brick_bits,
+        ))
+        offc = rkey & ((1 << o) - 1)
+        b = 1 << brick_bits
+        offs = np.stack(
+            [offc >> (2 * brick_bits), (offc >> brick_bits) & (b - 1),
+             offc & (b - 1)], axis=-1,
+        ).astype(np.int32)
+        uk = corner + offs
+        got = {}
+        for i in range(budget):
+            if rvalid[i]:
+                got[tuple(uk[i])] = (
+                    int(np.asarray(rec.count)[i]),
+                    int(np.asarray(rec.n_occ)[i]),
+                )
+        assert got == expect, trial
+
+
+def test_pack_box_keys_bounds_and_order():
+    """in_box gating is exact at the box faces and key order is
+    (brick, offset) lexicographic-compatible (equal voxels <=> equal keys)."""
+    from sonar_3d_reconstruction_tpu.ops.packing import pack_box_keys
+
+    brick_bits = 2
+    box_bits = (2, 3, 2)  # 4 x 8 x 4 bricks = 16 x 32 x 16 voxels
+    box_min = np.asarray([-8, 4, 0], np.int32)
+    size = np.asarray([16, 32, 16])
+    lo = box_min
+    hi = box_min + size - 1
+    probes = np.array([
+        lo, hi, lo - 1, hi + 1,
+        [lo[0], lo[1], hi[2] + 1],
+        [hi[0] + 1, lo[1], lo[2]],
+        [lo[0], hi[1] + 1, lo[2]],
+    ], np.int32)
+    key, in_box = pack_box_keys(
+        jnp.asarray(probes), jnp.asarray(box_min), box_bits, brick_bits
+    )
+    assert list(np.asarray(in_box)) == [
+        True, True, False, False, False, False, False
+    ]
+    # bijectivity over the whole box
+    xs = np.arange(size[0])
+    grid = np.stack(np.meshgrid(
+        xs + box_min[0], np.arange(size[1]) + box_min[1],
+        np.arange(size[2]) + box_min[2], indexing="ij",
+    ), -1).reshape(-1, 3).astype(np.int32)
+    k, ib = pack_box_keys(
+        jnp.asarray(grid), jnp.asarray(box_min), box_bits, brick_bits
+    )
+    assert bool(jnp.all(ib))
+    assert len(np.unique(np.asarray(k))) == len(grid)
