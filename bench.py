@@ -75,14 +75,16 @@ def main():
     # identical emissions, smaller candidate lattice — see PERFORMANCE.md)
     from sonar_3d_reconstruction_tpu.ops.backproject import (
         required_fan_cap,
+        required_free_cap,
         required_window_cap,
     )
 
     fan_cap = required_fan_cap(images, cfg, cfg.image_height)
     window_cap = required_window_cap(images, cfg, cfg.image_height)
+    free_cap = required_free_cap(images, cfg, cfg.image_height)
     tables = build_fan_tables(
         cfg, cfg.image_height, cfg.image_width, fan_cap=fan_cap,
-        window_cap=window_cap,
+        window_cap=window_cap, free_cap=free_cap,
     )
 
     # warmup: compiles + discovers the capacity AND budgets the sequence
@@ -315,6 +317,7 @@ def main_brick(cfg, n_pings, reps, window):
     from sonar_3d_reconstruction_tpu.grid.brick import init_brick_grid
     from sonar_3d_reconstruction_tpu.ops.backproject import (
         required_fan_cap,
+        required_free_cap,
         required_window_cap,
     )
     from sonar_3d_reconstruction_tpu.pipeline import (
@@ -326,9 +329,10 @@ def main_brick(cfg, n_pings, reps, window):
     images, positions, quats = make_inputs(cfg, n_pings)
     fan_cap = required_fan_cap(images, cfg, cfg.image_height)
     window_cap = required_window_cap(images, cfg, cfg.image_height)
+    free_cap = required_free_cap(images, cfg, cfg.image_height)
     tables = build_fan_tables(
         cfg, cfg.image_height, cfg.image_width, fan_cap=fan_cap,
-        window_cap=window_cap,
+        window_cap=window_cap, free_cap=free_cap,
     )
 
     # optional explicit warmup budgets (experiments at window sizes whose

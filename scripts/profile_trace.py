@@ -163,3 +163,76 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+def parse_xplane_lines(path):
+    """Per-XLine occupancy: (line_name, n_events, busy_ps, span_ps) for the
+    TPU plane — busy = summed event durations, span = last end - first
+    start.  The 'XLA Modules' line exposes dead time BETWEEN dispatched
+    programs that per-op totals cannot show."""
+    data = open(path, "rb").read()
+
+    def read_varint(buf, pos):
+        out = shift = 0
+        while True:
+            b = buf[pos]
+            pos += 1
+            out |= (b & 0x7F) << shift
+            if not b & 0x80:
+                return out, pos
+            shift += 7
+
+    def fields(buf):
+        pos = 0
+        while pos < len(buf):
+            tag, pos = read_varint(buf, pos)
+            fnum, wt = tag >> 3, tag & 7
+            if wt == 0:
+                val, pos = read_varint(buf, pos)
+            elif wt == 2:
+                ln, pos = read_varint(buf, pos)
+                val = buf[pos : pos + ln]
+                pos += ln
+            elif wt == 5:
+                val = buf[pos : pos + 4]
+                pos += 4
+            elif wt == 1:
+                val = buf[pos : pos + 8]
+                pos += 8
+            else:
+                return
+            yield fnum, wt, val
+
+    out = []
+    for f1, w1, plane in fields(data):
+        if f1 != 1 or w1 != 2:
+            continue
+        plane_name = b""
+        for f2, w2, v2 in fields(plane):
+            if f2 == 2 and w2 == 2:
+                plane_name = v2
+        if b"TPU" not in plane_name and b"tpu" not in plane_name:
+            continue
+        for f2, w2, v2 in fields(plane):
+            if f2 != 3 or w2 != 2:  # XLine
+                continue
+            lname = b""
+            n = busy = 0
+            lo, hi = None, 0
+            for f3, w3, v3 in fields(v2):
+                if f3 == 2 and w3 == 2:
+                    lname = v3
+                elif f3 == 4 and w3 == 2:  # XEvent
+                    off = dur = 0
+                    for f4, w4, v4 in fields(v3):
+                        if f4 == 2 and w4 == 0:
+                            off = v4
+                        elif f4 == 3 and w4 == 0:
+                            dur = v4
+                    n += 1
+                    busy += dur
+                    lo = off if lo is None else min(lo, off)
+                    hi = max(hi, off + dur)
+            if n:
+                out.append((lname.decode(errors="replace"), n, busy,
+                            (hi - lo) if lo is not None else 0))
+    return out

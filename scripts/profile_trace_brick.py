@@ -44,16 +44,27 @@ fan_cap = required_fan_cap(images, cfg, cfg.image_height)
 window_cap = required_window_cap(images, cfg, cfg.image_height)
 tables = build_fan_tables(cfg, cfg.image_height, cfg.image_width,
                           fan_cap=fan_cap, window_cap=window_cap)
-T = jnp.asarray(batched_sonar_to_world(positions, quats, cfg), jnp.float32)
+T_host = batched_sonar_to_world(positions, quats, cfg)
+T = jnp.asarray(T_host, jnp.float32)
 imgs = jnp.asarray(images)
+
+from sonar_3d_reconstruction_tpu.grid.brick import DEFAULT_BRICK_BITS
+from sonar_3d_reconstruction_tpu.ops.packing import compute_window_boxes
+
+WINDOW = 8
+boxes = compute_window_boxes(
+    T_host[:, :3, 3], cfg.max_range, cfg.voxel_resolution, WINDOW,
+    DEFAULT_BRICK_BITS, frame_bits=max(1, (WINDOW - 1).bit_length()),
+)
+print("boxes:", None if boxes is None else boxes[1], flush=True)
 print("device:", jax.devices()[0].platform, flush=True)
 
 # the bench's measured snug budgets (BENCH_r03 conditions)
 kw = dict(
     tables=tables, cfg=cfg, dtype=jnp.float32,
-    unique_budget=106496, window=8, brick_budget=7168,
+    unique_budget=106496, window=WINDOW, brick_budget=7168,
     lane_budget=688128, insert_budget=[6144, 3072],
-    dedup_lane_budget=245760,
+    dedup_lane_budget=245760, boxes=boxes,
 )
 
 st = init_brick_grid(1 << 16, jnp.float32)
@@ -84,3 +95,11 @@ for xp in xplanes:
             print(f"  {ps/1e9:10.3f} ms  {name[:100]}")
     except Exception as e:
         print("xplane parse failed:", e)
+
+from profile_trace import parse_xplane_lines
+for xp in xplanes:
+    print(f"\nLine occupancy ({os.path.basename(xp)}):")
+    for name, n, busy, span in parse_xplane_lines(xp):
+        pct = 100.0 * busy / span if span else 0.0
+        print(f"  {name[:40]:40s} n={n:6d} busy={busy/1e9:8.2f} ms "
+              f"span={span/1e9:8.2f} ms occ={pct:5.1f}%")

@@ -150,6 +150,8 @@ class SonarMapper:
             np.asarray(self.cfg.sonar_orientation, np.float64),
         )
         self._tables: Optional[FanTables] = None
+        # sticky compact box-key bits for the brick backend (map_sequence)
+        self._box_bits = None
         # static per-frame unique-voxel budget; doubled on unique_overflow
         self._unique_budget: Optional[int] = None
         # brick backend's distinct-brick budget; doubled on batch_overflow
@@ -374,13 +376,19 @@ class SonarMapper:
         # exact (max_range-sized) fan tables: the stateful mapper may see
         # many batches, and per-batch auto-capped tables would recompile the
         # pipeline whenever a deeper return arrives; one-shot offline
-        # callers (cli map-bag --offline, bench) opt into fan_cap="auto"
+        # callers (cli map-bag --offline, bench) opt into fan_cap="auto".
+        # The brick backend's compact box-key bits are STICKY grow-only
+        # across batches (box_min_bits) for the same reason.
+        eff = {}
         self.state, stats = map_ping_sequence(
             images, positions, quaternions, self.cfg,
             state=self.state, dtype=self.dtype, window=window,
             unique_budget=self._unique_budget, fan_cap=None, window_cap=None,
-            backend=self.backend,
+            free_cap=None, backend=self.backend, effective=eff,
+            box_min_bits=self._box_bits,
         )
+        if eff.get("box_bits") is not None:
+            self._box_bits = eff["box_bits"]
         if self.track_update_counts:
             tables = self._tables_for(images.shape[1:])
             T_all = None

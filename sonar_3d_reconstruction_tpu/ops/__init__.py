@@ -5,10 +5,15 @@ from sonar_3d_reconstruction_tpu.ops.backproject import (  # noqa: F401
     FanTables,
     backproject_ping,
     build_fan_tables,
+    required_fan_cap,
+    required_free_cap,
+    required_window_cap,
 )
 from sonar_3d_reconstruction_tpu.ops.dedup import (  # noqa: F401
+    CompactRecords,
     UniqueRecords,
     dedup_frame,
+    dedup_frame_compact,
 )
 from sonar_3d_reconstruction_tpu.ops.logodds import (  # noqa: F401
     finalize_voxel_updates,
@@ -16,8 +21,11 @@ from sonar_3d_reconstruction_tpu.ops.logodds import (  # noqa: F401
     sigmoid,
 )
 from sonar_3d_reconstruction_tpu.ops.packing import (  # noqa: F401
+    EMPTY32,
     EMPTY_HI,
+    compute_window_boxes,
     mix2,
+    pack_box_keys,
     pack_keys,
     unpack_keys,
 )

@@ -92,6 +92,14 @@ class FanTables:
     # silently truncated.
     nvo_cap: int
 
+    # Static FREE-lattice depth actually allocated (0 = all range bins).
+    # Host-gate contract like nvo_cap/win_cap: a free bin emits only when
+    # it precedes its column's first hit (reference 3d_mapper.py:419-421),
+    # so bins >= the deepest first hit over the images
+    # (``required_free_cap``) are statically dead; free-fan width grows
+    # ~linearly with range, so the lattice cut is ~quadratic in the cap.
+    free_cap: int = 0
+
     # Static occupied-WINDOW depth actually allocated (0 = the config's
     # full occupied_window).  Same host-gate contract as nvo_cap: the
     # reference emits a window bin only if it is itself above the intensity
@@ -141,19 +149,21 @@ def build_fan_tables(
     bearing_bins: int,
     fan_cap: int = 0,
     window_cap: int = 0,
+    free_cap: int = 0,
 ) -> FanTables:
     """Precompute all static tables for this config + image geometry.
 
-    Memoized on (cfg, geometry, fan_cap, window_cap): FanTables hashes by
-    identity (it is a jit static argument), so returning the SAME instance
-    for the same inputs is what lets every caller share one compiled
-    program per geometry.
+    Memoized on (cfg, geometry, fan_cap, window_cap, free_cap): FanTables
+    hashes by identity (it is a jit static argument), so returning the SAME
+    instance for the same inputs is what lets every caller share one
+    compiled program per geometry.
 
     ``fan_cap`` (0 = exact worst case): static occupied-fan half-width.
     ``window_cap`` (0 = the config's occupied_window): static occupied
-    window depth.  Callers with host-visible images size them with
-    ``required_fan_cap`` / ``required_window_cap`` — see the
-    FanTables.nvo_cap / win_cap field notes.
+    window depth.  ``free_cap`` (0 = all range bins): static free-lattice
+    depth.  Callers with host-visible images size them with
+    ``required_fan_cap`` / ``required_window_cap`` / ``required_free_cap``
+    — see the FanTables.nvo_cap / win_cap / free_cap field notes.
     """
     half_ap = cfg.half_aperture_rad
     res = cfg.voxel_resolution
@@ -179,7 +189,10 @@ def build_fan_tables(
     # --- free-space bins: every `free_sampling_step`-th bin (reference
     # :419-423), flattened to exactly 2*nv(r)+1 lanes per bin (nv is static
     # per bin, so the compaction is a host-side precomputation, not a mask)
-    free_bins = np.arange(0, range_bins, cfg.free_sampling_step, dtype=np.int32)
+    free_depth = range_bins if free_cap <= 0 else max(
+        1, min(free_cap, range_bins)
+    )
+    free_bins = np.arange(0, free_depth, cfg.free_sampling_step, dtype=np.int32)
     lane_idx, lane_r, lane_cos, lane_sin, lane_mask = [], [], [], [], []
     for b in free_bins:
         r = float(b) * rres
@@ -221,6 +234,7 @@ def build_fan_tables(
         occ_nv=occ_nv,
         nvo_max=nvo_max,
         nvo_cap=nvo_cap,
+        free_cap=0 if free_depth == range_bins else free_depth,
         win_cap=win_cap,
     )
 
@@ -251,6 +265,34 @@ def required_fan_cap(
     r = deepest * rres
     return max(2, int(r * math.tan(cfg.half_aperture_rad)
                       / (cfg.voxel_resolution * 1.5)))
+
+
+def required_free_cap(
+    images: np.ndarray, cfg: MapperConfig, range_bins: int
+) -> int:
+    """Exact host-side FREE-lattice depth for these images.
+
+    A free-space candidate at bin b is valid only when b < first_hit of its
+    column (reference 3d_mapper.py:419-421), so the deepest first hit over
+    every ping/column bounds the free bins that can ever emit.  A column
+    with NO hit has first_hit == range_bins (all bins free-sampled), which
+    forces the full depth.  Free-fan width grows ~linearly with range, so
+    the free lattice size scales ~quadratically with this cap — on surveys
+    whose every column returns (e.g. continuous bottom echo) the cut is
+    large.  Tables built with this cap are exactly equivalent for these
+    images.  Conservative over all bearing columns (subsampled rays are a
+    subset).
+    """
+    images = np.asarray(images)
+    if images.ndim == 2:
+        images = images[None]
+    hits = images > cfg.intensity_threshold  # (P, R, B)
+    cols_hit = hits.any(axis=-2)             # (P, B)
+    if not cols_hit.all():
+        return range_bins  # some column never returns: full free depth
+    first = np.argmax(hits, axis=-2)         # (P, B) valid where cols_hit
+    # keep free bins < max(first_hit); floor 1 keeps table shapes nonempty
+    return max(1, int(first.max()))
 
 
 def required_window_cap(

@@ -237,6 +237,7 @@ def compute_window_boxes(
     brick_bits: int,
     frame_bits: int,
     margin_voxels: int = 2,
+    min_bits=None,
 ):
     """Host gate: per-window box origins + static per-axis brick bits.
 
@@ -250,7 +251,9 @@ def compute_window_boxes(
 
     Only ``box_mins`` varies per window (a dynamic program argument); the
     BITS are static and maxed over all windows so every window shares one
-    compiled program.
+    compiled program.  ``min_bits`` (optional per-axis floor) lets
+    streaming callers keep STICKY bits across chunks — reusing a previous
+    chunk's wider program instead of recompiling for every extent change.
     """
     import numpy as np
 
@@ -271,6 +274,8 @@ def compute_window_boxes(
     mins = np.stack(mins)
     n_bricks = (np.stack(extents).max(axis=0) + brick - 1) // brick
     bits = tuple(int(max(1, np.ceil(np.log2(b)))) for b in n_bricks)
+    if min_bits is not None:
+        bits = tuple(max(a, b) for a, b in zip(bits, min_bits))
     V = sum(bits) + 3 * brick_bits
     if V + max(1, frame_bits) > 31:
         return None

@@ -10,6 +10,13 @@ from sonar_3d_reconstruction_tpu.parallel.shard import (  # noqa: F401
     scan_pings_sharded,
     sharded_ping_step,
 )
+from sonar_3d_reconstruction_tpu.parallel.shard_brick import (  # noqa: F401
+    ShardedBrickState,
+    gather_sharded_brick_state,
+    init_sharded_brick_grid,
+    map_ping_sequence_sharded_brick,
+    rehash_sharded_bricks,
+)
 from sonar_3d_reconstruction_tpu.parallel.multihost import (  # noqa: F401
     apply_record_segments,
     records_for_segment,

@@ -512,6 +512,8 @@ def map_ping_sequence(
     effective: Optional[Dict[str, int]] = None,
     fan_cap: Any = "auto",
     window_cap: Any = "auto",
+    free_cap: Any = "auto",
+    box_min_bits=None,
 ) -> Tuple[Any, Dict[str, np.ndarray]]:
     """Map a whole recorded ping sequence in one (or, after growth, few) scans.
 
@@ -536,6 +538,11 @@ def map_ping_sequence(
         a return slab thinner than cfg.occupied_window shrinks the
         dominant lattice axis; an int forces a depth; 0/None uses the
         config worst case.  Same exact-equivalence contract as fan_cap.
+      free_cap: "auto" (default) sizes the static free-lattice depth
+        exactly for THESE images (ops/backproject.required_free_cap) —
+        free bins at/past the deepest first hit are statically dead, and
+        the free lattice shrinks ~quadratically with the cap.  Same
+        exact-equivalence contract.
 
     Returns (final_state, per-ping stats dict of (P,) arrays).
     """
@@ -570,8 +577,15 @@ def map_ping_sequence(
         )
 
         window_cap = required_window_cap(images, cfg, R) if P else 0
+    if free_cap == "auto":
+        from sonar_3d_reconstruction_tpu.ops.backproject import (
+            required_free_cap,
+        )
+
+        free_cap = required_free_cap(images, cfg, R) if P else 0
     tables = build_fan_tables(
-        cfg, R, B, fan_cap=int(fan_cap or 0), window_cap=int(window_cap or 0)
+        cfg, R, B, fan_cap=int(fan_cap or 0), window_cap=int(window_cap or 0),
+        free_cap=int(free_cap or 0),
     )
     T = batched_sonar_to_world(positions, quaternions, cfg)
 
@@ -597,7 +611,7 @@ def map_ping_sequence(
             dtype=dtype, window=max(window, 1),
             unique_budget=unique_budget, effective=effective,
             max_grow_retries=max_grow_retries,
-            sonar_positions=T[:, :3, 3],
+            sonar_positions=T[:, :3, 3], box_min_bits=box_min_bits,
         )
 
     if backend != "hash":
@@ -699,6 +713,7 @@ def _map_ping_sequence_brick(
     effective: Optional[Dict[str, int]],
     max_grow_retries: int,
     sonar_positions=None,
+    box_min_bits=None,
 ) -> Tuple[Any, Dict[str, np.ndarray]]:
     """Brick-backend host wrapper: grow-and-replay with cause attribution
     (unique / brick+lane / insert budget / capacity), mirroring the hash
@@ -728,6 +743,7 @@ def _map_ping_sequence_brick(
             sonar_positions, cfg.max_range, cfg.voxel_resolution,
             min(window, P), st.brick_bits,
             frame_bits=max(1, (min(window, P) - 1).bit_length()),
+            min_bits=box_min_bits,
         )
     merged: Dict[str, np.ndarray] = {}
     start = 0

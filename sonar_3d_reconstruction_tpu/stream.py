@@ -56,6 +56,8 @@ class StreamStats:
     grows: int = 0
     fan_cap_recompiles: int = 0
     window_cap_recompiles: int = 0
+    free_cap_recompiles: int = 0
+    box_bits_recompiles: int = 0
     device_time: float = 0.0
     stamp_skew_sum: float = 0.0  # measured sonar<->odom stamp delta (node:352-357)
     # wall-clock seconds from a ping's (decoded, paired) arrival to its
@@ -113,6 +115,7 @@ class StreamingMapper:
         publish: Optional[Callable[[Dict], None]] = None,
         fan_cap: Any = "auto",
         window_cap: Any = "auto",
+        free_cap: Any = "auto",
         unique_budget: Optional[int] = None,
         batch_budget: Optional[int] = None,
         backend: str = "hash",
@@ -159,6 +162,16 @@ class StreamingMapper:
         # from the thickest return slab seen so far
         self._window_cap_mode = window_cap
         self._window_cap: int = 0
+        # per-chunk host-gated FREE-lattice depth, same grow-only contract:
+        # "auto" sizes the static free depth from the deepest first hit
+        # seen so far (ops/backproject.required_free_cap)
+        self._free_cap_mode = free_cap
+        self._free_cap: int = 0
+        # sticky per-axis brick bits for the brick backend's compact
+        # box-key engine (grow-only: a chunk needing wider axes adopts the
+        # wider program once; a chunk whose box cannot fit at all falls
+        # back to the wide two-word engine for that chunk)
+        self._box_bits: Optional[Tuple[int, int, int]] = None
         self._chunk_images: List[np.ndarray] = []
         self._chunk_positions: List[np.ndarray] = []
         self._chunk_quats: List[np.ndarray] = []
@@ -245,18 +258,36 @@ class StreamingMapper:
                 wcap = wneed
         elif self._window_cap_mode:
             wcap = int(self._window_cap_mode)
+        fcap = self._free_cap
+        if self._free_cap_mode == "auto":
+            from sonar_3d_reconstruction_tpu.ops.backproject import (
+                required_free_cap,
+            )
+
+            fneed = required_free_cap(
+                np.stack(self._chunk_images), self.cfg, shape[0]
+            )
+            if fneed > fcap:
+                if fcap:  # a deeper first hit arrived: adopt + recompile
+                    self.stats.free_cap_recompiles += 1
+                fcap = fneed
+        elif self._free_cap_mode:
+            fcap = int(self._free_cap_mode)
         if (
             self._tables is None
             or self._tables_shape != shape
             or cap != self._fan_cap
             or wcap != self._window_cap
+            or fcap != self._free_cap
         ):
             self._tables = build_fan_tables(
-                self.cfg, shape[0], shape[1], fan_cap=cap, window_cap=wcap
+                self.cfg, shape[0], shape[1], fan_cap=cap, window_cap=wcap,
+                free_cap=fcap,
             )
             self._tables_shape = shape
             self._fan_cap = cap
             self._window_cap = wcap
+            self._free_cap = fcap
 
     def _flush_chunk(self) -> None:
         n = len(self._chunk_images)
@@ -270,11 +301,15 @@ class StreamingMapper:
             self._chunk_images
             + [np.zeros(shape, self._chunk_images[0].dtype)] * pad
         )
+        # pad poses by REPEATING the last real pose (padded frames are
+        # masked off via the scan's stop index, but the brick backend's
+        # per-window boxes cover every pose in the window — a zero-pose pad
+        # far from the survey would needlessly widen or break the box)
         positions = np.stack(
-            self._chunk_positions + [np.zeros(3)] * pad
+            self._chunk_positions + [self._chunk_positions[-1]] * pad
         )
         quats = np.stack(
-            self._chunk_quats + [np.array([0.0, 0.0, 0.0, 1.0])] * pad
+            self._chunk_quats + [self._chunk_quats[-1]] * pad
         )
         T = batched_sonar_to_world(positions, quats, self.cfg)
 
@@ -282,7 +317,7 @@ class StreamingMapper:
         T_dev = jnp.asarray(T, self.dtype)
         t0 = time.perf_counter()
         if self.backend == "brick":
-            self._run_chunk_brick(images_dev, T_dev, n)
+            self._run_chunk_brick(images_dev, T_dev, n, T[:, :3, 3])
             self._finish_chunk(t0, n)
             return
         start = 0
@@ -357,8 +392,13 @@ class StreamingMapper:
             )
         self._finish_chunk(t0, n)
 
-    def _run_chunk_brick(self, images_dev, T_dev, n: int) -> None:
-        """Brick-backend chunk engine with the same grow/replay contract."""
+    def _run_chunk_brick(self, images_dev, T_dev, n: int, sonar_pos) -> None:
+        """Brick-backend chunk engine with the same grow/replay contract.
+
+        ``sonar_pos``: host (chunk_size, 3) sonar origins — enables the
+        compact box-key engine with STICKY grow-only per-axis bits (one
+        recompile when a chunk needs wider axes; a chunk that cannot fit a
+        u32 key at all runs the wide engine)."""
         from sonar_3d_reconstruction_tpu.grid.brick import (
             default_brick_budget,
             rehash_bricks,
@@ -366,7 +406,23 @@ class StreamingMapper:
         from sonar_3d_reconstruction_tpu.grid.hash import (
             effective_unique_budget,
         )
+        from sonar_3d_reconstruction_tpu.ops.packing import (
+            compute_window_boxes,
+        )
         from sonar_3d_reconstruction_tpu.pipeline import scan_pings_brick
+
+        w = min(self.window, self.chunk_size)
+        boxes = compute_window_boxes(
+            sonar_pos, self.cfg.max_range, self.cfg.voxel_resolution, w,
+            self.state.brick_bits,
+            frame_bits=max(1, (w - 1).bit_length()),
+            min_bits=self._box_bits,
+        )
+        if boxes is not None:
+            bits = boxes[1]
+            if self._box_bits is not None and bits != self._box_bits:
+                self.stats.box_bits_recompiles += 1
+            self._box_bits = bits
 
         start = 0
         for _retry in range(12):
@@ -375,6 +431,7 @@ class StreamingMapper:
                 tables=self._tables, cfg=self.cfg, dtype=self.dtype,
                 unique_budget=self._unique_budget,
                 window=self.window, brick_budget=self._brick_budget,
+                boxes=boxes,
             )
             over = np.asarray(stats["overflowed"])
             if not over.any():

@@ -270,3 +270,64 @@ def test_required_window_cap_edge_cases(small_cfg):
     img3 = np.zeros((R, B), np.uint8)
     img3[0:R, 0] = 255
     assert required_window_cap(img3[None], cfg, R) == W
+
+
+def test_required_free_cap_and_capped_tables_equivalence(small_cfg):
+    """Tables whose free-lattice depth is capped by the host gate
+    (required_free_cap) produce EXACTLY the same map as the full-depth
+    worst case for the images the cap was computed from."""
+    import jax.numpy as jnp
+
+    from sonar_3d_reconstruction_tpu.ops.backproject import required_free_cap
+    from sonar_3d_reconstruction_tpu.pipeline import map_ping_sequence
+    from test_pipeline import hash_state_to_dict
+
+    cfg = small_cfg
+    R, B = cfg.image_height, cfg.image_width
+    rng = np.random.default_rng(5)
+    # EVERY column returns (a continuous band) so the gate can bite
+    images = np.zeros((4, R, B), np.uint8)
+    for i in range(4):
+        images[i, 40 + i : 52 + i, :] = rng.integers(
+            80, 200, size=(12, B)
+        ).astype(np.uint8)
+    positions = np.cumsum(np.full((4, 3), 0.05), axis=0)
+    quats = np.tile([0.0, 0.0, 0.0, 1.0], (4, 1))
+
+    fcap = required_free_cap(images, cfg, R)
+    assert 1 <= fcap < R  # bites: deepest first hit well above bottom
+    t_full = build_fan_tables(cfg, R, B)
+    t_cap = build_fan_tables(cfg, R, B, free_cap=fcap)
+    assert t_cap.free_idx.shape[0] < t_full.free_idx.shape[0]
+
+    st_a, _ = map_ping_sequence(
+        images, positions, quats, cfg, dtype=jnp.float64, free_cap=None,
+        initial_capacity=1 << 14,
+    )
+    st_b, _ = map_ping_sequence(
+        images, positions, quats, cfg, dtype=jnp.float64, free_cap="auto",
+        initial_capacity=1 << 14,
+    )
+    a, b = hash_state_to_dict(st_a), hash_state_to_dict(st_b)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k], k
+
+
+def test_required_free_cap_edge_cases(small_cfg):
+    """A column with no return forces the full free depth; all-dark images
+    force the full depth; first hit at bin 0 yields the floor cap 1."""
+    from sonar_3d_reconstruction_tpu.ops.backproject import required_free_cap
+
+    cfg = small_cfg
+    R, B = cfg.image_height, cfg.image_width
+    img = np.zeros((R, B), np.uint8)
+    img[30:40, : B - 1] = 200  # last column never returns
+    assert required_free_cap(img, cfg, R) == R
+    assert required_free_cap(np.zeros((R, B), np.uint8), cfg, R) == R
+    img2 = np.zeros((R, B), np.uint8)
+    img2[0, :] = 200
+    assert required_free_cap(img2, cfg, R) == 1
+    img3 = np.zeros((R, B), np.uint8)
+    img3[25, :] = 200
+    assert required_free_cap(img3, cfg, R) == 25

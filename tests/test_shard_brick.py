@@ -1,0 +1,164 @@
+"""Sharded BRICK map on the 8-virtual-device CPU mesh vs single-chip brick."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from sonar_3d_reconstruction_tpu.parallel.shard import make_mesh
+from sonar_3d_reconstruction_tpu.parallel.shard_brick import (
+    gather_sharded_brick_state,
+    init_sharded_brick_grid,
+    map_ping_sequence_sharded_brick,
+    owner_shard_brick,
+    sharded_brick_bounds,
+)
+from sonar_3d_reconstruction_tpu.pipeline import map_ping_sequence
+
+from conftest import circular_trajectory, synthetic_ping
+from test_brick_grid import brick_state_to_dict
+
+
+def make_seq(cfg, n, seed=0):
+    images = np.stack(
+        [synthetic_ping(cfg.image_height, cfg.image_width, seed=seed + i)
+         for i in range(n)]
+    )
+    positions, quats = circular_trajectory(n, radius=0.8)
+    return images, positions, quats
+
+
+def sharded_brick_to_dict(state):
+    keys, lo = gather_sharded_brick_state(state)
+    return {tuple(k): v for k, v in zip(keys, lo)}
+
+
+def test_owner_shard_brick_groups_whole_bricks():
+    """Every voxel of a brick gets the same owner; distribution is roughly
+    uniform over shards."""
+    from sonar_3d_reconstruction_tpu.ops.packing import pack_brick_keys
+
+    rng = np.random.default_rng(3)
+    bricks = rng.integers(-40, 40, size=(500, 3)).astype(np.int32) * 4
+    offs = rng.integers(0, 4, size=(500, 3)).astype(np.int32)
+    hi_a, lo_a, _ = pack_brick_keys(jnp.asarray(bricks), 2)
+    hi_b, lo_b, _ = pack_brick_keys(jnp.asarray(bricks + offs), 2)
+    oa = np.asarray(owner_shard_brick(hi_a, lo_a, 2, 8))
+    ob = np.asarray(owner_shard_brick(hi_b, lo_b, 2, 8))
+    np.testing.assert_array_equal(oa, ob)  # offset never changes the owner
+    counts = np.bincount(oa, minlength=8)
+    assert counts.max() < 250
+
+
+def test_sharded_brick_matches_single_chip(small_cfg):
+    """Window-engine sharded brick map == single-chip brick map bit-for-bit
+    in float64 (same voxels, log-odds, bounds, per-ping stats)."""
+    cfg = small_cfg
+    images, positions, quats = make_seq(cfg, 6, seed=910)
+    mesh = make_mesh()
+
+    sh, sstats = map_ping_sequence_sharded_brick(
+        images, positions, quats, cfg, mesh=mesh, dtype=jnp.float64,
+        window=3, local_capacity=1 << 10,
+    )
+    single, dstats = map_ping_sequence(
+        images, positions, quats, cfg, backend="brick", dtype=jnp.float64,
+        window=3,
+    )
+    a = sharded_brick_to_dict(sh)
+    b = brick_state_to_dict(single)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k], k
+    smin, smax = sharded_brick_bounds(sh)
+    np.testing.assert_array_equal(smin, np.asarray(single.min_bounds))
+    np.testing.assert_array_equal(smax, np.asarray(single.max_bounds))
+    for k in ("num_occupied", "num_free", "num_candidates"):
+        np.testing.assert_array_equal(
+            np.asarray(sstats[k]), np.asarray(dstats[k]), err_msg=k
+        )
+    assert int(np.asarray(sh.used).sum()) == len(a)
+
+
+def test_sharded_brick_growth_and_replay(small_cfg):
+    """Tiny initial budgets/capacity converge through every growth cause
+    (unique budget, brick budget, capacity rehash) to the same map."""
+    cfg = small_cfg
+    images, positions, quats = make_seq(cfg, 5, seed=920)
+    mesh = make_mesh()
+
+    big, _ = map_ping_sequence_sharded_brick(
+        images, positions, quats, cfg, mesh=mesh, dtype=jnp.float64,
+        window=2, local_capacity=1 << 10,
+    )
+    small, sstats = map_ping_sequence_sharded_brick(
+        images, positions, quats, cfg, mesh=mesh, dtype=jnp.float64,
+        window=2, local_capacity=1 << 7,  # forces rehash growth
+        unique_budget=512,                # forces unique growth
+        brick_budget=64,                  # forces brick-budget growth
+    )
+    assert not np.asarray(sstats["overflowed"]).any()
+    a, b = sharded_brick_to_dict(big), sharded_brick_to_dict(small)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k], k
+
+
+def test_sharded_brick_snug_budgets_and_insert_schedule(small_cfg):
+    """The reported per-shard maxima size a snug cold/warm configuration
+    that reproduces the default-run map exactly."""
+    cfg = small_cfg
+    images, positions, quats = make_seq(cfg, 6, seed=930)
+    mesh = make_mesh()
+
+    ref, stats = map_ping_sequence_sharded_brick(
+        images, positions, quats, cfg, mesh=mesh, dtype=jnp.float64,
+        window=3, local_capacity=1 << 10,
+    )
+    bmax = int(np.asarray(stats["batch_n_bricks_max"]).max())
+    lmax = int(np.asarray(stats["batch_n_lanes_max"]).max())
+    need = np.asarray(stats["batch_n_need_max"]).reshape(-1, 3).max(axis=1)
+    cold = int(need[0]) + 8
+    warm = max(int(need[1:].max()) + 8, 8) if len(need) > 1 else cold
+    assert warm <= cold
+    snug, snstats = map_ping_sequence_sharded_brick(
+        images, positions, quats, cfg, mesh=mesh, dtype=jnp.float64,
+        window=3, local_capacity=1 << 10,
+        brick_budget=bmax + 8, lane_budget=lmax + 8,
+        insert_budget=[cold, warm],
+    )
+    assert not np.asarray(snstats["overflowed"]).any()
+    a, b = sharded_brick_to_dict(ref), sharded_brick_to_dict(snug)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k], k
+
+
+def test_sharded_brick_replay_start_skips_frames(small_cfg):
+    """Frames before ``start`` are no-ops: mapping [0..n) in two halves
+    through the same scan equals one full pass."""
+    from sonar_3d_reconstruction_tpu.ops.backproject import build_fan_tables
+    from sonar_3d_reconstruction_tpu.parallel.shard_brick import (
+        make_window_scan_sharded_brick,
+    )
+    from sonar_3d_reconstruction_tpu.pipeline import batched_sonar_to_world
+
+    cfg = small_cfg
+    images, positions, quats = make_seq(cfg, 4, seed=940)
+    mesh = make_mesh()
+    tables = build_fan_tables(cfg, cfg.image_height, cfg.image_width)
+    T = batched_sonar_to_world(positions, quats, cfg)
+
+    scan = make_window_scan_sharded_brick(
+        mesh, tables, cfg, jnp.float64, "space", 4096, 2,
+    )
+    full = init_sharded_brick_grid(mesh, 1 << 10, jnp.float64)
+    full, _ = scan(full, images, T, 0)
+
+    # second run: windows dispatched from scratch but frames < 2 masked off
+    half = init_sharded_brick_grid(mesh, 1 << 10, jnp.float64)
+    half, _ = scan(half, images[:2], T[:2], 0)
+    # replay the tail with start=2 over the full stack
+    half, _ = scan(half, images, T, 2)
+    a, b = sharded_brick_to_dict(full), sharded_brick_to_dict(half)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k], k

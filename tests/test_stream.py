@@ -262,3 +262,46 @@ def test_stream_unique_budget_growth(tmp_path, small_cfg):
     assert a.keys() == b.keys()
     for k in a:
         assert a[k] == b[k]
+
+
+def test_stream_free_cap_and_box_bits(tmp_path, small_cfg):
+    """The free-lattice depth gate adopts per-chunk (grow-only: a deeper
+    first hit costs one counted recompile), the brick stream's compact
+    box-key bits stay sticky across chunks, and the result is bit-identical
+    to the offline auto-capped pipeline."""
+    from test_brick_grid import brick_state_to_dict
+
+    cfg = small_cfg
+    R, B = cfg.image_height, cfg.image_width
+    rng = np.random.default_rng(8)
+    # every column returns; later pings return DEEPER (free cap must grow)
+    n = 6
+    images = np.zeros((n, R, B), np.uint8)
+    for i in range(n):
+        r0 = 20 + 8 * i
+        images[i, r0 : r0 + 6, :] = rng.integers(
+            90, 200, size=(6, B)
+        ).astype(np.uint8)
+    positions, quats = circular_trajectory(n, radius=0.8)
+    path = str(tmp_path / "deep.db3")
+    write_synthetic_bag(path, images, positions, quats)
+
+    sm = StreamingMapper(
+        cfg, chunk_size=2, window=2, initial_capacity=1 << 11,
+        dtype=jnp.float64, backend="brick",
+    )
+    stats = sm.run_bag(path)
+    assert stats.frames_mapped == n
+    assert sm._free_cap == 20 + 8 * (n - 1)  # deepest FIRST hit
+    assert stats.free_cap_recompiles >= 1  # deeper hits arrived mid-stream
+    assert sm._box_bits is not None  # compact engine engaged
+    assert stats.box_bits_recompiles == 0  # same geometry: bits stayed put
+
+    direct, _ = map_ping_sequence(
+        images, positions, quats, cfg, backend="brick",
+        dtype=jnp.float64, window=2,
+    )
+    a, b = brick_state_to_dict(sm.state), brick_state_to_dict(direct)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k], k
