@@ -32,16 +32,38 @@ _FORMAT = "sonar3d-map-v1"
 def save_map(path: str, state, cfg: MapperConfig) -> None:
     """Snapshot touched voxels + bounds + config to ``path`` (.npz).
 
-    Accepts a HashGridState or a BrickGridState — the snapshot stores
-    UNPACKED voxel keys, so the format is identical and a map saved from
-    one backend restores into either (``load_map`` / ``load_map_brick``)."""
+    Accepts a HashGridState, a BrickGridState, or a sharded state
+    (ShardedHashState / ShardedBrickState — shards hold disjoint voxels,
+    so the gathered set is exact).  The snapshot stores UNPACKED voxel
+    keys, so the format is identical across all of them and a map saved
+    from any backend restores into any other (``load_map`` /
+    ``load_map_brick``)."""
     from sonar_3d_reconstruction_tpu.grid.brick import (
         BrickGridState,
         touched_voxels_brick,
     )
+    from sonar_3d_reconstruction_tpu.grid.hash import EMPTY
+    from sonar_3d_reconstruction_tpu.parallel.shard import (
+        ShardedHashState,
+        gather_sharded_state,
+    )
+    from sonar_3d_reconstruction_tpu.parallel.shard_brick import (
+        ShardedBrickState,
+        gather_sharded_brick_state,
+    )
 
+    min_bounds = np.asarray(state.min_bounds)
+    max_bounds = np.asarray(state.max_bounds)
     if isinstance(state, BrickGridState):
         keys, lo = touched_voxels_brick(state)
+    elif isinstance(state, ShardedBrickState):
+        keys, lo = gather_sharded_brick_state(state)
+        min_bounds, max_bounds = min_bounds[0], max_bounds[0]  # replicated
+    elif isinstance(state, ShardedHashState):
+        keys, lo = gather_sharded_state(state)
+        mask = keys[:, 0] != EMPTY
+        keys, lo = keys[mask], lo[mask]
+        min_bounds, max_bounds = min_bounds[0], max_bounds[0]
     else:
         mask = occupied_key_mask(state)
         keys = np.asarray(state.keys)[mask]
@@ -51,8 +73,8 @@ def save_map(path: str, state, cfg: MapperConfig) -> None:
         format=np.asarray(_FORMAT),
         keys=keys.astype(np.int32),
         log_odds=lo,
-        min_bounds=np.asarray(state.min_bounds),
-        max_bounds=np.asarray(state.max_bounds),
+        min_bounds=min_bounds,
+        max_bounds=max_bounds,
         config=np.asarray(json.dumps(cfg.to_dict())),
     )
 

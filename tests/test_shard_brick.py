@@ -162,3 +162,32 @@ def test_sharded_brick_replay_start_skips_frames(small_cfg):
     assert a.keys() == b.keys()
     for k in a:
         assert a[k] == b[k], k
+
+
+def test_sharded_brick_checkpoint_roundtrip(tmp_path, small_cfg):
+    """A sharded-brick map snapshots through io/checkpoint and restores
+    into a SINGLE-chip brick grid holding the identical voxel set."""
+    from sonar_3d_reconstruction_tpu.io.checkpoint import (
+        load_map_brick,
+        save_map,
+    )
+
+    cfg = small_cfg
+    images, positions, quats = make_seq(cfg, 4, seed=950)
+    mesh = make_mesh()
+    sh, _ = map_ping_sequence_sharded_brick(
+        images, positions, quats, cfg, mesh=mesh, dtype=jnp.float64,
+        window=2, local_capacity=1 << 10,
+    )
+    path = str(tmp_path / "sharded.npz")
+    save_map(path, sh, cfg)
+    restored, rcfg = load_map_brick(path, dtype=jnp.float64)
+    assert rcfg.voxel_resolution == cfg.voxel_resolution
+    a = sharded_brick_to_dict(sh)
+    b = brick_state_to_dict(restored)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k], k
+    smin, smax = sharded_brick_bounds(sh)
+    np.testing.assert_array_equal(smin, np.asarray(restored.min_bounds))
+    np.testing.assert_array_equal(smax, np.asarray(restored.max_bounds))
