@@ -355,6 +355,64 @@ def _apply_brick_compact(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "tables", "cfg", "dtype", "unique_budget", "window",
+        "dedup_lane_budget", "brick_bits", "box_bits", "brick_budget",
+        "lane_budget", "insert_budget",
+    ),
+)
+def _window_step_brick_compact(
+    state,
+    images,
+    transforms,
+    w_start,
+    start,
+    stop,
+    box_min,
+    *,
+    tables: FanTables,
+    cfg: MapperConfig,
+    dtype,
+    unique_budget: int,
+    window: int,
+    dedup_lane_budget: int,
+    brick_bits: int,
+    box_bits,
+    brick_budget: int,
+    lane_budget=None,
+    insert_budget=None,
+):
+    """Records + apply for one window in ONE program (compact box-key
+    path).  Functionally identical to _records_window followed by
+    _apply_brick_compact; fusing them halves the per-window dispatches —
+    a measurable share of the step through the tunneled runtime — and
+    keeps the records intermediates entirely inside the program."""
+    from sonar_3d_reconstruction_tpu.grid.brick import (
+        apply_brick_records_compact,
+    )
+    from sonar_3d_reconstruction_tpu.ops.records import frame_records
+
+    def body(i):
+        idx = w_start + i
+        image = jax.lax.dynamic_index_in_dim(images, idx, 0, keepdims=False)
+        T = jax.lax.dynamic_index_in_dim(transforms, idx, 0, keepdims=False)
+        frame_on = (idx >= start) & (idx < stop)
+        return frame_records(
+            image, T, tables, cfg, unique_budget, dtype, frame_on=frame_on,
+            dedup_lane_budget=dedup_lane_budget, brick_bits=brick_bits,
+            box_min=box_min, box_bits=box_bits,
+        )
+
+    recs, auxs = jax.lax.map(body, jnp.arange(window, dtype=jnp.int32))
+    return apply_brick_records_compact(
+        state, recs, auxs, cfg, box_min, box_bits,
+        brick_budget=brick_budget, lane_budget=lane_budget,
+        insert_budget=insert_budget,
+    )
+
+
 def scan_pings_brick(
     state,
     images: jnp.ndarray,
@@ -420,20 +478,24 @@ def scan_pings_brick(
         box_min = (
             None if box_mins is None else jnp.asarray(box_mins[wi])
         )
-        recs, auxs = _records_window(
-            images_dev, T_dev, jnp.int32(w), start, stop, box_min,
-            tables=tables, cfg=cfg, dtype=dtype,
-            unique_budget=unique_budget, window=window,
-            dedup_lane_budget=dedup_lane_budget, brick_bits=bb,
-            box_bits=box_bits,
-        )
         if box_bits is not None:
-            state, stats = _apply_brick_compact(
-                state, recs, auxs, box_min, cfg=cfg,
-                brick_budget=brick_budget, box_bits=box_bits,
+            # fused records+apply: one dispatch per window
+            state, stats = _window_step_brick_compact(
+                state, images_dev, T_dev, jnp.int32(w), start, stop,
+                box_min, tables=tables, cfg=cfg, dtype=dtype,
+                unique_budget=unique_budget, window=window,
+                dedup_lane_budget=dedup_lane_budget, brick_bits=bb,
+                box_bits=box_bits, brick_budget=brick_budget,
                 lane_budget=lane_budget, insert_budget=ib,
             )
         else:
+            recs, auxs = _records_window(
+                images_dev, T_dev, jnp.int32(w), start, stop, box_min,
+                tables=tables, cfg=cfg, dtype=dtype,
+                unique_budget=unique_budget, window=window,
+                dedup_lane_budget=dedup_lane_budget, brick_bits=bb,
+                box_bits=box_bits,
+            )
             state, stats = _apply_brick(
                 state, recs, auxs, cfg=cfg, brick_budget=brick_budget,
                 lane_budget=lane_budget, insert_budget=ib,
