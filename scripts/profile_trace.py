@@ -33,6 +33,40 @@ from sonar_3d_reconstruction_tpu.pipeline import (
 from sonar_3d_reconstruction_tpu.utils.profiling import device_trace
 from bench import make_inputs
 
+def _read_varint(buf, pos):
+    out = shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        out |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return out, pos
+        shift += 7
+
+
+def _fields(buf):
+    """Walk one protobuf message's (field, wire_type, value) triples."""
+    pos = 0
+    while pos < len(buf):
+        tag, pos = _read_varint(buf, pos)
+        fnum, wt = tag >> 3, tag & 7
+        if wt == 0:
+            val, pos = _read_varint(buf, pos)
+        elif wt == 2:
+            ln, pos = _read_varint(buf, pos)
+            val = buf[pos : pos + ln]
+            pos += ln
+        elif wt == 5:
+            val = buf[pos : pos + 4]
+            pos += 4
+        elif wt == 1:
+            val = buf[pos : pos + 8]
+            pos += 8
+        else:
+            return
+        yield fnum, wt, val
+
+
 def parse_xplane_top_ops(path, top=25):
     """Minimal XSpace reader: extracts (event metadata name, total duration
     ps) from the serialized proto without the generated classes."""
@@ -41,70 +75,39 @@ def parse_xplane_top_ops(path, top=25):
 
     data = open(path, "rb").read()
 
-    def read_varint(buf, pos):
-        out = shift = 0
-        while True:
-            b = buf[pos]
-            pos += 1
-            out |= (b & 0x7F) << shift
-            if not b & 0x80:
-                return out, pos
-            shift += 7
-
-    def fields(buf):
-        pos = 0
-        while pos < len(buf):
-            tag, pos = read_varint(buf, pos)
-            fnum, wt = tag >> 3, tag & 7
-            if wt == 0:
-                val, pos = read_varint(buf, pos)
-            elif wt == 2:
-                ln, pos = read_varint(buf, pos)
-                val = buf[pos : pos + ln]
-                pos += ln
-            elif wt == 5:
-                val = buf[pos : pos + 4]
-                pos += 4
-            elif wt == 1:
-                val = buf[pos : pos + 8]
-                pos += 8
-            else:
-                return
-            yield fnum, wt, val
-
     totals = collections.Counter()
     # XSpace.planes(1) -> XPlane{name(2), lines(3), event_metadata(4 map),
     # stat_metadata(5 map)}
-    for f1, w1, plane in fields(data):
+    for f1, w1, plane in _fields(data):
         if f1 != 1 or w1 != 2:
             continue
         meta_names = {}
         plane_name = b""
-        for f2, w2, v2 in fields(plane):
+        for f2, w2, v2 in _fields(plane):
             if f2 == 2 and w2 == 2:
                 plane_name = v2
             elif f2 == 4 and w2 == 2:  # map<int64, XEventMetadata>
                 k = None
                 name = b""
-                for f3, w3, v3 in fields(v2):
+                for f3, w3, v3 in _fields(v2):
                     if f3 == 1 and w3 == 0:
                         k = v3
                     elif f3 == 2 and w3 == 2:
-                        for f4, w4, v4 in fields(v3):
+                        for f4, w4, v4 in _fields(v3):
                             if f4 == 2 and w4 == 2:
                                 name = v4
                 if k is not None:
                     meta_names[k] = name.decode(errors="replace")
         if b"TPU" not in plane_name and b"tpu" not in plane_name:
             continue
-        for f2, w2, v2 in fields(plane):
+        for f2, w2, v2 in _fields(plane):
             if f2 != 3 or w2 != 2:  # XLine
                 continue
-            for f3, w3, v3 in fields(v2):
+            for f3, w3, v3 in _fields(v2):
                 if f3 != 4 or w3 != 2:  # XEvent
                     continue
                 mid = dur = 0
-                for f4, w4, v4 in fields(v3):
+                for f4, w4, v4 in _fields(v3):
                     if f4 == 1 and w4 == 0:
                         mid = v4
                     elif f4 == 3 and w4 == 0:
@@ -171,59 +174,28 @@ def parse_xplane_lines(path):
     programs that per-op totals cannot show."""
     data = open(path, "rb").read()
 
-    def read_varint(buf, pos):
-        out = shift = 0
-        while True:
-            b = buf[pos]
-            pos += 1
-            out |= (b & 0x7F) << shift
-            if not b & 0x80:
-                return out, pos
-            shift += 7
-
-    def fields(buf):
-        pos = 0
-        while pos < len(buf):
-            tag, pos = read_varint(buf, pos)
-            fnum, wt = tag >> 3, tag & 7
-            if wt == 0:
-                val, pos = read_varint(buf, pos)
-            elif wt == 2:
-                ln, pos = read_varint(buf, pos)
-                val = buf[pos : pos + ln]
-                pos += ln
-            elif wt == 5:
-                val = buf[pos : pos + 4]
-                pos += 4
-            elif wt == 1:
-                val = buf[pos : pos + 8]
-                pos += 8
-            else:
-                return
-            yield fnum, wt, val
-
     out = []
-    for f1, w1, plane in fields(data):
+    for f1, w1, plane in _fields(data):
         if f1 != 1 or w1 != 2:
             continue
         plane_name = b""
-        for f2, w2, v2 in fields(plane):
+        for f2, w2, v2 in _fields(plane):
             if f2 == 2 and w2 == 2:
                 plane_name = v2
         if b"TPU" not in plane_name and b"tpu" not in plane_name:
             continue
-        for f2, w2, v2 in fields(plane):
+        for f2, w2, v2 in _fields(plane):
             if f2 != 3 or w2 != 2:  # XLine
                 continue
             lname = b""
             n = busy = 0
             lo, hi = None, 0
-            for f3, w3, v3 in fields(v2):
+            for f3, w3, v3 in _fields(v2):
                 if f3 == 2 and w3 == 2:
                     lname = v3
                 elif f3 == 4 and w3 == 2:  # XEvent
                     off = dur = 0
-                    for f4, w4, v4 in fields(v3):
+                    for f4, w4, v4 in _fields(v3):
                         if f4 == 2 and w4 == 0:
                             off = v4
                         elif f4 == 3 and w4 == 0:

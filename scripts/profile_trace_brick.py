@@ -25,6 +25,7 @@ from sonar_3d_reconstruction_tpu.grid.brick import init_brick_grid
 from sonar_3d_reconstruction_tpu.ops.backproject import (
     build_fan_tables,
     required_fan_cap,
+    required_free_cap,
     required_window_cap,
 )
 from sonar_3d_reconstruction_tpu.pipeline import (
@@ -42,8 +43,10 @@ N = 16
 images, positions, quats = make_inputs(cfg, 64)
 fan_cap = required_fan_cap(images, cfg, cfg.image_height)
 window_cap = required_window_cap(images, cfg, cfg.image_height)
+free_cap = required_free_cap(images, cfg, cfg.image_height)
 tables = build_fan_tables(cfg, cfg.image_height, cfg.image_width,
-                          fan_cap=fan_cap, window_cap=window_cap)
+                          fan_cap=fan_cap, window_cap=window_cap,
+                          free_cap=free_cap)
 T_host = batched_sonar_to_world(positions, quats, cfg)
 T = jnp.asarray(T_host, jnp.float32)
 imgs = jnp.asarray(images)

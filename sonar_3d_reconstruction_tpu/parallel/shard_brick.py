@@ -465,24 +465,26 @@ def rehash_sharded_bricks(
 
 
 def gather_sharded_brick_state(
-    state: ShardedBrickState, brick_bits: int = DEFAULT_BRICK_BITS
+    state: ShardedBrickState,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Pull the sharded brick map to host as ((N, 3) int32 touched voxel
     keys, (N,) log-odds) — the layout-independent view (shards hold
-    disjoint bricks, so plain concatenation is exact)."""
+    disjoint bricks, so plain concatenation is exact).  Device slices are
+    handed to the extractor directly: its compaction selects the occupied
+    rows on device, so only O(occupied) data crosses to the host."""
     from sonar_3d_reconstruction_tpu.grid.brick import touched_voxels_brick
 
     keys, vals = [], []
     S = state.key_rows.shape[0]
     for s in range(S):
         local = BrickGridState(
-            key_rows=jnp.asarray(np.asarray(state.key_rows[s])),
-            log_odds=jnp.asarray(np.asarray(state.log_odds[s])),
-            touched=jnp.asarray(np.asarray(state.touched[s])),
-            min_bounds=jnp.asarray(np.asarray(state.min_bounds[s])),
-            max_bounds=jnp.asarray(np.asarray(state.max_bounds[s])),
-            used=jnp.asarray(np.asarray(state.used[s])),
-            poisoned=jnp.asarray(np.asarray(state.poisoned[s])),
+            key_rows=state.key_rows[s],
+            log_odds=state.log_odds[s],
+            touched=state.touched[s],
+            min_bounds=state.min_bounds[s],
+            max_bounds=state.max_bounds[s],
+            used=state.used[s],
+            poisoned=state.poisoned[s],
         )
         k, v = touched_voxels_brick(local)
         keys.append(k)

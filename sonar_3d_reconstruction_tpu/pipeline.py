@@ -337,27 +337,6 @@ def _apply_brick(
 @partial(
     jax.jit,
     static_argnames=(
-        "cfg", "brick_budget", "lane_budget", "insert_budget", "box_bits",
-    ),
-)
-def _apply_brick_compact(
-    state, recs, auxs, box_min, *, cfg: MapperConfig, brick_budget: int,
-    box_bits, lane_budget=None, insert_budget=None,
-):
-    from sonar_3d_reconstruction_tpu.grid.brick import (
-        apply_brick_records_compact,
-    )
-
-    return apply_brick_records_compact(
-        state, recs, auxs, cfg, box_min, box_bits,
-        brick_budget=brick_budget, lane_budget=lane_budget,
-        insert_budget=insert_budget,
-    )
-
-
-@partial(
-    jax.jit,
-    static_argnames=(
         "tables", "cfg", "dtype", "unique_budget", "window",
         "dedup_lane_budget", "brick_bits", "box_bits", "brick_budget",
         "lane_budget", "insert_budget",
@@ -385,10 +364,11 @@ def _window_step_brick_compact(
     insert_budget=None,
 ):
     """Records + apply for one window in ONE program (compact box-key
-    path).  Functionally identical to _records_window followed by
-    _apply_brick_compact; fusing them halves the per-window dispatches —
-    a measurable share of the step through the tunneled runtime — and
-    keeps the records intermediates entirely inside the program."""
+    path).  Functionally identical to _records_window followed by an
+    apply_brick_records_compact dispatch; fusing them halves the
+    per-window dispatches and keeps the records intermediates entirely
+    inside the program (bench-neutral on the tunneled chip — dispatches
+    overlap — but strictly less dispatch traffic)."""
     from sonar_3d_reconstruction_tpu.grid.brick import (
         apply_brick_records_compact,
     )

@@ -225,18 +225,20 @@ class StreamingMapper:
             self._flush_chunk()
 
     # -- device work ----------------------------------------------------
-    def _resolve_tables(self, shape: Tuple[int, int]) -> None:
+    def _resolve_tables(
+        self, shape: Tuple[int, int], stacked: np.ndarray
+    ) -> None:
         """(Re)build fan tables for this image geometry and the current
-        host-gated fan cap (see __init__ fan_cap note)."""
+        host-gated caps (see __init__ fan_cap note).  ``stacked`` is the
+        chunk's image block, stacked ONCE by the caller and shared by all
+        three gates."""
         cap = self._fan_cap
         if self._fan_cap_mode == "auto":
             from sonar_3d_reconstruction_tpu.ops.backproject import (
                 required_fan_cap,
             )
 
-            need = required_fan_cap(
-                np.stack(self._chunk_images), self.cfg, shape[0]
-            )
+            need = required_fan_cap(stacked, self.cfg, shape[0])
             if need > cap:
                 if cap:  # a deeper return arrived: adopt + recompile
                     self.stats.fan_cap_recompiles += 1
@@ -249,9 +251,7 @@ class StreamingMapper:
                 required_window_cap,
             )
 
-            wneed = required_window_cap(
-                np.stack(self._chunk_images), self.cfg, shape[0]
-            )
+            wneed = required_window_cap(stacked, self.cfg, shape[0])
             if wneed > wcap:
                 if wcap:  # a thicker return slab arrived: adopt + recompile
                     self.stats.window_cap_recompiles += 1
@@ -264,9 +264,7 @@ class StreamingMapper:
                 required_free_cap,
             )
 
-            fneed = required_free_cap(
-                np.stack(self._chunk_images), self.cfg, shape[0]
-            )
+            fneed = required_free_cap(stacked, self.cfg, shape[0])
             if fneed > fcap:
                 if fcap:  # a deeper first hit arrived: adopt + recompile
                     self.stats.free_cap_recompiles += 1
@@ -294,13 +292,14 @@ class StreamingMapper:
         if n == 0:
             return
         shape = self._chunk_images[0].shape
-        self._resolve_tables(shape)
+        stacked = np.stack(self._chunk_images)
+        self._resolve_tables(shape, stacked)
 
         pad = self.chunk_size - n
-        images = np.stack(
-            self._chunk_images
-            + [np.zeros(shape, self._chunk_images[0].dtype)] * pad
-        )
+        images = np.concatenate(
+            [stacked,
+             np.zeros((pad,) + shape, self._chunk_images[0].dtype)]
+        ) if pad else stacked
         # pad poses by REPEATING the last real pose (padded frames are
         # masked off via the scan's stop index, but the brick backend's
         # per-window boxes cover every pose in the window — a zero-pose pad
