@@ -387,8 +387,14 @@ def main_brick(cfg, n_pings, reps, window):
              + np.asarray(stats["num_free"])).max()
         )
         max_valid = int(np.asarray(stats["num_candidates"]).max())
-        snug_u = min(_round_up(1.25 * max_frame), unique_budget)
-        dedup_lane_budget = max(_round_up(1.1 * max_valid), snug_u)
+        # tighter margins than the hash path: the perturbed bench pixel sits
+        # below the intensity threshold so counts are bit-deterministic
+        # across reps, and growth+replay protects correctness regardless.
+        # The compaction slice only pays off while it is SMALLER than the
+        # free-capped lattice (the round-3 trace caught 1.1x+8k rounding
+        # pushing it past the lattice width — no slicing at all).
+        snug_u = min(_round_up(1.1 * max_frame, 4096), unique_budget)
+        dedup_lane_budget = max(_round_up(1.05 * max_valid, 4096), snug_u)
         # all apply-side budgets are REPORTED by the engine
         brick_budget = min(
             _round_up(1.15 * int(np.asarray(stats["batch_n_bricks"]).max()),
@@ -453,9 +459,13 @@ def main_brick(cfg, n_pings, reps, window):
 
     latency = {}
     if os.environ.get("BENCH_LATENCY", "1") == "1":
+        # the SAFE warmup budget, not the snug one: the stream derives its
+        # dedup slice from 2x the unique budget, and a snug value can force
+        # one mid-stream growth replay — correct but it pollutes p95
         latency = measure_stream_latency(
             cfg, images, positions, quats, window, capacity,
-            unique_budget, None, backend="brick",
+            effective["unique_budget"] if effective else unique_budget,
+            None, backend="brick",
         )
 
     updates_per_sec = total_updates / best

@@ -196,8 +196,16 @@ def apply_brick_records_batched(
     count = recs.count.reshape(-1)
     n_occ = recs.n_occ.reshape(-1)
     # count<<16|n_occ packing: a voxel receiving 2^16+ emissions in ONE
-    # frame is beyond any real sonar geometry; reject (not growable) if hit
-    pack_overflow = jnp.any(count > 0xFFFF)
+    # frame is beyond any real sonar geometry; reject (not growable) if
+    # hit.  Only frames whose dedup did NOT overflow may assert it: a
+    # unique-budget overflow marks every record lane "valid" (n_unique =
+    # n+1) and the truncated tail then carries adjacent-difference
+    # GARBAGE counts — the window is rejected either way (all-or-nothing),
+    # but the host must see the growable unique_overflow cause, not a
+    # spurious fatal pack_overflow (bit us: a snug streaming budget raised
+    # "2^16+ emissions" instead of growing).
+    frame_ok = jnp.repeat(recs.n_unique <= U, U)
+    pack_overflow = jnp.any(frame_ok & (count > 0xFFFF))
     payload = (
         (count.astype(jnp.uint32) << 16) | n_occ.astype(jnp.uint32)
     )
@@ -448,7 +456,10 @@ def apply_brick_records_compact(
     flat = jnp.where(rec_valid_flat, (key << f_bits) | frame, EMPTY32)
     count = recs.count.reshape(-1)
     n_occ = recs.n_occ.reshape(-1)
-    pack_overflow = jnp.any(count > 0xFFFF)
+    # see apply_brick_records_batched: overflowed frames carry garbage
+    # counts and must report through unique_overflow, not pack_overflow
+    frame_ok = jnp.repeat(recs.n_unique <= U, U)
+    pack_overflow = jnp.any(frame_ok & (count > 0xFFFF))
     payload = (
         (count.astype(jnp.uint32) << 16) | n_occ.astype(jnp.uint32)
     )

@@ -483,3 +483,91 @@ def test_brick_compact_growth_replay(small_cfg):
     assert a.keys() == b.keys()
     for k in a:
         assert a[k] == b[k], k
+
+
+def test_unique_overflow_reports_growable_cause_not_pack_overflow(small_cfg):
+    """A frame whose dedup overflowed the unique budget carries GARBAGE
+    adjacent-difference counts in its truncated record tail (every lane is
+    marked valid via n_unique = n+1).  The apply must report the growable
+    ``unique_overflow`` cause and must NOT assert the fatal
+    ``pack_overflow`` from the garbage — the host's cause priority checks
+    pack first, so a spurious flag turns a recoverable overflow into a
+    raise (bit the bench's snug streaming budgets)."""
+    import jax.numpy as jnp
+
+    from sonar_3d_reconstruction_tpu.grid.brick import (
+        apply_brick_records_batched,
+        apply_brick_records_compact,
+        init_brick_grid,
+    )
+    from sonar_3d_reconstruction_tpu.ops.dedup import (
+        CompactRecords,
+        UniqueRecords,
+    )
+    from sonar_3d_reconstruction_tpu.ops.packing import (
+        EMPTY32,
+        EMPTY_HI,
+        pack_box_keys,
+        pack_brick_keys,
+    )
+    from sonar_3d_reconstruction_tpu.ops.records import FrameAux
+
+    cfg = small_cfg
+    U, B = 4, 2
+    n = 100000  # pretend lattice size; n+1 marks "overflowed"
+    keys = jnp.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]],
+                       jnp.int32)
+    garbage = jnp.asarray([70000, 1, -3, 80000], jnp.int32)  # > 0xFFFF
+
+    def aux():
+        return FrameAux(
+            cmin=jnp.zeros((B, 3), jnp.float32),
+            cmax=jnp.zeros((B, 3), jnp.float32),
+            range_fail=jnp.zeros((B,), bool),
+            n_valid=jnp.zeros((B,), jnp.int32),
+        )
+
+    clean = jnp.asarray([1, 1, 2, 1], jnp.int32)
+
+    def stack(x):
+        return jnp.stack([x, x])
+
+    def counts():
+        # frame 0: garbage (it overflowed); frame 1: benign
+        return jnp.stack([garbage, clean])
+
+    # wide engine
+    hi, lo, _ = pack_brick_keys(keys, 2)
+    recs = UniqueRecords(
+        hi=stack(hi), lo=stack(lo), count=counts(),
+        n_occ=stack(jnp.zeros(U, jnp.int32)),
+        valid=stack(jnp.ones(U, bool)),
+        n_unique=jnp.asarray([n + 1, 2], jnp.int32),  # frame 0 overflowed
+    )
+    st = init_brick_grid(1 << 8, jnp.float32)
+    _, stats = apply_brick_records_batched(st, recs, aux(), cfg)
+    assert bool(stats["unique_overflow"][0])
+    assert bool(stats["overflowed"][0])
+    assert not bool(stats["pack_overflow"][0]), \
+        "garbage counts of an overflowed frame must not assert pack_overflow"
+
+    # compact engine
+    box_min = jnp.asarray([-8, -8, -8], jnp.int32)
+    bkey, in_box = pack_box_keys(keys, box_min, (3, 3, 3), 2)
+    assert bool(jnp.all(in_box))
+    crecs = CompactRecords(
+        key=stack(bkey), count=counts(),
+        n_occ=stack(jnp.zeros(U, jnp.int32)),
+        valid=stack(jnp.ones(U, bool)),
+        n_unique=jnp.asarray([n + 1, 2], jnp.int32),
+    )
+    _, cstats = apply_brick_records_compact(
+        st, crecs, aux(), cfg, box_min, (3, 3, 3)
+    )
+    assert bool(cstats["unique_overflow"][0])
+    assert not bool(cstats["pack_overflow"][0])
+
+    # a NON-overflowed frame with a real 2^16+ count must still be fatal
+    ok_recs = recs._replace(n_unique=jnp.asarray([2, 2], jnp.int32))
+    _, fstats = apply_brick_records_batched(st, ok_recs, aux(), cfg)
+    assert bool(fstats["pack_overflow"][0])
