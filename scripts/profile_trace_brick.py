@@ -65,9 +65,9 @@ print("device:", jax.devices()[0].platform, flush=True)
 # the bench's measured snug budgets (BENCH_r03 conditions)
 kw = dict(
     tables=tables, cfg=cfg, dtype=jnp.float32,
-    unique_budget=106496, window=WINDOW, brick_budget=7168,
-    lane_budget=688128, insert_budget=[6144, 3072],
-    dedup_lane_budget=245760, boxes=boxes,
+    unique_budget=94208, window=WINDOW, brick_budget=7168,
+    lane_budget=729088, insert_budget=[6144, 4096],
+    dedup_lane_budget=229376, boxes=boxes,
 )
 
 st = init_brick_grid(1 << 16, jnp.float32)
