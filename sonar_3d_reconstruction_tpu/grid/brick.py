@@ -425,6 +425,8 @@ def apply_brick_records_compact(
     brick_budget: Optional[int] = None,
     lane_budget: Optional[int] = None,
     insert_budget: Optional[int] = None,
+    vox_budget: Optional[int] = None,
+    dense_mode: str = "scalar",
     fail_reduce=None,
 ) -> Tuple[BrickGridState, Dict[str, jnp.ndarray]]:
     """apply_brick_records_batched over single-u32 BOX-RELATIVE keys
@@ -434,6 +436,26 @@ def apply_brick_records_compact(
     semantics, budgets, and failure contract; the compacted brick list is
     translated back to global codes (NB elementwise lanes) before the
     shared table/chain tail.
+
+    ``dense_mode`` selects how record payloads reach the dense
+    (NB, vol, B) chain buffer (both bit-identical):
+
+    * ``"scalar"`` — one u32 scatter at the Lb lane prefix (one index
+      entry per record lane, valid or not; measured ~4.6 ns/entry).
+    * ``"row"`` — records of one voxel are CONTIGUOUS after the big sort
+      (frame is the key's low field), so the window's whole per-voxel
+      frame row (B payloads) is assembled elementwise from backward
+      shifts and scattered as ONE (B,)-wide row per distinct voxel:
+      index entries drop from Lb to ``vox_budget`` (~3x fewer on survey
+      data; indexed-op cost is per index entry).  Costs one extra
+      2-array compaction sort (voxel end lanes + their positions) and a
+      row gather; the brick list then falls out of the compacted voxel
+      keys with a vox_budget-wide sort instead of the Lb-wide one.
+
+    ``vox_budget`` bounds the window's DISTINCT voxels in row mode
+    (default: ``lane_budget`` — always sufficient; hosts size it snugly
+    from the reported ``batch_n_unique``).  Overflow reports through the
+    growable ``batch_overflow`` channel.
     """
     B, U = recs.key.shape
     bb = state.brick_bits
@@ -454,15 +476,11 @@ def apply_brick_records_compact(
     )
     # (voxel, frame) flat key; valid keys stay < 2^31 (V + f_bits <= 31)
     flat = jnp.where(rec_valid_flat, (key << f_bits) | frame, EMPTY32)
-    count = recs.count.reshape(-1)
-    n_occ = recs.n_occ.reshape(-1)
-    # see apply_brick_records_batched: overflowed frames carry garbage
-    # counts and must report through unique_overflow, not pack_overflow
-    frame_ok = jnp.repeat(recs.n_unique <= U, U)
-    pack_overflow = jnp.any(frame_ok & (count > 0xFFFF))
-    payload = (
-        (count.astype(jnp.uint32) << 16) | n_occ.astype(jnp.uint32)
-    )
+    # dedup_frame_compact pre-packs (count<<16 | n_occ) and detects the
+    # unrepresentable 2^16+ case itself, budget-independently — no
+    # count-width check needed here (contrast apply_brick_records_batched)
+    pack_overflow = jnp.any(recs.pack_fail)
+    payload = recs.payload.reshape(-1)
 
     # ---- the one big sort: (brick, offset, frame) ascending, TWO arrays.
     # Valid keys are unique per (voxel, frame) record; EMPTY lanes carry
@@ -484,38 +502,136 @@ def apply_brick_records_compact(
     )
     n_unique = jnp.sum(new_vox & seg_valid).astype(jnp.int32)
 
-    brick_seg = jnp.cumsum(new_brick.astype(jnp.int32)) - 1
-
-    # ---- dense record scatter at the Lb prefix (sorted + unique indices)
     s_flat_l = s_flat[:Lb]
     valid_l = seg_valid[:Lb]
-    offset_l = ((s_flat_l >> f_bits) & jnp.uint32((1 << o) - 1)).astype(
-        jnp.int32
-    )
     frame_l = (s_flat_l & jnp.uint32((1 << f_bits) - 1)).astype(jnp.int32)
     lane_l = jnp.arange(Lb, dtype=jnp.int32)
-    didx = brick_seg[:Lb] * (vol * B) + offset_l * B + frame_l
-    didx = jnp.where(valid_l, didx, NB * vol * B + lane_l)
-    dense = (
-        jnp.zeros((NB * vol * B,), jnp.uint32)
-        .at[didx]
-        .set(s_pay[:Lb], mode="drop", unique_indices=True,
-             indices_are_sorted=True)
-        .reshape(NB, vol, B)
-    )
+    vox_overflow = jnp.zeros((), bool)
 
-    # ---- compact distinct bricks to NB: ONE u32 sort array (brick ids are
-    # distinct among start lanes and < 2^(V-o), so EMPTY32 is a safe
-    # not-a-start sentinel that sorts last)
-    c_bid = jnp.where(new_brick[:Lb] & valid_l, brick_id[:Lb], EMPTY32)
-    (c_bid,) = jax.lax.sort((c_bid,), num_keys=1, is_stable=False)
+    if dense_mode == "scalar":
+        brick_seg = jnp.cumsum(new_brick.astype(jnp.int32)) - 1
 
-    if NB > Lb:
-        c_bid = jnp.concatenate(
-            [c_bid, jnp.full((NB - Lb,), EMPTY32, jnp.uint32)]
+        # ---- dense record scatter at the Lb prefix (sorted + unique)
+        offset_l = ((s_flat_l >> f_bits) & jnp.uint32((1 << o) - 1)).astype(
+            jnp.int32
         )
+        didx = brick_seg[:Lb] * (vol * B) + offset_l * B + frame_l
+        didx = jnp.where(valid_l, didx, NB * vol * B + lane_l)
+        dense = (
+            jnp.zeros((NB * vol * B,), jnp.uint32)
+            .at[didx]
+            .set(s_pay[:Lb], mode="drop", unique_indices=True,
+                 indices_are_sorted=True)
+            .reshape(NB, vol, B)
+        )
+
+        # ---- compact distinct bricks to NB: ONE u32 sort array (brick ids
+        # are distinct among start lanes and < 2^(V-o), so EMPTY32 is a safe
+        # not-a-start sentinel that sorts last)
+        c_bid = jnp.where(new_brick[:Lb] & valid_l, brick_id[:Lb], EMPTY32)
+        (c_bid,) = jax.lax.sort((c_bid,), num_keys=1, is_stable=False)
+
+        if NB > Lb:
+            c_bid = jnp.concatenate(
+                [c_bid, jnp.full((NB - Lb,), EMPTY32, jnp.uint32)]
+            )
+        else:
+            c_bid = c_bid[:NB]
     else:
-        c_bid = c_bid[:NB]
+        assert dense_mode == "row", dense_mode
+        UV = min(Lb, max(vox_budget or Lb, 1))
+
+        # ---- per-voxel (B,) frame rows, assembled elementwise: within a
+        # voxel the sorted order is frame-ascending, so lane i's row slot k
+        # is the payload of the unique lane i-j (j < B) of the SAME voxel
+        # with frame k — backward-inclusive, so each voxel's END lane
+        # holds its complete row (only end lanes are consumed below)
+        vox_l = s_flat_l >> f_bits
+        rows = []
+        for k in range(B):
+            acc = jnp.zeros((Lb,), jnp.uint32)
+            for j in range(B - k):
+                # frames strictly ascend within a voxel, so lane i-j has
+                # frame <= frame[i] - j; slot k (== frame[i-j]) therefore
+                # only comes from shifts j <= (B-1) - k
+                pay_j = (
+                    s_pay[:Lb] if j == 0
+                    else jnp.concatenate(
+                        [jnp.zeros((j,), jnp.uint32), s_pay[: Lb - j]]
+                    )
+                )
+                vox_j = (
+                    vox_l if j == 0
+                    else jnp.concatenate(
+                        [jnp.full((j,), EMPTY32, jnp.uint32),
+                         vox_l[: Lb - j]]
+                    )
+                )
+                frame_j = (
+                    frame_l if j == 0
+                    else jnp.concatenate(
+                        [jnp.full((j,), -1, jnp.int32), frame_l[: Lb - j]]
+                    )
+                )
+                acc = acc | jnp.where(
+                    (vox_j == vox_l) & (frame_j == k), pay_j, 0
+                )
+            rows.append(acc)
+        rows = jnp.stack(rows, axis=1)  # (Lb, B)
+
+        # ---- compact voxel END lanes (key + source position, 2 arrays)
+        vend = (
+            jnp.concatenate([vox_l[:-1] != vox_l[1:], jnp.ones((1,), bool)])
+            & valid_l
+        )
+        end_key = jnp.where(vend, vox_l, EMPTY32)
+        c_vox, c_pos = jax.lax.sort(
+            (end_key, lane_l.astype(jnp.uint32)), num_keys=1,
+            is_stable=False,
+        )
+
+        def takev(x, fill):
+            if UV <= Lb:
+                return x[:UV]
+            return jnp.concatenate(
+                [x, jnp.full((UV - Lb,), fill, x.dtype)]
+            )
+
+        lane_v = jnp.arange(UV, dtype=jnp.int32)
+        valid_v = lane_v < n_unique
+        vox_overflow = n_unique > UV
+        c_vox = jnp.where(valid_v, takev(c_vox, EMPTY32), EMPTY32)
+        c_pos = jnp.minimum(takev(c_pos, 0), jnp.uint32(Lb - 1))
+        rows_c = rows[c_pos.astype(jnp.int32)]  # (UV, B) row gather
+
+        # ---- brick ranks fall out of the compacted voxel keys
+        bid_c = c_vox >> o
+        newb_c = jnp.concatenate(
+            [jnp.ones((1,), bool), bid_c[1:] != bid_c[:-1]]
+        ) & valid_v
+        brick_rank = jnp.cumsum(newb_c.astype(jnp.int32)) - 1
+        off_c = (c_vox & jnp.uint32((1 << o) - 1)).astype(jnp.int32)
+        row_idx = jnp.where(
+            valid_v, brick_rank * vol + off_c, NB * vol + lane_v
+        )
+        dense = (
+            jnp.zeros((NB * vol, B), jnp.uint32)
+            .at[row_idx]
+            .set(rows_c, mode="drop", unique_indices=True,
+                 indices_are_sorted=True)
+            .reshape(NB, vol, B)
+        )
+
+        # ---- distinct-brick list from the UV-wide compacted voxels
+        c_bid = jnp.where(newb_c, bid_c, EMPTY32)
+        (c_bid,) = jax.lax.sort((c_bid,), num_keys=1, is_stable=False)
+        if NB > UV:
+            c_bid = jnp.concatenate(
+                [c_bid, jnp.full((NB - UV,), EMPTY32, jnp.uint32)]
+            )
+        else:
+            c_bid = c_bid[:NB]
+
     lane_b = jnp.arange(NB, dtype=jnp.int32)
     valid_b = lane_b < n_bricks
 
@@ -536,7 +652,11 @@ def apply_brick_records_compact(
     rec_valid = recs.key != EMPTY32  # (B, U)
     return _apply_window_tail(
         state, cfg, c_hi, c_lo, valid_b, n_bricks, dense,
-        lanes_overflow=lanes_overflow, brick_overflow=brick_overflow,
+        # vox-budget overflow is growable like the lane budget: both
+        # report through batch_overflow and hosts re-derive them from the
+        # measured batch_n_unique / batch_n_lanes stats
+        lanes_overflow=lanes_overflow | vox_overflow,
+        brick_overflow=brick_overflow,
         pack_overflow=pack_overflow,
         frame_overflow=jnp.any(recs.n_unique > U),
         auxs=auxs, rec_valid=rec_valid, rec_occ=rec_valid & (recs.n_occ > 0),

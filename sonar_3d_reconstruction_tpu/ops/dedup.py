@@ -180,17 +180,30 @@ def dedup_frame(
 class CompactRecords(NamedTuple):
     """Per-frame unique-voxel records with single-u32 BOX-RELATIVE keys
     (ops/packing.pack_box_keys; EMPTY32 on unused lanes).  Semantically
-    identical to UniqueRecords — only the key representation differs."""
+    identical to UniqueRecords — only the representation differs: the
+    (count, n_occ) aggregates ride PRE-PACKED in the u32 payload the
+    window apply sorts anyway (count<<16 | n_occ), and a frame where any
+    voxel's count would not fit 16 bits reports ``pack_fail`` instead of
+    carrying wide counts (detection is exact and budget-independent —
+    see dedup_frame_compact)."""
 
-    key: jnp.ndarray       # (U,) uint32 box key (V bits; EMPTY32 = unused)
-    count: jnp.ndarray     # (U,) int32
-    n_occ: jnp.ndarray     # (U,) int32
-    valid: jnp.ndarray     # (U,) bool
-    n_unique: jnp.ndarray  # () int32 (may exceed U -> overflow)
+    key: jnp.ndarray        # (U,) uint32 box key (V bits; EMPTY32 = unused)
+    payload: jnp.ndarray    # (U,) uint32 count<<16 | n_occ (0 on unused)
+    valid: jnp.ndarray      # (U,) bool
+    n_unique: jnp.ndarray   # () int32 (may exceed U -> overflow)
+    pack_fail: jnp.ndarray  # () bool: some voxel got 2^16+ candidates
 
     @property
     def overflowed(self) -> jnp.ndarray:
         return self.n_unique > self.key.shape[0]
+
+    @property
+    def count(self) -> jnp.ndarray:
+        return (self.payload >> 16).astype(jnp.int32)
+
+    @property
+    def n_occ(self) -> jnp.ndarray:
+        return (self.payload & jnp.uint32(0xFFFF)).astype(jnp.int32)
 
 
 def dedup_frame_compact(
@@ -203,8 +216,15 @@ def dedup_frame_compact(
     """dedup_frame for single-u32 box keys (< 2^30, so ``key << 1 | occ``
     still clears bit 31).  The sort carries ONE array where the wide path
     carries three (hi, lo, occ) — sort cost is ~linear in total bytes —
-    and the compaction sort carries three where the wide path carries five.
-    Aggregation logic (segment ends, adjacent differences) is identical.
+    and the compaction sort carries TWO where the wide path carries five:
+    the lane index and occupied cumsum ride as mod-2^16 residues packed in
+    one u32.  Their adjacent differences (count, n_occ) are < 2^16 for
+    every representable record — the payload packs count into 16 bits —
+    so the residue differences are exact; the one unrepresentable case
+    (a voxel with 2^16+ candidates in one frame) is detected DIRECTLY on
+    the sorted keys (a 65535-distant equal-key pair) and reported through
+    ``pack_fail``, independent of any budget.  Aggregation logic
+    (segment ends, adjacent differences) is otherwise identical.
     """
     n = key.shape[0]
     if lane_budget <= 0:
@@ -216,10 +236,15 @@ def dedup_frame_compact(
     (skey,) = jax.lax.sort((skey,), num_keys=1, is_stable=False)
 
     vox = skey >> 1
-    idx = jnp.arange(n, dtype=jnp.int32)
     # invalid lanes contribute their sentinel's low bit only BEYOND the last
     # record (they sort past every valid lane) — same argument as dedup_frame
     csum_occ = jnp.cumsum((skey & 1).astype(jnp.int32))
+    # mod-2^16 residues of (lane index, occupied cumsum) packed in ONE u32
+    # compaction-sort payload (see docstring)
+    track = (
+        ((jnp.arange(n, dtype=jnp.uint32) & jnp.uint32(0xFFFF)) << 16)
+        | (csum_occ.astype(jnp.uint32) & jnp.uint32(0xFFFF))
+    )
 
     new_seg = jnp.concatenate([jnp.ones((1,), bool), vox[1:] != vox[:-1]])
     is_end = jnp.concatenate([new_seg[1:], jnp.ones((1,), bool)])
@@ -229,22 +254,38 @@ def dedup_frame_compact(
     n_valid = jnp.sum(seg_valid).astype(jnp.int32)
     n_unique = jnp.where(n_valid > lane_budget, jnp.int32(n + 1), n_unique)
 
+    # a voxel segment of 2^16+ candidates <=> an equal valid key pair at
+    # distance 65535 in the sorted order (valid lanes are a prefix, so the
+    # later lane being valid implies the earlier one is too; the occ bit
+    # can split a voxel across two skey values, so compare VOX not skey)
+    if n > 0xFFFF:
+        pack_fail = jnp.any(
+            (vox[0xFFFF:] == vox[:-0xFFFF]) & seg_valid[0xFFFF:]
+        )
+    else:
+        pack_fail = jnp.zeros((), bool)
+
     # NOTE (occ-bit segment split): a voxel with BOTH occupied and free
     # candidates forms two adjacent skey segments (key<<1|0 then key<<1|1)
     # but ONE vox segment — new_seg/is_end compare vox, so the record and
     # its adjacent-difference aggregates span both halves exactly.
     lb = lane_budget
     c_key = jnp.where(rec[:lb], vox[:lb], EMPTY32)
-    c_key, c_csum, c_idx = jax.lax.sort(
-        (c_key, csum_occ[:lb], idx[:lb]), num_keys=1, is_stable=False
+    c_key, c_track = jax.lax.sort(
+        (c_key, track[:lb]), num_keys=1, is_stable=False
     )
 
-    c_count = c_idx - jnp.concatenate(
-        [jnp.full((1,), -1, jnp.int32), c_idx[:-1]]
+    idx16 = c_track >> 16
+    csum16 = c_track & jnp.uint32(0xFFFF)
+    # record i's segment spans (end[i-1], end[i]]; the virtual predecessor
+    # of record 0 is lane -1 (0xFFFF mod 2^16) with cumsum 0
+    prev_idx = jnp.concatenate(
+        [jnp.full((1,), 0xFFFF, jnp.uint32), idx16[:-1]]
     )
-    c_occ = c_csum - jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), c_csum[:-1]]
-    )
+    prev_csum = jnp.concatenate([jnp.zeros((1,), jnp.uint32), csum16[:-1]])
+    c_count = (idx16 - prev_idx) & jnp.uint32(0xFFFF)
+    c_occ = (csum16 - prev_csum) & jnp.uint32(0xFFFF)
+    c_payload = (c_count << 16) | c_occ
     u = unique_budget
 
     def take(x, fill):
@@ -257,8 +298,8 @@ def dedup_frame_compact(
     valid_u = lane < n_unique
     return CompactRecords(
         key=jnp.where(valid_u, take(c_key, EMPTY32), EMPTY32),
-        count=jnp.where(valid_u, take(c_count, 0), 0),
-        n_occ=jnp.where(valid_u, take(c_occ, 0), 0),
+        payload=jnp.where(valid_u, take(c_payload, 0), 0),
         valid=valid_u,
         n_unique=n_unique,
+        pack_fail=pack_fail,
     )

@@ -339,7 +339,7 @@ def _apply_brick(
     static_argnames=(
         "tables", "cfg", "dtype", "unique_budget", "window",
         "dedup_lane_budget", "brick_bits", "box_bits", "brick_budget",
-        "lane_budget", "insert_budget",
+        "lane_budget", "insert_budget", "vox_budget", "dense_mode",
     ),
 )
 def _window_step_brick_compact(
@@ -362,6 +362,8 @@ def _window_step_brick_compact(
     brick_budget: int,
     lane_budget=None,
     insert_budget=None,
+    vox_budget=None,
+    dense_mode: str = "scalar",
 ):
     """Records + apply for one window in ONE program (compact box-key
     path).  Functionally identical to _records_window followed by an
@@ -389,7 +391,8 @@ def _window_step_brick_compact(
     return apply_brick_records_compact(
         state, recs, auxs, cfg, box_min, box_bits,
         brick_budget=brick_budget, lane_budget=lane_budget,
-        insert_budget=insert_budget,
+        insert_budget=insert_budget, vox_budget=vox_budget,
+        dense_mode=dense_mode,
     )
 
 
@@ -408,6 +411,8 @@ def scan_pings_brick(
     brick_budget=None,
     lane_budget=None,
     insert_budget=None,
+    vox_budget=None,
+    dense_mode: str = "scalar",
     dedup_lane_budget=0,
     boxes=None,
 ):
@@ -467,6 +472,7 @@ def scan_pings_brick(
                 dedup_lane_budget=dedup_lane_budget, brick_bits=bb,
                 box_bits=box_bits, brick_budget=brick_budget,
                 lane_budget=lane_budget, insert_budget=ib,
+                vox_budget=vox_budget, dense_mode=dense_mode,
             )
         else:
             recs, auxs = _records_window(

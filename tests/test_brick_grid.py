@@ -551,15 +551,17 @@ def test_unique_overflow_reports_growable_cause_not_pack_overflow(small_cfg):
     assert not bool(stats["pack_overflow"][0]), \
         "garbage counts of an overflowed frame must not assert pack_overflow"
 
-    # compact engine
+    # compact engine: the payload is width-limited by construction, so the
+    # garbage-count hazard cannot arise; dedup reports pack_fail directly
     box_min = jnp.asarray([-8, -8, -8], jnp.int32)
     bkey, in_box = pack_box_keys(keys, box_min, (3, 3, 3), 2)
     assert bool(jnp.all(in_box))
     crecs = CompactRecords(
-        key=stack(bkey), count=counts(),
-        n_occ=stack(jnp.zeros(U, jnp.int32)),
+        key=stack(bkey),
+        payload=stack((clean.astype(jnp.uint32) << 16)),
         valid=stack(jnp.ones(U, bool)),
         n_unique=jnp.asarray([n + 1, 2], jnp.int32),
+        pack_fail=jnp.asarray([False, False]),
     )
     _, cstats = apply_brick_records_compact(
         st, crecs, aux(), cfg, box_min, (3, 3, 3)
@@ -567,7 +569,95 @@ def test_unique_overflow_reports_growable_cause_not_pack_overflow(small_cfg):
     assert bool(cstats["unique_overflow"][0])
     assert not bool(cstats["pack_overflow"][0])
 
+    # a dedup-asserted pack_fail must be fatal through the compact engine
+    fail_recs = crecs._replace(
+        n_unique=jnp.asarray([2, 2], jnp.int32),
+        pack_fail=jnp.asarray([True, False]),
+    )
+    _, pstats = apply_brick_records_compact(
+        st, fail_recs, aux(), cfg, box_min, (3, 3, 3)
+    )
+    assert bool(pstats["pack_overflow"][0])
+    assert bool(pstats["overflowed"][0])
+
     # a NON-overflowed frame with a real 2^16+ count must still be fatal
     ok_recs = recs._replace(n_unique=jnp.asarray([2, 2], jnp.int32))
     _, fstats = apply_brick_records_batched(st, ok_recs, aux(), cfg)
     assert bool(fstats["pack_overflow"][0])
+
+
+def test_brick_row_dense_mode_bit_equals_scalar(small_cfg):
+    """dense_mode='row' (per-voxel (B,)-row scatter at vox_budget index
+    entries) is bit-identical to dense_mode='scalar' (per-record u32
+    scatter at Lb entries) — states, bounds, and every stat; a snug
+    vox_budget reproduces it and a one-too-small budget reports through
+    the growable batch_overflow channel."""
+    from sonar_3d_reconstruction_tpu.grid.brick import init_brick_grid
+    from sonar_3d_reconstruction_tpu.ops.backproject import (
+        build_fan_tables,
+        required_fan_cap,
+        required_window_cap,
+    )
+    from sonar_3d_reconstruction_tpu.ops.packing import compute_window_boxes
+    from sonar_3d_reconstruction_tpu.pipeline import (
+        batched_sonar_to_world,
+        scan_pings_brick,
+    )
+
+    cfg = small_cfg
+    images, positions, quats = make_sequence(cfg, 7, seed=77)
+    R, Bw = cfg.image_height, cfg.image_width
+    tables = build_fan_tables(
+        cfg, R, Bw, fan_cap=required_fan_cap(images, cfg, R),
+        window_cap=required_window_cap(images, cfg, R),
+    )
+    T = batched_sonar_to_world(positions, quats, cfg)
+    window = 3
+    boxes = compute_window_boxes(
+        T[:, :3, 3], cfg.max_range, cfg.voxel_resolution, window, 2,
+        frame_bits=max(1, (window - 1).bit_length()),
+    )
+    assert boxes is not None
+
+    def run(**kw):
+        st, stats = scan_pings_brick(
+            init_brick_grid(1 << 12, jnp.float64), jnp.asarray(images),
+            jnp.asarray(T, jnp.float64), tables=tables, cfg=cfg,
+            dtype=jnp.float64, window=window, boxes=boxes, **kw,
+        )
+        return st, stats
+
+    outs = {}
+    for mode in ("scalar", "row"):
+        st, stats = run(dense_mode=mode)
+        assert not bool(np.asarray(stats["overflowed"]).any()), mode
+        outs[mode] = (brick_state_to_dict(st), stats, st)
+    a, b = outs["scalar"][0], outs["row"][0]
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k], k
+    for k in outs["scalar"][1]:
+        np.testing.assert_array_equal(
+            np.asarray(outs["scalar"][1][k]), np.asarray(outs["row"][1][k]),
+            err_msg=k,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(outs["scalar"][2].min_bounds),
+        np.asarray(outs["row"][2].min_bounds),
+    )
+
+    # snug vox budget (exactly the measured requirement) stays exact
+    uv = int(np.asarray(outs["row"][1]["batch_n_unique"]).max())
+    st, stats = run(dense_mode="row", vox_budget=uv)
+    assert not bool(np.asarray(stats["overflowed"]).any())
+    c = brick_state_to_dict(st)
+    assert c.keys() == a.keys()
+    for k in a:
+        assert a[k] == c[k], k
+
+    # one less than the first window's requirement: growable batch_overflow
+    uv0 = int(np.asarray(outs["row"][1]["batch_n_unique"])[0])
+    _, ostats = run(dense_mode="row", vox_budget=uv0 - 1)
+    assert bool(ostats["batch_overflow"][0])
+    assert bool(ostats["overflowed"][0])
+    assert not bool(ostats["unique_overflow"][0])

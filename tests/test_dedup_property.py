@@ -211,3 +211,33 @@ def test_pack_box_keys_bounds_and_order():
     )
     assert bool(jnp.all(ib))
     assert len(np.unique(np.asarray(k))) == len(grid)
+
+
+def test_dedup_frame_compact_pack_fail_detection():
+    """A voxel with 2^16+ candidates in one frame must assert pack_fail
+    (its count cannot ride the 16-bit payload field); 2^16 - 1 candidates
+    must NOT, and their count must come through exactly — the mod-2^16
+    adjacent-difference boundary case."""
+    from sonar_3d_reconstruction_tpu.ops.dedup import dedup_frame_compact
+
+    n = 70000
+    key = jnp.full((n,), 5, jnp.uint32)
+    occ = (jnp.arange(n) % 3) == 0
+    valid = jnp.ones((n,), bool)
+
+    rec = dedup_frame_compact(key, occ, valid, 128, lane_budget=n)
+    assert bool(rec.pack_fail)
+    assert int(rec.n_unique) == 1
+
+    # exactly 65535 valid candidates: representable, exact
+    valid2 = jnp.arange(n) < 0xFFFF
+    rec2 = dedup_frame_compact(key, occ, valid2, 128, lane_budget=n)
+    assert not bool(rec2.pack_fail)
+    assert int(rec2.n_unique) == 1
+    assert int(np.asarray(rec2.count)[0]) == 0xFFFF
+    assert int(np.asarray(rec2.n_occ)[0]) == int(np.sum(np.asarray(occ)[:0xFFFF]))
+
+    # 65536 valid candidates on one voxel: the first unrepresentable count
+    valid3 = jnp.arange(n) < 0x10000
+    rec3 = dedup_frame_compact(key, occ, valid3, 128, lane_budget=n)
+    assert bool(rec3.pack_fail)
