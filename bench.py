@@ -413,6 +413,16 @@ def main_brick(cfg, n_pings, reps, window):
         insert_budget = [cold, warm]
         unique_budget = snug_u
 
+    # dense_mode="row" scatters one (window,)-wide row per distinct voxel
+    # instead of one u32 per record lane (grid/brick.py dense_mode) — the
+    # vox budget comes from the measured per-window distinct-voxel count
+    dense_mode = os.environ.get("BENCH_DENSE_MODE", "scalar")
+    vox_budget = None
+    if dense_mode == "row" and os.environ.get("BENCH_TUNE_BUDGETS", "1") == "1":
+        vox_budget = _round_up(
+            1.1 * int(np.asarray(stats["batch_n_unique"]).max()), 4096
+        )
+
     T_host = batched_sonar_to_world(positions, quats, cfg)
     images_dev = jnp.asarray(images)
     T_dev = jnp.asarray(T_host, jnp.float32)
@@ -436,7 +446,8 @@ def main_brick(cfg, n_pings, reps, window):
             st, imgs, T_dev, tables=tables, cfg=cfg, dtype=jnp.float32,
             unique_budget=unique_budget, window=window,
             brick_budget=brick_budget, lane_budget=lane_budget,
-            insert_budget=insert_budget,
+            insert_budget=insert_budget, vox_budget=vox_budget,
+            dense_mode=dense_mode,
             dedup_lane_budget=dedup_lane_budget, boxes=boxes,
         )
         assert not bool(np.asarray(stats["overflowed"]).any())
@@ -449,6 +460,7 @@ def main_brick(cfg, n_pings, reps, window):
         brick_budget = effective["brick_budget"]
         lane_budget = None
         insert_budget = None
+        vox_budget = None
         dedup_lane_budget = 0
         run(0)
     best = float("inf")
@@ -489,6 +501,8 @@ def main_brick(cfg, n_pings, reps, window):
                     "brick_budget": brick_budget,
                     "lane_budget": lane_budget,
                     "insert_budget": insert_budget,
+                    "vox_budget": vox_budget,
+                    "dense_mode": dense_mode,
                     "dedup_lane_budget": dedup_lane_budget,
                     "fan_cap": tables.nvo_cap,
                     "capacity_bricks": capacity,

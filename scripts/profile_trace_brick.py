@@ -62,13 +62,17 @@ boxes = compute_window_boxes(
 print("boxes:", None if boxes is None else boxes[1], flush=True)
 print("device:", jax.devices()[0].platform, flush=True)
 
-# the bench's measured snug budgets (BENCH_r03 conditions)
+# the bench's measured snug budgets (BENCH_r03 conditions);
+# TRACE_DENSE_MODE=row traces the row-structured dense build
 kw = dict(
     tables=tables, cfg=cfg, dtype=jnp.float32,
     unique_budget=94208, window=WINDOW, brick_budget=7168,
     lane_budget=729088, insert_budget=[6144, 4096],
     dedup_lane_budget=229376, boxes=boxes,
+    dense_mode=os.environ.get("TRACE_DENSE_MODE", "scalar"),
 )
+if kw["dense_mode"] == "row":
+    kw["vox_budget"] = int(os.environ.get("TRACE_VOX_BUDGET", "212992"))
 
 st = init_brick_grid(1 << 16, jnp.float32)
 st, stats = scan_pings_brick(st, imgs[:N], T[:N], **kw)
