@@ -303,3 +303,106 @@ def dedup_frame_compact(
         n_unique=n_unique,
         pack_fail=pack_fail,
     )
+
+
+def dedup_frame_grouped(
+    hi: jnp.ndarray,
+    lo: jnp.ndarray,
+    occ: jnp.ndarray,
+    valid: jnp.ndarray,
+    group: jnp.ndarray,
+    n_groups: int,
+    unique_budget: int,
+    lane_budget: int = 0,
+) -> Tuple[UniqueRecords, jnp.ndarray]:
+    """dedup_frame with records ordered by (group, key) instead of (key):
+    returns ``(records, rec_group (U,) int32)`` with every group's records
+    CONTIGUOUS in the compacted output — the shape the frame-parallel
+    exchange needs (parallel/shard_frames.py): per-group blocks then peel
+    off as bandwidth-cheap dynamic slices instead of per-record gathers.
+
+    ``group`` must be a pure function of the voxel key (equal keys =>
+    equal groups, e.g. the brick-owner hash), so promoting it to the TOP
+    sort key still groups equal voxels into single segments.  Because the
+    first sort orders lanes by (group, key), segment ends remain in
+    compacted-output order and the adjacent-difference aggregate
+    reconstruction of dedup_frame stays exact (its correctness argument
+    needs compacted order == sorted-lane order, which a post-hoc grouping
+    re-sort would break).
+
+    Cost vs dedup_frame: ONE extra u32 sort array in the first sort (the
+    group ids); the compaction sort folds the group into its selection
+    key (``group`` for records, ``n_groups`` for non-records) at
+    unchanged width.
+    """
+    n = hi.shape[0]
+    if lane_budget <= 0:
+        lane_budget = min(n, 2 * unique_budget)
+    lane_budget = min(n, max(lane_budget, unique_budget))
+    big = EMPTY_HI
+    hi = jnp.where(valid, hi, big)
+    lo = jnp.where(valid, lo, big)
+    gkey = jnp.where(valid, group.astype(jnp.uint32), jnp.uint32(n_groups))
+
+    gkey, hi, lo, occ_i = jax.lax.sort(
+        (gkey, hi, lo, occ.astype(jnp.int32)), num_keys=3, is_stable=False
+    )
+
+    idx = jnp.arange(n, dtype=jnp.int32)
+    csum_occ = jnp.cumsum(occ_i)
+
+    new_seg = jnp.concatenate(
+        [jnp.ones((1,), bool), (hi[1:] != hi[:-1]) | (lo[1:] != lo[:-1])]
+    )
+    is_end = jnp.concatenate([new_seg[1:], jnp.ones((1,), bool)])
+    seg_valid = hi != big
+    rec = is_end & seg_valid
+    n_unique = jnp.sum(rec).astype(jnp.int32)
+    n_valid = jnp.sum(seg_valid).astype(jnp.int32)
+    n_unique = jnp.where(
+        n_valid > lane_budget, jnp.int32(n + 1), n_unique
+    )
+
+    lb = lane_budget
+    sel = jnp.where(rec[:lb], gkey[:lb], jnp.uint32(n_groups))
+    c_sel, c_hi, c_lo, c_csum, c_idx = jax.lax.sort(
+        (sel, hi[:lb], lo[:lb], csum_occ[:lb], idx[:lb]),
+        num_keys=3, is_stable=False,
+    )
+
+    c_count = c_idx - jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32), c_idx[:-1]]
+    )
+    c_occ = c_csum - jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), c_csum[:-1]]
+    )
+    u = unique_budget
+
+    def take(x, fill):
+        if u <= lb:
+            return x[:u]
+        pad = jnp.full((u - lb,), fill, x.dtype)
+        return jnp.concatenate([x, pad])
+
+    lane = jnp.arange(u, dtype=jnp.int32)
+    valid_u = lane < n_unique
+    out_hi = jnp.where(valid_u, take(c_hi, big), big)
+    out_lo = jnp.where(valid_u, take(c_lo, big), big)
+    # the compacted selection key IS the record's group (n_groups on
+    # non-record lanes by construction)
+    out_group = jnp.where(
+        valid_u,
+        take(c_sel, jnp.uint32(n_groups)).astype(jnp.int32),
+        n_groups,
+    )
+    return (
+        UniqueRecords(
+            hi=out_hi,
+            lo=out_lo,
+            count=jnp.where(valid_u, take(c_count, 0), 0),
+            n_occ=jnp.where(valid_u, take(c_occ, 0), 0),
+            valid=valid_u,
+            n_unique=n_unique,
+        ),
+        out_group,
+    )

@@ -1,0 +1,464 @@
+"""Frame-parallel sharded brick engine: records sharded over PINGS,
+exchanged to brick owners over an ICI all_to_all.
+
+parallel/shard_brick.py replicates the records program (backprojection +
+full-lattice sort-dedup) on EVERY shard and parallelizes only the
+table/apply half — Amdahl-bound around ~2x no matter how many chips,
+because the records program is the larger half of the measured step
+(PERFORMANCE.md).  This engine shards BOTH halves:
+
+  * each shard computes records for its ~window/S of the window's frames
+    (backprojection + owner-GROUPED dedup, ops/dedup.dedup_frame_grouped:
+    records come out contiguous per owner shard at no extra sort arrays
+    in the compaction);
+  * per-(frame, owner) blocks peel off as bandwidth-cheap dynamic slices
+    (NOT per-record gathers — indexed-op cost is per index entry,
+    PERFORMANCE.md cost table) padded to a static ``xchg_budget``, and one
+    ``lax.all_to_all`` over the mesh axis delivers every block to the
+    shard that owns its bricks: ~16 B/record over ICI;
+  * the standard per-shard brick window apply (grid/brick.py, unchanged)
+    then runs on the shard's OWN records for ALL window frames — the
+    same computation shard_brick.py performs, so results are
+    bit-identical to the single-chip engine and the all-or-nothing
+    window failure contract is preserved (any shard's overflow rejects
+    the window everywhere via the psum fail_reduce).
+
+Per-shard work: ~B/S frames of records + ~1/S of the apply — BOTH halves
+scale with the mesh, which is what the 1e9 updates/s BASELINE target
+needs (one v5e chip measures ~1e8; PERFORMANCE.md scaling section).
+The reference (a single-process Python loop,
+/root/reference/scripts/3d_mapper.py) has no counterpart; this layer is
+TPU-first design per SURVEY.md section 5.7/5.8.
+
+State layout, growth (rehash_sharded_bricks), host gather and
+checkpointing are shared with parallel/shard_brick.py — the two engines
+produce interchangeable ShardedBrickState pytrees.
+"""
+
+from __future__ import annotations
+
+import functools
+from functools import partial
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from sonar_3d_reconstruction_tpu.config import MapperConfig
+from sonar_3d_reconstruction_tpu.grid.brick import (
+    DEFAULT_BRICK_BITS,
+    apply_brick_records_batched,
+    default_brick_budget,
+)
+from sonar_3d_reconstruction_tpu.ops.backproject import (
+    FanTables,
+    backproject_ping,
+)
+from sonar_3d_reconstruction_tpu.ops.dedup import (
+    UniqueRecords,
+    dedup_frame_grouped,
+)
+from sonar_3d_reconstruction_tpu.ops.packing import EMPTY_HI, pack_brick_keys
+from sonar_3d_reconstruction_tpu.parallel.shard import make_mesh
+from sonar_3d_reconstruction_tpu.parallel.shard_brick import (
+    ShardedBrickState,
+    _local_brick,
+    _state_specs,
+    _wrap_blk,
+    init_sharded_brick_grid,
+    owner_shard_brick,
+    rehash_sharded_bricks,
+)
+
+
+def default_xchg_budget(unique_budget: int, n_shards: int) -> int:
+    """Per-(frame, owner-shard) record-block budget.  The owner hash
+    splits a frame's ~unique_budget records near-uniformly over S shards;
+    2x headroom absorbs spatial skew (growable on ``xchg_overflow``)."""
+    per_shard = -(-2 * unique_budget // n_shards)
+    return max(1024, -(-per_shard // 128) * 128)
+
+
+@functools.lru_cache(maxsize=32)
+def make_window_scan_sharded_frames(
+    mesh: Mesh,
+    tables: FanTables,
+    cfg: MapperConfig,
+    dtype=jnp.float32,
+    axis_name: str = "space",
+    unique_budget: Optional[int] = None,
+    window: int = 8,
+    xchg_budget: Optional[int] = None,
+    brick_budget: Optional[int] = None,
+    lane_budget: Optional[int] = None,
+    insert_budget=None,
+    brick_bits: int = DEFAULT_BRICK_BITS,
+):
+    """Frame-parallel sharded window-engine sequence runner:
+    (state, images (P,R,B), transforms (P,4,4), start) -> (state, stats).
+
+    ``xchg_budget``: static per-(frame, dest-shard) record-block width of
+    the all_to_all exchange; overflow reports per-frame through the
+    growable ``xchg_overflow`` stat.  ``brick_budget`` / ``lane_budget`` /
+    ``insert_budget`` are PER-SHARD apply statics exactly as in
+    make_window_scan_sharded_brick (lane budget bounds window *
+    xchg_budget exchanged lanes).
+    """
+    from sonar_3d_reconstruction_tpu.grid.hash import default_unique_budget
+    from sonar_3d_reconstruction_tpu.ops.records import FrameAux
+
+    S = int(mesh.devices.size)
+    F = -(-window // S)  # frames per source shard (ceil)
+    if unique_budget is None:
+        unique_budget = default_unique_budget(
+            tables.candidates_per_ping(cfg.occupied_window)
+        )
+    U = unique_budget
+    UX = xchg_budget or default_xchg_budget(U, S)
+    if brick_budget is None:
+        brick_budget = default_brick_budget(window, UX * S) // S
+    if insert_budget is None or isinstance(insert_budget, int):
+        insert_schedule = (insert_budget,)
+    else:
+        insert_schedule = tuple(insert_budget)
+
+    def local_window(blk, images, transforms, w_start, start, stop,
+                     *, window_insert_budget):
+        my = jax.lax.axis_index(axis_name)
+        P_total = images.shape[0]
+
+        def src_frame(fi):
+            i = my * F + fi  # window-relative frame this shard computes
+            idx = w_start + i
+            image = jax.lax.dynamic_index_in_dim(
+                images, jnp.minimum(idx, P_total - 1), 0, keepdims=False
+            )
+            T = jax.lax.dynamic_index_in_dim(
+                transforms, jnp.minimum(idx, P_total - 1), 0, keepdims=False
+            )
+            frame_on = (
+                (idx >= start) & (idx < stop) & (i < window)
+            )
+            cand = backproject_ping(image, T, tables, cfg, dtype=dtype)
+            keys = jnp.floor(
+                cand["points"] / cfg.voxel_resolution
+            ).astype(jnp.int32)
+            hi, lo, in_range = pack_brick_keys(keys, brick_bits)
+            valid = cand["valid"] & frame_on
+            range_fail = jnp.any(valid & ~in_range)
+            valid = valid & in_range
+            owner = owner_shard_brick(hi, lo, brick_bits, S)
+            rec, rec_owner = dedup_frame_grouped(
+                hi, lo, cand["is_occupied"], valid, owner, S, U
+            )
+
+            # per-owner record counts -> contiguous block starts
+            sid = jnp.arange(S, dtype=jnp.int32)
+            cnt = jnp.sum(
+                rec.valid[None, :] & (rec_owner[None, :] == sid[:, None]),
+                axis=1,
+            ).astype(jnp.int32)
+            starts = jnp.concatenate(
+                [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt)[:-1]]
+            )
+            xchg_ovf = jnp.any(cnt > UX)
+            dedup_ovf = rec.n_unique > U
+
+            def pad(x, fill):
+                return jnp.concatenate(
+                    [x, jnp.full((UX,), fill, x.dtype)]
+                )
+
+            p = (pad(rec.hi, EMPTY_HI), pad(rec.lo, EMPTY_HI),
+                 pad(rec.count, 0), pad(rec.n_occ, 0))
+            r = jnp.arange(UX, dtype=jnp.int32)
+            blocks = []
+            for d in range(S):
+                m = r < cnt[d]
+                sl = [
+                    jax.lax.dynamic_slice_in_dim(x, starts[d], UX)
+                    for x in p
+                ]
+                blocks.append((
+                    jnp.where(m, sl[0], EMPTY_HI),
+                    jnp.where(m, sl[1], EMPTY_HI),
+                    jnp.where(m, sl[2], 0),
+                    jnp.where(m, sl[3], 0),
+                ))
+            b_hi = jnp.stack([b[0] for b in blocks])   # (S, UX)
+            b_lo = jnp.stack([b[1] for b in blocks])
+            b_cnt = jnp.stack([b[2] for b in blocks])
+            b_occ = jnp.stack([b[3] for b in blocks])
+            # per-dest true record count; the overflow sentinel makes the
+            # receiving apply reject the window through frame_overflow
+            tx_n = jnp.where(dedup_ovf | xchg_ovf, jnp.int32(UX + 1), cnt)
+
+            # global bounds over the frame's full valid set (int-key
+            # reduce, ops/records.frame_records rationale)
+            imax = jnp.iinfo(jnp.int32).max
+            kmin = jnp.min(jnp.where(valid[:, None], keys, imax), axis=0)
+            kmax = jnp.max(jnp.where(valid[:, None], keys, -imax), axis=0)
+            any_valid = jnp.any(valid)
+            inf = jnp.asarray(jnp.inf, dtype)
+            center = lambda k: (k.astype(dtype) + 0.5) * cfg.voxel_resolution
+            cmin = jnp.where(any_valid, center(kmin), inf)
+            cmax = jnp.where(any_valid, center(kmax), -inf)
+            n_valid = jnp.sum(valid).astype(jnp.int32)
+            return (b_hi, b_lo, b_cnt, b_occ, tx_n, dedup_ovf, xchg_ovf,
+                    range_fail, cmin, cmax, n_valid)
+
+        (b_hi, b_lo, b_cnt, b_occ, tx_n, dedup_ovf, xchg_ovf, range_fail,
+         cmin, cmax, n_valid) = jax.lax.map(
+            src_frame, jnp.arange(F, dtype=jnp.int32)
+        )
+
+        # exchange: blocks (F, S_dest, UX) -> (F, S_src, UX); every
+        # received block holds records THIS shard owns
+        def xchg(x):
+            return jax.lax.all_to_all(
+                x, axis_name, split_axis=1, concat_axis=1
+            )
+
+        rx_hi, rx_lo, rx_cnt, rx_occ = (
+            xchg(b_hi), xchg(b_lo), xchg(b_cnt), xchg(b_occ)
+        )
+        rx_n = xchg(tx_n[:, :, None])[..., 0]  # (F, S_src)
+
+        # window frame f == src * F + fi: (F, S, ...) -> (B, ...)
+        def frames_axis(x):
+            return jnp.swapaxes(x, 0, 1).reshape(
+                (S * F,) + x.shape[2:]
+            )[:window]
+
+        lane = jnp.arange(UX, dtype=jnp.int32)
+        n_uni = frames_axis(rx_n)  # (B,)
+        recs = UniqueRecords(
+            hi=frames_axis(rx_hi),
+            lo=frames_axis(rx_lo),
+            count=frames_axis(rx_cnt),
+            n_occ=frames_axis(rx_occ),
+            valid=lane[None, :] < n_uni[:, None],
+            n_unique=n_uni,
+        )
+
+        # per-frame aux, replicated via all_gather of the source values
+        def gathered(x):
+            return frames_axis(
+                jnp.swapaxes(jax.lax.all_gather(x, axis_name), 0, 1)
+            )
+
+        auxs = FrameAux(
+            cmin=gathered(cmin),
+            cmax=gathered(cmax),
+            range_fail=gathered(range_fail),
+            n_valid=gathered(n_valid),
+        )
+        g_dedup_ovf = gathered(dedup_ovf)  # (B,) identical on every shard
+        g_xchg_ovf = gathered(xchg_ovf)
+
+        new_local, stats = apply_brick_records_batched(
+            _local_brick(blk), recs, auxs, cfg,
+            brick_budget=brick_budget, lane_budget=lane_budget,
+            insert_budget=window_insert_budget,
+            fail_reduce=lambda f: jax.lax.psum(
+                f.astype(jnp.int32), axis_name
+            ) > 0,
+        )
+        stats = dict(stats)
+        for k in ("batch_n_unique", "batch_n_bricks", "batch_n_lanes",
+                  "batch_n_need"):
+            stats[k + "_max"] = jax.lax.pmax(stats[k], axis_name)
+            stats[k] = jax.lax.psum(stats[k], axis_name)
+        for k in ("num_occupied", "num_free"):
+            stats[k] = jax.lax.psum(stats[k], axis_name)
+        for k in ("batch_overflow", "insert_overflow"):
+            stats[k] = jax.lax.psum(stats[k].astype(jnp.int32), axis_name) > 0
+        # cause attribution from the SOURCE-side flags (the apply's
+        # frame_overflow conflates dedup-U and exchange overflows — both
+        # arrive as the n_unique sentinel)
+        B = int(recs.hi.shape[0])
+        stats["unique_overflow"] = jnp.broadcast_to(
+            jnp.any(g_dedup_ovf), (B,)
+        )
+        stats["xchg_overflow"] = jnp.broadcast_to(jnp.any(g_xchg_ovf), (B,))
+        # exchange sizing requirement (max records any (frame, dest)
+        # block carried; valid frames only)
+        stats["xchg_n_max"] = jnp.broadcast_to(
+            jax.lax.pmax(
+                jnp.max(jnp.where(tx_n <= UX, tx_n, 0)), axis_name
+            ),
+            (B,),
+        )
+        # num_candidates needs NO psum here (contrast shard_brick): each
+        # frame's aux.n_valid is the source shard's full-frame count,
+        # already global and replicated by the all_gather
+        return _wrap_blk(new_local), stats
+
+    stats_specs = {
+        "num_occupied": P(), "num_free": P(), "num_candidates": P(),
+        "overflowed": P(), "unique_overflow": P(), "xchg_overflow": P(),
+        "batch_overflow": P(), "insert_overflow": P(), "pack_overflow": P(),
+        "range_fail": P(),
+        "batch_n_unique": P(), "batch_n_bricks": P(), "batch_n_lanes": P(),
+        "batch_n_need": P(), "batch_n_unique_max": P(),
+        "batch_n_bricks_max": P(), "batch_n_lanes_max": P(),
+        "batch_n_need_max": P(), "xchg_n_max": P(),
+    }
+    window_steps = {
+        ib: jax.jit(
+            shard_map(
+                partial(local_window, window_insert_budget=ib),
+                mesh=mesh,
+                in_specs=(_state_specs(axis_name), P(), P(), P(), P(), P()),
+                out_specs=(_state_specs(axis_name), stats_specs),
+                check_vma=False,
+            )
+        )
+        for ib in set(insert_schedule)
+    }
+
+    def scan(state, images, transforms, start=0):
+        P_ = images.shape[0]
+        images = jnp.asarray(images)
+        transforms = jnp.asarray(transforms, dtype)
+        start = jnp.asarray(start, jnp.int32)
+        stop = jnp.int32(P_)
+        window_stats = []
+        for wi, w in enumerate(range(0, P_, window)):
+            ib = insert_schedule[min(wi, len(insert_schedule) - 1)]
+            state, stats = window_steps[ib](
+                state, images, transforms, jnp.int32(w), start, stop
+            )
+            window_stats.append(stats)
+        return state, {
+            k: jnp.concatenate([s[k] for s in window_stats])[:P_]
+            for k in (window_stats[0] if window_stats else {})
+        }
+
+    return scan
+
+
+def map_ping_sequence_sharded_frames(
+    images: np.ndarray,
+    positions: np.ndarray,
+    quaternions: np.ndarray,
+    cfg: Optional[MapperConfig] = None,
+    *,
+    mesh: Optional[Mesh] = None,
+    local_capacity: int = 1 << 14,
+    state: Optional[ShardedBrickState] = None,
+    dtype=jnp.float32,
+    axis_name: str = "space",
+    window: int = 8,
+    unique_budget: Optional[int] = None,
+    xchg_budget: Optional[int] = None,
+    brick_budget: Optional[int] = None,
+    lane_budget: Optional[int] = None,
+    insert_budget=None,
+    brick_bits: int = DEFAULT_BRICK_BITS,
+    max_grow_retries: int = 12,
+) -> Tuple[ShardedBrickState, Dict[str, np.ndarray]]:
+    """Host wrapper: grow the right knob and replay from the first failed
+    frame, with the frame-parallel engine's extra growable cause
+    (``xchg_overflow`` -> double the exchange block budget).  Mirrors
+    map_ping_sequence_sharded_brick otherwise."""
+    from sonar_3d_reconstruction_tpu.grid.hash import default_unique_budget
+    from sonar_3d_reconstruction_tpu.ops.backproject import build_fan_tables
+    from sonar_3d_reconstruction_tpu.pipeline import batched_sonar_to_world
+
+    cfg = cfg or MapperConfig()
+    mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
+    S = int(mesh.devices.size)
+    images = np.asarray(images)
+    P_, R, B = images.shape
+    tables = build_fan_tables(cfg, R, B)
+    T = batched_sonar_to_world(positions, quaternions, cfg)
+    images_dev = jnp.asarray(images)
+    T_dev = jnp.asarray(T, dtype)
+
+    st = (
+        state if state is not None
+        else init_sharded_brick_grid(mesh, local_capacity, dtype, brick_bits)
+    )
+    if P_ == 0:
+        return st, {}
+    window = min(window, P_)
+    if isinstance(insert_budget, list):
+        insert_budget = tuple(insert_budget)
+    merged: Dict[str, np.ndarray] = {}
+    start = 0
+    for _ in range(max_grow_retries):
+        scan = make_window_scan_sharded_frames(
+            mesh, tables, cfg, dtype, axis_name, unique_budget, window,
+            xchg_budget, brick_budget, lane_budget, insert_budget,
+            brick_bits,
+        )
+        new_st, stats = scan(st, images_dev, T_dev, jnp.int32(start))
+        over = np.asarray(stats["overflowed"])
+        applied_hi = P_ if not over.any() else int(np.argmax(over))
+        for k, v in stats.items():
+            arr = merged.setdefault(k, np.zeros((P_,), np.asarray(v).dtype))
+            arr[start:applied_hi] = np.asarray(v)[start:applied_hi]
+        if not over.any():
+            return new_st, merged
+        start = applied_hi
+        tail = slice(applied_hi, None)
+        clear = lambda s: s._replace(poisoned=jnp.zeros_like(s.poisoned))
+        if bool(np.asarray(stats["range_fail"])[tail].any()):
+            raise ValueError(
+                f"frame >= {applied_hi}: voxel keys outside the packable "
+                "range — check odometry frame offsets; growth cannot fix this"
+            )
+        if bool(np.asarray(stats["pack_overflow"])[tail].any()):
+            raise ValueError(
+                "a voxel received 2^16+ emissions in one frame (count "
+                "packing width) — use the sharded hash engine for this "
+                "degenerate geometry"
+            )
+        if bool(np.asarray(stats["unique_overflow"])[tail].any()):
+            unique_budget = 2 * (
+                unique_budget
+                or default_unique_budget(
+                    tables.candidates_per_ping(cfg.occupied_window)
+                )
+            )
+            xchg_budget = None  # re-derive from the grown unique budget
+            brick_budget = None
+            st = clear(new_st)
+        elif bool(np.asarray(stats["xchg_overflow"])[tail].any()):
+            ub = unique_budget or default_unique_budget(
+                tables.candidates_per_ping(cfg.occupied_window)
+            )
+            xchg_budget = 2 * (
+                xchg_budget or default_xchg_budget(ub, S)
+            )
+            st = clear(new_st)
+        elif bool(np.asarray(stats["insert_overflow"])[tail].any()):
+            if isinstance(insert_budget, tuple):
+                insert_budget = tuple(2 * b for b in insert_budget)
+            elif insert_budget is not None:
+                insert_budget = 2 * insert_budget
+            st = clear(new_st)
+        elif bool(np.asarray(stats["batch_overflow"])[tail].any()):
+            ub = unique_budget or default_unique_budget(
+                tables.candidates_per_ping(cfg.occupied_window)
+            )
+            ux = xchg_budget or default_xchg_budget(ub, S)
+            brick_budget = 2 * (
+                brick_budget or default_brick_budget(window, ux * S) // S
+            )
+            st = clear(new_st)
+        else:
+            st = rehash_sharded_bricks(
+                st=new_st, mesh=mesh,
+                new_local_capacity=new_st.local_capacity * 2,
+                axis_name=axis_name,
+            )
+    raise RuntimeError(
+        f"sharded frame-parallel growth did not converge after "
+        f"{max_grow_retries} retries"
+    )

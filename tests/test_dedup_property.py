@@ -241,3 +241,54 @@ def test_dedup_frame_compact_pack_fail_detection():
     valid3 = jnp.arange(n) < 0x10000
     rec3 = dedup_frame_compact(key, occ, valid3, 128, lane_budget=n)
     assert bool(rec3.pack_fail)
+
+
+def test_dedup_frame_grouped_random_property():
+    """dedup_frame_grouped: same aggregates as the naive dict, records
+    CONTIGUOUS per group and key-sorted within, rec_group correct."""
+    from sonar_3d_reconstruction_tpu.ops.dedup import dedup_frame_grouped
+
+    rng = np.random.default_rng(23)
+    for trial in range(8):
+        n = int(rng.integers(10, 3000))
+        spread = int(rng.integers(2, 12))
+        G = int(rng.integers(2, 9))
+        keys = rng.integers(-spread, spread, (n, 3)).astype(np.int32)
+        occ = rng.random(n) < 0.4
+        valid = rng.random(n) < 0.8
+        hi, lo, _ = pack_keys(jnp.asarray(keys))
+        # group must be a pure function of the key
+        group = jnp.asarray(
+            (np.asarray(hi, np.uint64) * 2654435761 + np.asarray(lo))
+            % G
+        ).astype(jnp.int32)
+        budget = 1 << int(np.ceil(np.log2(max(8, n))))
+        rec, rec_group = dedup_frame_grouped(
+            hi, lo, jnp.asarray(occ), jnp.asarray(valid), group, G, budget
+        )
+        expect = naive_dedup(keys, occ, valid)
+        assert int(rec.n_unique) == len(expect), trial
+        rvalid = np.asarray(rec.valid)
+        rk = np.asarray(unpack_keys(rec.hi, rec.lo))
+        rgroup = np.asarray(rec_group)
+        got = {}
+        prev = None
+        for i in range(budget):
+            if not rvalid[i]:
+                assert rgroup[i] == G
+                continue
+            k = tuple(rk[i])
+            got[k] = (int(np.asarray(rec.count)[i]),
+                      int(np.asarray(rec.n_occ)[i]))
+            # group matches the hash of the key
+            khi, klo, _ = pack_keys(jnp.asarray(np.asarray([k], np.int32)))
+            gg = int((int(np.asarray(khi)[0]) * 2654435761
+                      + int(np.asarray(klo)[0])) % G)
+            assert rgroup[i] == gg, (trial, i)
+            # (group, key) nondecreasing => per-group contiguity
+            cur = (rgroup[i], int(np.asarray(rec.hi)[i]),
+                   int(np.asarray(rec.lo)[i]))
+            if prev is not None:
+                assert cur > prev, (trial, i)
+            prev = cur
+        assert got == expect, trial
