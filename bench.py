@@ -501,8 +501,12 @@ def main_brick(cfg, n_pings, reps, window):
                     "brick_budget": brick_budget,
                     "lane_budget": lane_budget,
                     "insert_budget": insert_budget,
-                    "vox_budget": vox_budget,
-                    "dense_mode": dense_mode,
+                    "vox_budget": vox_budget if boxes is not None else None,
+                    # dense_mode only takes effect in the compact box-key
+                    # branch; report what actually ran
+                    "dense_mode": dense_mode if boxes is not None
+                    else "scalar",
+                    "compact_boxes": boxes is not None,
                     "dedup_lane_budget": dedup_lane_budget,
                     "fan_cap": tables.nvo_cap,
                     "capacity_bricks": capacity,

@@ -170,33 +170,37 @@ ms = marginal(f"row u32 gather  ({UV},{B}) rows from ({LB},{B})", row_gather)
 print(f"    -> {ms*1e6/UV:.2f} ns/row", flush=True)
 
 # ---- u64 scalar scatter ------------------------------------------------
-with jax.experimental.enable_x64():
-    pass  # x64 not enabled globally; use uint64 arrays directly
-
+# Everything (array creation, tracing, execution) must run INSIDE the
+# x64 context or jnp silently downgrades uint64 -> uint32 and the
+# "u64" row would be a second u32 measurement.
 try:
-    didx2 = np.sort(
-        rng.choice(NBVOL * B // 2, size=LB // 2, replace=False).astype(
-            np.int32
+    with jax.enable_x64(True):
+        didx2 = np.sort(
+            rng.choice(NBVOL * B // 2, size=LB // 2, replace=False).astype(
+                np.int32
+            )
         )
-    )
-    didx2_d = jnp.asarray(didx2)
-    pay64 = jnp.asarray(
-        rng.integers(1, 2**62, size=LB // 2, dtype=np.uint64),
-        dtype=jnp.uint64,
-    )
-
-    @jax.jit
-    def u64_scatter(p):
-        return (
-            jnp.zeros((NBVOL * B // 2,), jnp.uint64)
-            .at[didx2_d]
-            .set(pay64 + p.astype(jnp.uint64), mode="drop",
-                 unique_indices=True, indices_are_sorted=True)
+        didx2_d = jnp.asarray(didx2)
+        pay64 = jnp.asarray(
+            rng.integers(1, 2**62, size=LB // 2, dtype=np.uint64),
+            dtype=jnp.uint64,
         )
+        assert pay64.dtype == jnp.uint64, pay64.dtype
 
-    ms = marginal(f"scalar u64 scatter  N={LB//2} -> ({NBVOL*B//2},)",
-                  u64_scatter)
-    print(f"    -> {ms*1e6/(LB//2):.2f} ns/entry", flush=True)
+        @jax.jit
+        def u64_scatter(p):
+            return (
+                jnp.zeros((NBVOL * B // 2,), jnp.uint64)
+                .at[didx2_d]
+                .set(pay64 + p.astype(jnp.uint64), mode="drop",
+                     unique_indices=True, indices_are_sorted=True)
+            )
+
+        out = u64_scatter(jnp.zeros((), jnp.int32))
+        assert out.dtype == jnp.uint64, out.dtype
+        ms = marginal(f"scalar u64 scatter  N={LB//2} -> ({NBVOL*B//2},)",
+                      u64_scatter)
+        print(f"    -> {ms*1e6/(LB//2):.2f} ns/entry", flush=True)
 except Exception as e:  # u64 may be unsupported without x64
     print("u64 scatter: skipped:", e, flush=True)
 

@@ -590,18 +590,13 @@ def apply_brick_records_compact(
             is_stable=False,
         )
 
-        def takev(x, fill):
-            if UV <= Lb:
-                return x[:UV]
-            return jnp.concatenate(
-                [x, jnp.full((UV - Lb,), fill, x.dtype)]
-            )
-
+        # UV <= Lb by construction (the vox budget is clamped to the lane
+        # prefix above), so the compacted views are plain prefix slices
         lane_v = jnp.arange(UV, dtype=jnp.int32)
         valid_v = lane_v < n_unique
         vox_overflow = n_unique > UV
-        c_vox = jnp.where(valid_v, takev(c_vox, EMPTY32), EMPTY32)
-        c_pos = jnp.minimum(takev(c_pos, 0), jnp.uint32(Lb - 1))
+        c_vox = jnp.where(valid_v, c_vox[:UV], EMPTY32)
+        c_pos = jnp.minimum(c_pos[:UV], jnp.uint32(Lb - 1))
         rows_c = rows[c_pos.astype(jnp.int32)]  # (UV, B) row gather
 
         # ---- brick ranks fall out of the compacted voxel keys

@@ -301,6 +301,69 @@ def make_window_scan_sharded_brick(
     return scan
 
 
+def run_grow_replay(
+    *,
+    st,
+    images_dev,
+    T_dev,
+    n_frames: int,
+    max_grow_retries: int,
+    make_scan,
+    growable_causes,
+    rehash,
+    label: str,
+):
+    """Shared sharded-engine host loop: run ``make_scan()()``, merge the
+    per-frame stats of applied frames, and on overflow attribute the
+    cause in priority order — the two fatal causes (``range_fail``,
+    ``pack_overflow``) raise; ``growable_causes`` is an ordered tuple of
+    ``(stat_key, grow_fn)`` where ``grow_fn()`` mutates the caller's
+    budget state (via closure) before the poison-cleared replay; no
+    matching cause falls through to ``rehash(new_st)`` (capacity).
+    Used by both map_ping_sequence_sharded_brick and
+    map_ping_sequence_sharded_frames so the two growth state machines
+    cannot drift."""
+    merged: Dict[str, np.ndarray] = {}
+    start = 0
+    for _ in range(max_grow_retries):
+        new_st, stats = make_scan()(st, images_dev, T_dev, jnp.int32(start))
+        over = np.asarray(stats["overflowed"])
+        applied_hi = n_frames if not over.any() else int(np.argmax(over))
+        for k, v in stats.items():
+            arr = merged.setdefault(
+                k, np.zeros((n_frames,), np.asarray(v).dtype)
+            )
+            arr[start:applied_hi] = np.asarray(v)[start:applied_hi]
+        if not over.any():
+            return new_st, merged
+        start = applied_hi
+        tail = slice(applied_hi, None)
+        if bool(np.asarray(stats["range_fail"])[tail].any()):
+            raise ValueError(
+                f"frame >= {applied_hi}: voxel keys outside the packable "
+                "range — check odometry frame offsets; growth cannot fix "
+                "this"
+            )
+        if bool(np.asarray(stats["pack_overflow"])[tail].any()):
+            raise ValueError(
+                "a voxel received 2^16+ emissions in one frame (count "
+                "packing width) — use the sharded hash engine for this "
+                "degenerate geometry"
+            )
+        for key, grow_fn in growable_causes:
+            if bool(np.asarray(stats[key])[tail].any()):
+                grow_fn()
+                st = new_st._replace(
+                    poisoned=jnp.zeros_like(new_st.poisoned)
+                )
+                break
+        else:
+            st = rehash(new_st)
+    raise RuntimeError(
+        f"{label} growth did not converge after {max_grow_retries} retries"
+    )
+
+
 def map_ping_sequence_sharded_brick(
     images: np.ndarray,
     positions: np.ndarray,
@@ -346,66 +409,49 @@ def map_ping_sequence_sharded_brick(
     window = min(window, P_)
     if isinstance(insert_budget, list):
         insert_budget = tuple(insert_budget)
-    merged: Dict[str, np.ndarray] = {}
-    start = 0
-    for _ in range(max_grow_retries):
-        scan = make_window_scan_sharded_brick(
+    def make_scan():
+        return make_window_scan_sharded_brick(
             mesh, tables, cfg, dtype, axis_name, unique_budget,
             window, brick_budget, lane_budget, insert_budget, brick_bits,
         )
-        new_st, stats = scan(st, images_dev, T_dev, jnp.int32(start))
-        over = np.asarray(stats["overflowed"])
-        applied_hi = P_ if not over.any() else int(np.argmax(over))
-        for k, v in stats.items():
-            arr = merged.setdefault(k, np.zeros((P_,), np.asarray(v).dtype))
-            arr[start:applied_hi] = np.asarray(v)[start:applied_hi]
-        if not over.any():
-            return new_st, merged
-        start = applied_hi
-        tail = slice(applied_hi, None)
-        if bool(np.asarray(stats["range_fail"])[tail].any()):
-            raise ValueError(
-                f"frame >= {applied_hi}: voxel keys outside the packable "
-                "range — check odometry frame offsets; growth cannot fix this"
-            )
-        if bool(np.asarray(stats["pack_overflow"])[tail].any()):
-            raise ValueError(
-                "a voxel received 2^16+ emissions in one frame (count "
-                "packing width) — use the sharded hash engine for this "
-                "degenerate geometry"
-            )
-        if bool(np.asarray(stats["unique_overflow"])[tail].any()):
-            unique_budget = 2 * (
-                unique_budget
-                or default_unique_budget(
-                    tables.candidates_per_ping(cfg.occupied_window)
-                )
-            )
-            brick_budget = None
-            st = new_st._replace(poisoned=jnp.zeros_like(new_st.poisoned))
-        elif bool(np.asarray(stats["insert_overflow"])[tail].any()):
-            if isinstance(insert_budget, tuple):
-                insert_budget = tuple(2 * b for b in insert_budget)
-            elif insert_budget is not None:
-                insert_budget = 2 * insert_budget
-            st = new_st._replace(poisoned=jnp.zeros_like(new_st.poisoned))
-        elif bool(np.asarray(stats["batch_overflow"])[tail].any()):
-            ub = unique_budget or default_unique_budget(
+
+    def grow_unique():
+        nonlocal unique_budget, brick_budget
+        unique_budget = 2 * (
+            unique_budget
+            or default_unique_budget(
                 tables.candidates_per_ping(cfg.occupied_window)
             )
-            brick_budget = 2 * (
-                brick_budget or default_brick_budget(window, ub)
-            )
-            st = new_st._replace(poisoned=jnp.zeros_like(new_st.poisoned))
-        else:
-            st = rehash_sharded_bricks(
-                st=new_st, mesh=mesh,
-                new_local_capacity=new_st.local_capacity * 2,
-                axis_name=axis_name,
-            )
-    raise RuntimeError(
-        f"sharded brick growth did not converge after {max_grow_retries} "
-        "retries"
+        )
+        brick_budget = None
+
+    def grow_insert():
+        nonlocal insert_budget
+        if isinstance(insert_budget, tuple):
+            insert_budget = tuple(2 * b for b in insert_budget)
+        elif insert_budget is not None:
+            insert_budget = 2 * insert_budget
+
+    def grow_batch():
+        nonlocal brick_budget
+        ub = unique_budget or default_unique_budget(
+            tables.candidates_per_ping(cfg.occupied_window)
+        )
+        brick_budget = 2 * (brick_budget or default_brick_budget(window, ub))
+
+    return run_grow_replay(
+        st=st, images_dev=images_dev, T_dev=T_dev, n_frames=P_,
+        max_grow_retries=max_grow_retries, make_scan=make_scan,
+        growable_causes=(
+            ("unique_overflow", grow_unique),
+            ("insert_overflow", grow_insert),
+            ("batch_overflow", grow_batch),
+        ),
+        rehash=lambda s: rehash_sharded_bricks(
+            st=s, mesh=mesh, new_local_capacity=s.local_capacity * 2,
+            axis_name=axis_name,
+        ),
+        label="sharded brick",
     )
 
 

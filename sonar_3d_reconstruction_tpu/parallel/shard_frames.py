@@ -72,6 +72,7 @@ from sonar_3d_reconstruction_tpu.parallel.shard_brick import (
     init_sharded_brick_grid,
     owner_shard_brick,
     rehash_sharded_bricks,
+    run_grow_replay,
 )
 
 
@@ -275,7 +276,10 @@ def make_window_scan_sharded_frames(
             stats[k] = jax.lax.psum(stats[k], axis_name)
         for k in ("num_occupied", "num_free"):
             stats[k] = jax.lax.psum(stats[k], axis_name)
-        for k in ("batch_overflow", "insert_overflow"):
+        # pack_overflow included: after the exchange each shard applies a
+        # DIFFERENT record subset, so the apply-side flags are all
+        # shard-divergent and the host reads device 0's copy
+        for k in ("batch_overflow", "insert_overflow", "pack_overflow"):
             stats[k] = jax.lax.psum(stats[k].astype(jnp.int32), axis_name) > 0
         # cause attribution from the SOURCE-side flags (the apply's
         # frame_overflow conflates dedup-U and exchange overflows — both
@@ -389,76 +393,54 @@ def map_ping_sequence_sharded_frames(
     window = min(window, P_)
     if isinstance(insert_budget, list):
         insert_budget = tuple(insert_budget)
-    merged: Dict[str, np.ndarray] = {}
-    start = 0
-    for _ in range(max_grow_retries):
-        scan = make_window_scan_sharded_frames(
+    def make_scan():
+        return make_window_scan_sharded_frames(
             mesh, tables, cfg, dtype, axis_name, unique_budget, window,
             xchg_budget, brick_budget, lane_budget, insert_budget,
             brick_bits,
         )
-        new_st, stats = scan(st, images_dev, T_dev, jnp.int32(start))
-        over = np.asarray(stats["overflowed"])
-        applied_hi = P_ if not over.any() else int(np.argmax(over))
-        for k, v in stats.items():
-            arr = merged.setdefault(k, np.zeros((P_,), np.asarray(v).dtype))
-            arr[start:applied_hi] = np.asarray(v)[start:applied_hi]
-        if not over.any():
-            return new_st, merged
-        start = applied_hi
-        tail = slice(applied_hi, None)
-        clear = lambda s: s._replace(poisoned=jnp.zeros_like(s.poisoned))
-        if bool(np.asarray(stats["range_fail"])[tail].any()):
-            raise ValueError(
-                f"frame >= {applied_hi}: voxel keys outside the packable "
-                "range — check odometry frame offsets; growth cannot fix this"
-            )
-        if bool(np.asarray(stats["pack_overflow"])[tail].any()):
-            raise ValueError(
-                "a voxel received 2^16+ emissions in one frame (count "
-                "packing width) — use the sharded hash engine for this "
-                "degenerate geometry"
-            )
-        if bool(np.asarray(stats["unique_overflow"])[tail].any()):
-            unique_budget = 2 * (
-                unique_budget
-                or default_unique_budget(
-                    tables.candidates_per_ping(cfg.occupied_window)
-                )
-            )
-            xchg_budget = None  # re-derive from the grown unique budget
-            brick_budget = None
-            st = clear(new_st)
-        elif bool(np.asarray(stats["xchg_overflow"])[tail].any()):
-            ub = unique_budget or default_unique_budget(
-                tables.candidates_per_ping(cfg.occupied_window)
-            )
-            xchg_budget = 2 * (
-                xchg_budget or default_xchg_budget(ub, S)
-            )
-            st = clear(new_st)
-        elif bool(np.asarray(stats["insert_overflow"])[tail].any()):
-            if isinstance(insert_budget, tuple):
-                insert_budget = tuple(2 * b for b in insert_budget)
-            elif insert_budget is not None:
-                insert_budget = 2 * insert_budget
-            st = clear(new_st)
-        elif bool(np.asarray(stats["batch_overflow"])[tail].any()):
-            ub = unique_budget or default_unique_budget(
-                tables.candidates_per_ping(cfg.occupied_window)
-            )
-            ux = xchg_budget or default_xchg_budget(ub, S)
-            brick_budget = 2 * (
-                brick_budget or default_brick_budget(window, ux * S) // S
-            )
-            st = clear(new_st)
-        else:
-            st = rehash_sharded_bricks(
-                st=new_st, mesh=mesh,
-                new_local_capacity=new_st.local_capacity * 2,
-                axis_name=axis_name,
-            )
-    raise RuntimeError(
-        f"sharded frame-parallel growth did not converge after "
-        f"{max_grow_retries} retries"
+
+    def _default_ub():
+        return unique_budget or default_unique_budget(
+            tables.candidates_per_ping(cfg.occupied_window)
+        )
+
+    def grow_unique():
+        nonlocal unique_budget, xchg_budget, brick_budget
+        unique_budget = 2 * _default_ub()
+        xchg_budget = None  # re-derive from the grown unique budget
+        brick_budget = None
+
+    def grow_xchg():
+        nonlocal xchg_budget
+        xchg_budget = 2 * (xchg_budget or default_xchg_budget(_default_ub(), S))
+
+    def grow_insert():
+        nonlocal insert_budget
+        if isinstance(insert_budget, tuple):
+            insert_budget = tuple(2 * b for b in insert_budget)
+        elif insert_budget is not None:
+            insert_budget = 2 * insert_budget
+
+    def grow_batch():
+        nonlocal brick_budget
+        ux = xchg_budget or default_xchg_budget(_default_ub(), S)
+        brick_budget = 2 * (
+            brick_budget or default_brick_budget(window, ux * S) // S
+        )
+
+    return run_grow_replay(
+        st=st, images_dev=images_dev, T_dev=T_dev, n_frames=P_,
+        max_grow_retries=max_grow_retries, make_scan=make_scan,
+        growable_causes=(
+            ("unique_overflow", grow_unique),
+            ("xchg_overflow", grow_xchg),
+            ("insert_overflow", grow_insert),
+            ("batch_overflow", grow_batch),
+        ),
+        rehash=lambda s: rehash_sharded_bricks(
+            st=s, mesh=mesh, new_local_capacity=s.local_capacity * 2,
+            axis_name=axis_name,
+        ),
+        label="sharded frame-parallel",
     )
