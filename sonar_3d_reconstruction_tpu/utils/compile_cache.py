@@ -23,18 +23,33 @@ import platform as _platform
 
 
 def _host_fingerprint() -> str:
-    """Stable id of this host's CPU feature set (see module docstring)."""
-    flags = ""
+    """Stable id of this host's CPU (see module docstring).
+
+    Flags alone are NOT enough: XLA:CPU also bakes in model-derived
+    tuning features (e.g. ``+prefer-no-scatter``) chosen from the CPU
+    model, so two hosts with identical cpuinfo flag strings can still
+    produce mutually unloadable AOT entries (observed: a feature-mismatch
+    warning loading another host's entry from the flags-only dir).  Hash
+    the identification fields too."""
+    parts = []
+    want = ("flags", "Features", "vendor_id", "cpu family", "model",
+            "model name", "stepping", "CPU implementer", "CPU part")
     try:
         with open("/proc/cpuinfo") as f:
+            seen = set()
             for line in f:
-                # x86 spells it "flags", aarch64 "Features"
-                if line.startswith(("flags", "Features")):
-                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                key = line.split(":", 1)[0].strip()
+                if key in want and key not in seen:
+                    seen.add(key)
+                    val = line.split(":", 1)[1].strip()
+                    if key in ("flags", "Features"):
+                        val = " ".join(sorted(val.split()))
+                    parts.append(f"{key}={val}")
+                if len(seen) == len(want):
                     break
     except OSError:
         pass
-    raw = f"{_platform.machine()}|{flags}"
+    raw = f"{_platform.machine()}|" + "|".join(sorted(parts))
     return hashlib.md5(raw.encode()).hexdigest()[:12]
 
 
