@@ -115,6 +115,7 @@ class SonarMapper:
         initial_capacity: int = 1 << 20,
         dtype=jnp.float32,
         track_update_counts: bool = False,
+        mesh=None,
     ):
         if config is None:
             self.cfg = MapperConfig()
@@ -142,6 +143,23 @@ class SonarMapper:
             self.state = init_brick_grid(
                 max(128, initial_capacity >> 4), dtype
             )
+        elif backend == "brick-sharded":
+            # multi-chip brick map over a jax Mesh, driven by the
+            # frame-parallel engine (parallel/shard_frames.py); every read
+            # path distributes exactly over the disjoint per-shard brick
+            # sub-tables (parallel/shard_brick.local_brick_states)
+            from sonar_3d_reconstruction_tpu.parallel.shard import make_mesh
+            from sonar_3d_reconstruction_tpu.parallel.shard_brick import (
+                init_sharded_brick_grid,
+            )
+
+            self.mesh = mesh if mesh is not None else make_mesh()
+            S = int(self.mesh.devices.size)
+            local = max(128, max(128, initial_capacity >> 4) // S)
+            local = 1 << (local - 1).bit_length()  # init asserts pow2
+            self.state = init_sharded_brick_grid(self.mesh, local, dtype)
+            # sticky post-growth budgets threaded back into every batch
+            self._sharded_budgets: Dict[str, Any] = {}
         else:
             raise ValueError(f"unknown backend {backend!r}")
 
@@ -252,6 +270,27 @@ class SonarMapper:
                     self.state, new_capacity=self.state.capacity * 2
                 )
 
+    def _process_sharded(self, images, positions, quaternions, window=8):
+        """Route a ping batch through the frame-parallel sharded engine
+        (growth handled inside its wrapper); sticky budgets carried across
+        calls.  Returns the LAST ping's per-frame stats as python ints."""
+        from sonar_3d_reconstruction_tpu.parallel.shard_frames import (
+            map_ping_sequence_sharded_frames,
+        )
+
+        eff: Dict[str, Any] = {}
+        self.state, stats = map_ping_sequence_sharded_frames(
+            images, positions, quaternions, self.cfg, mesh=self.mesh,
+            state=self.state, dtype=self.dtype,
+            window=min(window, images.shape[0]), effective=eff,
+            **self._sharded_budgets,
+        )
+        self._sharded_budgets = {
+            k: v for k, v in eff.items() if v is not None
+        }
+        self._last_seq_stats = stats
+        return {k: int(np.asarray(v)[-1]) for k, v in stats.items()}
+
     # ------------------------------------------------------------------
     def process_sonar_image(
         self, polar_image: np.ndarray, robot_position, robot_orientation
@@ -286,6 +325,12 @@ class SonarMapper:
             )
         elif self.backend == "brick":
             stats = self._process_brick(image_dev, T_dev, tables)
+        elif self.backend == "brick-sharded":
+            stats = self._process_sharded(
+                polar_image[None],
+                np.asarray(robot_position, np.float64)[None],
+                np.asarray(robot_orientation, np.float64)[None],
+            )
         else:
             # proactive growth, then replay-on-overflow as a backstop
             while True:
@@ -340,7 +385,11 @@ class SonarMapper:
         out = {
             k: int(v)
             for k, v in stats.items()
-            if k not in ("overflowed", "unique_overflow", "range_fail")
+            if not (
+                k == "overflowed"
+                or k.endswith("_overflow")
+                or k.endswith("_fail")
+            )
         }
         self.last_processing_time = time.time() - t0
         self.total_processing_time += self.last_processing_time
@@ -365,14 +414,31 @@ class SonarMapper:
         (much faster than per-ping process_sonar_image for offline replay —
         no per-frame host sync; ``window`` > 1 opts into the batched-apply
         engine).  Updates this mapper's state in place; returns per-ping
-        stats arrays.  Hash and brick backends."""
-        if self.backend not in ("hash", "brick"):
-            raise ValueError("map_sequence requires the hash or brick backend")
+        stats arrays.  Hash, brick and brick-sharded backends."""
+        if self.backend not in ("hash", "brick", "brick-sharded"):
+            raise ValueError(
+                "map_sequence requires the hash, brick or brick-sharded "
+                "backend"
+            )
         from sonar_3d_reconstruction_tpu.pipeline import map_ping_sequence
 
         t0 = time.time()
         images = np.asarray(images)
         n = images.shape[0]
+        if self.backend == "brick-sharded":
+            self._process_sharded(
+                images, positions, quaternions, window=max(1, window)
+            )
+            stats = self._last_seq_stats
+            if self.track_update_counts:
+                self._record_sequence_update_counts(images, positions,
+                                                    quaternions)
+            self.frame_count += n
+            self.processed_frame_count += n
+            dt = time.time() - t0
+            self.last_processing_time = dt / max(1, n)
+            self.total_processing_time += dt
+            return stats
         # exact (max_range-sized) fan tables: the stateful mapper may see
         # many batches, and per-batch auto-capped tables would recompile the
         # pipeline whenever a deeper return arrives; one-shot offline
@@ -390,18 +456,8 @@ class SonarMapper:
         if eff.get("box_bits") is not None:
             self._box_bits = eff["box_bits"]
         if self.track_update_counts:
-            tables = self._tables_for(images.shape[1:])
-            T_all = None
-            from sonar_3d_reconstruction_tpu.pipeline import (
-                batched_sonar_to_world,
-            )
-
-            T_all = batched_sonar_to_world(positions, quaternions, self.cfg)
-            for i in range(n):
-                self._record_update_counts(
-                    jnp.asarray(images[i]), jnp.asarray(T_all[i], self.dtype),
-                    tables,
-                )
+            self._record_sequence_update_counts(images, positions,
+                                                quaternions)
         self.frame_count += n
         self.processed_frame_count += n
         dt = time.time() - t0
@@ -410,6 +466,24 @@ class SonarMapper:
         return stats
 
     # ------------------------------------------------------------------
+    def _record_sequence_update_counts(
+        self, images, positions, quaternions
+    ) -> None:
+        """Per-ping emission-count recording for a whole batch (the
+        records recompute is map-state-independent, so it serves every
+        backend identically)."""
+        from sonar_3d_reconstruction_tpu.pipeline import (
+            batched_sonar_to_world,
+        )
+
+        tables = self._tables_for(images.shape[1:])
+        T_all = batched_sonar_to_world(positions, quaternions, self.cfg)
+        for i in range(images.shape[0]):
+            self._record_update_counts(
+                jnp.asarray(images[i]), jnp.asarray(T_all[i], self.dtype),
+                tables,
+            )
+
     def _record_update_counts(self, image_dev, T_dev, tables) -> None:
         """Debug path (reference voxel_update_counts / frame_update_counts,
         3d_mapper.py:306-308, 525, 549-551): count candidate EMISSIONS per
@@ -497,6 +571,8 @@ class SonarMapper:
     def num_voxels(self) -> int:
         if self.backend == "dense":
             return int(jnp.sum(self.state.touched))
+        if self.backend == "brick-sharded":
+            return int(np.asarray(self.state.used).sum())
         return int(self.state.used)  # hash: slots; brick: touched voxels
 
     def get_point_cloud(self, include_free: bool = False) -> Dict[str, Any]:
@@ -512,8 +588,36 @@ class SonarMapper:
                 )
 
                 cls = extract_classified_brick(self.state, cfg)
+            elif self.backend == "brick-sharded":
+                from sonar_3d_reconstruction_tpu.grid.brick import (
+                    extract_classified_brick,
+                )
+                from sonar_3d_reconstruction_tpu.parallel.shard_brick import (
+                    local_brick_states,
+                )
+
+                parts = [
+                    extract_classified_brick(s, cfg)
+                    for s in local_brick_states(self.state)
+                ]
+                cls = {
+                    k: (
+                        np.concatenate([p[k][0] for p in parts]),
+                        np.concatenate([p[k][1] for p in parts]),
+                    )
+                    for k in ("occupied", "free", "unknown")
+                }
             else:
                 cls = extract_classified_hash(self.state, cfg)
+            if self.backend == "brick-sharded":
+                from sonar_3d_reconstruction_tpu.parallel.shard_brick import (
+                    sharded_brick_bounds,
+                )
+
+                bmin, bmax = sharded_brick_bounds(self.state)
+            else:
+                bmin = np.asarray(self.state.min_bounds)
+                bmax = np.asarray(self.state.max_bounds)
             occupied, free, unknown = cls["occupied"], cls["free"], cls["unknown"]
             return {
                 "occupied": occupied,
@@ -526,12 +630,8 @@ class SonarMapper:
                 "frame_count": self.frame_count,
                 "processed_count": self.processed_frame_count,
                 "bounds": {
-                    "min": np.asarray(self.state.min_bounds)
-                    if cfg.dynamic_expansion
-                    else None,
-                    "max": np.asarray(self.state.max_bounds)
-                    if cfg.dynamic_expansion
-                    else None,
+                    "min": bmin if cfg.dynamic_expansion else None,
+                    "max": bmax if cfg.dynamic_expansion else None,
                 },
             }
         if self.backend == "dense":
@@ -542,6 +642,20 @@ class SonarMapper:
             )
 
             points, probs = extract_occupied_brick(self.state, cfg)
+        elif self.backend == "brick-sharded":
+            from sonar_3d_reconstruction_tpu.grid.brick import (
+                extract_occupied_brick,
+            )
+            from sonar_3d_reconstruction_tpu.parallel.shard_brick import (
+                local_brick_states,
+            )
+
+            parts = [
+                extract_occupied_brick(s, cfg)
+                for s in local_brick_states(self.state)
+            ]
+            points = np.concatenate([p[0] for p in parts])
+            probs = np.concatenate([p[1] for p in parts])
         else:
             points, probs = extract_occupied_hash(self.state, cfg)
         return {
@@ -573,9 +687,29 @@ class SonarMapper:
             )
 
             return query_probability_brick(self.state, points, self.cfg)
+        if self.backend == "brick-sharded":
+            lo = self._sharded_log_odds(points)
+            return 1.0 / (1.0 + np.exp(-lo))
         from sonar_3d_reconstruction_tpu.grid.hash import query_probability
 
         return query_probability(self.state, points, self.cfg)
+
+    def _sharded_log_odds(self, points) -> np.ndarray:
+        """(N,) float64 log-odds summed over the per-shard sub-tables: a
+        voxel lives on exactly one shard and absent shards answer exactly
+        0.0, so the sum equals the single-chip query."""
+        from sonar_3d_reconstruction_tpu.grid.brick import (
+            query_log_odds_brick,
+        )
+        from sonar_3d_reconstruction_tpu.parallel.shard_brick import (
+            local_brick_states,
+        )
+
+        lo = None
+        for s in local_brick_states(self.state):
+            v = query_log_odds_brick(s, points, self.cfg).astype(np.float64)
+            lo = v if lo is None else lo + v
+        return lo
 
     def get_probability(self, x: float, y: float, z: float) -> float:
         """Occupancy probability of the voxel containing (x, y, z)
@@ -596,6 +730,8 @@ class SonarMapper:
             return float(
                 query_log_odds_brick(self.state, [[x, y, z]], self.cfg)[0]
             )
+        if self.backend == "brick-sharded":
+            return float(self._sharded_log_odds([[x, y, z]])[0])
         from sonar_3d_reconstruction_tpu.grid.hash import query_log_odds
 
         return float(query_log_odds(self.state, [[x, y, z]], self.cfg)[0])
@@ -615,6 +751,15 @@ class SonarMapper:
             self.state = init_brick_grid(
                 self.state.capacity, self.dtype,
                 brick_bits=self.state.brick_bits,
+            )
+        elif self.backend == "brick-sharded":
+            from sonar_3d_reconstruction_tpu.parallel.shard_brick import (
+                init_sharded_brick_grid,
+            )
+
+            self.state = init_sharded_brick_grid(
+                self.mesh, int(self.state.local_capacity), self.dtype,
+                int(self.state.brick_bits),
             )
         else:
             self.state = init_hash_grid(self.state.key_hi.shape[0], self.dtype)

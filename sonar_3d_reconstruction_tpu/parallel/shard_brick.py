@@ -84,6 +84,10 @@ class ShardedBrickState(NamedTuple):
     def brick_volume(self) -> int:
         return self.log_odds.shape[2]
 
+    @property
+    def brick_bits(self) -> int:
+        return (self.brick_volume.bit_length() - 1) // 3  # vol == 2^(3b)
+
 
 def _state_specs(axis_name: str) -> ShardedBrickState:
     return ShardedBrickState(
@@ -382,11 +386,14 @@ def map_ping_sequence_sharded_brick(
     insert_budget=None,
     brick_bits: int = DEFAULT_BRICK_BITS,
     max_grow_retries: int = 12,
+    effective: Optional[Dict] = None,
 ) -> Tuple[ShardedBrickState, Dict[str, np.ndarray]]:
     """Sharded-brick equivalent of pipeline.map_ping_sequence: grow and
     replay from the first failed frame with full cause attribution (unique
     budget vs brick/lane budget vs insert budget vs capacity vs key range
-    vs count packing), mirroring _map_ping_sequence_brick."""
+    vs count packing), mirroring _map_ping_sequence_brick.  ``effective``,
+    if given, receives the post-growth budgets so a stateful caller can
+    pass them back next batch instead of re-growing."""
     from sonar_3d_reconstruction_tpu.grid.hash import default_unique_budget
     from sonar_3d_reconstruction_tpu.ops.backproject import build_fan_tables
     from sonar_3d_reconstruction_tpu.pipeline import batched_sonar_to_world
@@ -439,7 +446,7 @@ def map_ping_sequence_sharded_brick(
         )
         brick_budget = 2 * (brick_budget or default_brick_budget(window, ub))
 
-    return run_grow_replay(
+    out = run_grow_replay(
         st=st, images_dev=images_dev, T_dev=T_dev, n_frames=P_,
         max_grow_retries=max_grow_retries, make_scan=make_scan,
         growable_causes=(
@@ -453,6 +460,12 @@ def map_ping_sequence_sharded_brick(
         ),
         label="sharded brick",
     )
+    if effective is not None:
+        effective.update(
+            unique_budget=unique_budget, brick_budget=brick_budget,
+            lane_budget=lane_budget, insert_budget=insert_budget,
+        )
+    return out
 
 
 def rehash_sharded_bricks(
@@ -510,6 +523,26 @@ def rehash_sharded_bricks(
         new_local_capacity *= 2
 
 
+def local_brick_states(state: ShardedBrickState) -> "list[BrickGridState]":
+    """Per-shard views of a sharded brick map as plain BrickGridState
+    sub-tables.  Shards own DISJOINT brick sets, so any read-only
+    per-state operation (extraction, classification, point queries)
+    distributes exactly: run it per shard and concatenate (or, for
+    log-odds queries, sum — absent shards answer exactly 0.0)."""
+    return [
+        BrickGridState(
+            key_rows=state.key_rows[s],
+            log_odds=state.log_odds[s],
+            touched=state.touched[s],
+            min_bounds=state.min_bounds[s],
+            max_bounds=state.max_bounds[s],
+            used=state.used[s],
+            poisoned=state.poisoned[s],
+        )
+        for s in range(state.key_rows.shape[0])
+    ]
+
+
 def gather_sharded_brick_state(
     state: ShardedBrickState,
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -521,17 +554,7 @@ def gather_sharded_brick_state(
     from sonar_3d_reconstruction_tpu.grid.brick import touched_voxels_brick
 
     keys, vals = [], []
-    S = state.key_rows.shape[0]
-    for s in range(S):
-        local = BrickGridState(
-            key_rows=state.key_rows[s],
-            log_odds=state.log_odds[s],
-            touched=state.touched[s],
-            min_bounds=state.min_bounds[s],
-            max_bounds=state.max_bounds[s],
-            used=state.used[s],
-            poisoned=state.poisoned[s],
-        )
+    for local in local_brick_states(state):
         k, v = touched_voxels_brick(local)
         keys.append(k)
         vals.append(v)

@@ -365,11 +365,13 @@ def map_ping_sequence_sharded_frames(
     insert_budget=None,
     brick_bits: int = DEFAULT_BRICK_BITS,
     max_grow_retries: int = 12,
+    effective: Optional[Dict] = None,
 ) -> Tuple[ShardedBrickState, Dict[str, np.ndarray]]:
     """Host wrapper: grow the right knob and replay from the first failed
     frame, with the frame-parallel engine's extra growable cause
     (``xchg_overflow`` -> double the exchange block budget).  Mirrors
-    map_ping_sequence_sharded_brick otherwise."""
+    map_ping_sequence_sharded_brick otherwise; ``effective``, if given,
+    receives the post-growth budgets for stateful callers."""
     from sonar_3d_reconstruction_tpu.grid.hash import default_unique_budget
     from sonar_3d_reconstruction_tpu.ops.backproject import build_fan_tables
     from sonar_3d_reconstruction_tpu.pipeline import batched_sonar_to_world
@@ -429,7 +431,7 @@ def map_ping_sequence_sharded_frames(
             brick_budget or default_brick_budget(window, ux * S) // S
         )
 
-    return run_grow_replay(
+    out = run_grow_replay(
         st=st, images_dev=images_dev, T_dev=T_dev, n_frames=P_,
         max_grow_retries=max_grow_retries, make_scan=make_scan,
         growable_causes=(
@@ -444,3 +446,10 @@ def map_ping_sequence_sharded_frames(
         ),
         label="sharded frame-parallel",
     )
+    if effective is not None:
+        effective.update(
+            unique_budget=unique_budget, xchg_budget=xchg_budget,
+            brick_budget=brick_budget, lane_budget=lane_budget,
+            insert_budget=insert_budget,
+        )
+    return out
