@@ -93,6 +93,14 @@ def cmd_map_bag(args: argparse.Namespace) -> int:
     if args.offline:
         return _map_bag_offline(args, cfg, stream_cfg)
 
+    if args.backend == "brick-sharded":
+        print(
+            "error: the streaming runtime is single-chip (hash/brick); "
+            "use --offline for the brick-sharded multi-chip backend",
+            file=sys.stderr,
+        )
+        return 2
+
     mapper = StreamingMapper(
         cfg,
         stream_cfg,
@@ -149,18 +157,30 @@ def _map_bag_offline(args, cfg, stream_cfg) -> int:
     )
     t_load = time.perf_counter() - t0
     t0 = time.perf_counter()
-    state, stats = map_ping_sequence(
-        images, positions, quats, cfg, dtype=jnp.float32, window=args.window,
-        backend=args.backend,
-    )
+    if args.backend == "brick-sharded":
+        from sonar_3d_reconstruction_tpu.parallel.shard_frames import (
+            map_ping_sequence_sharded_frames,
+        )
+
+        state, stats = map_ping_sequence_sharded_frames(
+            images, positions, quats, cfg, dtype=jnp.float32,
+            window=args.window,
+        )
+    else:
+        state, stats = map_ping_sequence(
+            images, positions, quats, cfg, dtype=jnp.float32,
+            window=args.window, backend=args.backend,
+        )
     t_map = time.perf_counter() - t0
     n = len(images)
     span = float(stamps[-1] - stamps[0]) if n > 1 else 0.0
+    import numpy as np
+
     print(
         json.dumps(
             {
                 "pairs": n,
-                "num_voxels": int(state.used),
+                "num_voxels": int(np.asarray(state.used).sum()),
                 "load_time": t_load,
                 "map_time": t_map,
                 "pings_per_sec": n / t_map if t_map else 0.0,
@@ -175,16 +195,31 @@ def _map_bag_offline(args, cfg, stream_cfg) -> int:
     if args.save_cloud:
         from sonar_3d_reconstruction_tpu.io.pointcloud import serialize_pointcloud2
 
-        if args.backend == "brick":
+        if args.backend == "brick-sharded":
             from sonar_3d_reconstruction_tpu.grid.brick import (
-                extract_occupied_brick as _extract,
+                extract_occupied_brick,
             )
-        else:
-            from sonar_3d_reconstruction_tpu.grid.hash import (
-                extract_occupied_hash as _extract,
+            from sonar_3d_reconstruction_tpu.parallel.shard_brick import (
+                local_brick_states,
             )
 
-        pts, probs = _extract(state, cfg)
+            parts = [
+                extract_occupied_brick(s, cfg)
+                for s in local_brick_states(state)
+            ]
+            pts = np.concatenate([p[0] for p in parts])
+            probs = np.concatenate([p[1] for p in parts])
+        else:
+            if args.backend == "brick":
+                from sonar_3d_reconstruction_tpu.grid.brick import (
+                    extract_occupied_brick as _extract,
+                )
+            else:
+                from sonar_3d_reconstruction_tpu.grid.hash import (
+                    extract_occupied_hash as _extract,
+                )
+
+            pts, probs = _extract(state, cfg)
         with open(args.save_cloud, "wb") as f:
             f.write(serialize_pointcloud2(pts, probs)["data"])
     return 0
@@ -277,7 +312,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
     p.add_argument("--chunk", type=int, default=32)
     p.add_argument(
-        "--backend", choices=("hash", "brick"), default="hash",
+        "--backend", choices=("hash", "brick", "brick-sharded"),
+        default="hash",
         help="map backend (streaming and --offline): per-voxel hash table "
         "or sparse-of-dense brick table (grid/brick.py; measured faster "
         "at survey scale, see PERFORMANCE.md)",

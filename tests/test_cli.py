@@ -55,6 +55,42 @@ def test_cli_make_map_roundtrip(tmp_path, capsys):
     assert int(np.asarray(state.used)) > 0
 
 
+def test_cli_offline_brick_sharded_matches_brick(tmp_path, capsys):
+    """--offline --backend brick-sharded runs the frame-parallel engine on
+    the CPU mesh and must produce the identical cloud/snapshot as the
+    single-chip brick backend; streaming rejects the backend cleanly."""
+    bag = str(tmp_path / "sh.db3")
+    run(capsys, "make-bag", bag, "--pings", "5", "--range-bins", "60",
+        "--bearing-bins", "48")
+    common = ["--param", "max_range=5.0", "--param", "voxel_resolution=0.1",
+              "--offline", "--window", "2"]
+
+    cloud_b = str(tmp_path / "brick.pc2")
+    out_b = run(capsys, "map-bag", bag, *common, "--backend", "brick",
+                "--save-cloud", cloud_b)
+    cloud_s = str(tmp_path / "sharded.pc2")
+    map_s = str(tmp_path / "sharded.npz")
+    out_s = run(capsys, "map-bag", bag, *common, "--backend", "brick-sharded",
+                "--save-cloud", cloud_s, "--save-map", map_s)
+
+    sb = json.loads(out_b.splitlines()[-1])
+    ss = json.loads(out_s.splitlines()[-1])
+    assert ss["pairs"] == sb["pairs"] == 5
+    assert ss["num_voxels"] == sb["num_voxels"]
+    a = np.fromfile(cloud_b, np.float32).reshape(-1, 4)
+    b = np.fromfile(cloud_s, np.float32).reshape(-1, 4)
+    np.testing.assert_array_equal(a[np.lexsort(a.T)], b[np.lexsort(b.T)])
+
+    # layout-independent snapshot restores with the full voxel count
+    state, _ = load_map(map_s)
+    assert int(np.asarray(state.used).sum()) == ss["num_voxels"]
+
+    # streaming path refuses the multi-chip backend with a clear error
+    rc = main(["map-bag", bag, "--backend", "brick-sharded"])
+    assert rc == 2
+    assert "streaming runtime is single-chip" in capsys.readouterr().err
+
+
 def test_cli_query_saved_map(tmp_path, capsys):
     bag = str(tmp_path / "q.db3")
     run(capsys, "make-bag", bag, "--pings", "4", "--range-bins", "60",
