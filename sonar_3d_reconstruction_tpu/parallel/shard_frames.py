@@ -85,6 +85,7 @@ def default_xchg_budget(unique_budget: int, n_shards: int) -> int:
 
 
 @functools.lru_cache(maxsize=32)
+@functools.lru_cache(maxsize=32)
 def make_window_scan_sharded_frames(
     mesh: Mesh,
     tables: FanTables,
