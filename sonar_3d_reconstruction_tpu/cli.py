@@ -93,14 +93,6 @@ def cmd_map_bag(args: argparse.Namespace) -> int:
     if args.offline:
         return _map_bag_offline(args, cfg, stream_cfg)
 
-    if args.backend == "brick-sharded":
-        print(
-            "error: the streaming runtime is single-chip (hash/brick); "
-            "use --offline for the brick-sharded multi-chip backend",
-            file=sys.stderr,
-        )
-        return 2
-
     mapper = StreamingMapper(
         cfg,
         stream_cfg,

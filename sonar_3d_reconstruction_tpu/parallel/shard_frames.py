@@ -326,23 +326,38 @@ def make_window_scan_sharded_frames(
         for ib in set(insert_schedule)
     }
 
-    def scan(state, images, transforms, start=0):
+    def scan(state, images, transforms, start=0, stop=None):
+        """``stop`` (host int): frames >= stop are padding — their window
+        programs are SKIPPED entirely (a streaming chunk keeps its static
+        shape; the tail windows would run full-lattice sorts on masked-off
+        frames) and their stats rows are zero."""
         P_ = images.shape[0]
+        limit = P_ if stop is None else max(0, min(P_, int(stop)))
         images = jnp.asarray(images)
         transforms = jnp.asarray(transforms, dtype)
         start = jnp.asarray(start, jnp.int32)
-        stop = jnp.int32(P_)
+        stop_v = jnp.int32(limit)
         window_stats = []
-        for wi, w in enumerate(range(0, P_, window)):
+        for wi, w in enumerate(range(0, limit, window)):
             ib = insert_schedule[min(wi, len(insert_schedule) - 1)]
             state, stats = window_steps[ib](
-                state, images, transforms, jnp.int32(w), start, stop
+                state, images, transforms, jnp.int32(w), start, stop_v
             )
             window_stats.append(stats)
-        return state, {
+        out = {
             k: jnp.concatenate([s[k] for s in window_stats])[:P_]
             for k in (window_stats[0] if window_stats else {})
         }
+        if limit < P_ and window_stats:
+            pad = P_ - int(out["overflowed"].shape[0])
+            if pad > 0:
+                out = {
+                    k: jnp.concatenate(
+                        [v, jnp.zeros((pad,) + v.shape[1:], v.dtype)]
+                    )
+                    for k, v in out.items()
+                }
+        return state, out
 
     return scan
 
@@ -367,12 +382,20 @@ def map_ping_sequence_sharded_frames(
     brick_bits: int = DEFAULT_BRICK_BITS,
     max_grow_retries: int = 12,
     effective: Optional[Dict] = None,
+    tables: Optional[FanTables] = None,
+    stop: Optional[int] = None,
 ) -> Tuple[ShardedBrickState, Dict[str, np.ndarray]]:
     """Host wrapper: grow the right knob and replay from the first failed
     frame, with the frame-parallel engine's extra growable cause
     (``xchg_overflow`` -> double the exchange block budget).  Mirrors
     map_ping_sequence_sharded_brick otherwise; ``effective``, if given,
-    receives the post-growth budgets for stateful callers."""
+    receives the post-growth budgets for stateful callers.
+
+    ``tables``: caller-provided fan tables (e.g. the streaming runtime's
+    host-gated capped tables — any cap exact for these images is exact
+    here too); defaults to the uncapped geometry.  ``stop``: frames >=
+    stop are padding kept only for static chunk shapes — never mapped,
+    zero stats rows."""
     from sonar_3d_reconstruction_tpu.grid.hash import default_unique_budget
     from sonar_3d_reconstruction_tpu.ops.backproject import build_fan_tables
     from sonar_3d_reconstruction_tpu.pipeline import batched_sonar_to_world
@@ -382,7 +405,8 @@ def map_ping_sequence_sharded_frames(
     S = int(mesh.devices.size)
     images = np.asarray(images)
     P_, R, B = images.shape
-    tables = build_fan_tables(cfg, R, B)
+    if tables is None:
+        tables = build_fan_tables(cfg, R, B)
     T = batched_sonar_to_world(positions, quaternions, cfg)
     images_dev = jnp.asarray(images)
     T_dev = jnp.asarray(T, dtype)
@@ -397,11 +421,14 @@ def map_ping_sequence_sharded_frames(
     if isinstance(insert_budget, list):
         insert_budget = tuple(insert_budget)
     def make_scan():
-        return make_window_scan_sharded_frames(
+        scan = make_window_scan_sharded_frames(
             mesh, tables, cfg, dtype, axis_name, unique_budget, window,
             xchg_budget, brick_budget, lane_budget, insert_budget,
             brick_bits,
         )
+        if stop is None:
+            return scan
+        return partial(scan, stop=stop)
 
     def _default_ub():
         return unique_budget or default_unique_budget(

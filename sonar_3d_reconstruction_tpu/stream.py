@@ -119,6 +119,7 @@ class StreamingMapper:
         unique_budget: Optional[int] = None,
         batch_budget: Optional[int] = None,
         backend: str = "hash",
+        mesh=None,
     ):
         self.cfg = cfg or MapperConfig()
         self.stream_cfg = stream_cfg or StreamConfig()
@@ -140,6 +141,24 @@ class StreamingMapper:
             )
         elif backend == "hash":
             self.state = init_hash_grid(initial_capacity, dtype)
+        elif backend == "brick-sharded":
+            # multi-chip live streaming: chunks flow through the
+            # frame-parallel engine (parallel/shard_frames.py) with the
+            # SAME host-gated capped tables as the single-chip backends
+            # (any cap exact for the gated images is exact sharded too).
+            # The compact box-key engine is single-chip-only, so sharded
+            # chunks run the wide two-word keys.
+            from sonar_3d_reconstruction_tpu.parallel.shard import make_mesh
+            from sonar_3d_reconstruction_tpu.parallel.shard_brick import (
+                init_sharded_brick_grid,
+            )
+
+            self.mesh = mesh if mesh is not None else make_mesh()
+            S = int(self.mesh.devices.size)
+            local = max(128, max(128, initial_capacity >> 4) // S)
+            local = 1 << (local - 1).bit_length()
+            self.state = init_sharded_brick_grid(self.mesh, local, dtype)
+            self._sharded_budgets: Dict[str, Any] = {}
         else:
             raise ValueError(f"unknown backend {backend!r}")
         self.stats = StreamStats()
@@ -319,6 +338,10 @@ class StreamingMapper:
             self._run_chunk_brick(images_dev, T_dev, n, T[:, :3, 3])
             self._finish_chunk(t0, n)
             return
+        if self.backend == "brick-sharded":
+            self._run_chunk_sharded(images, positions, quats, n)
+            self._finish_chunk(t0, n)
+            return
         start = 0
         for _retry in range(12):
             new_state, stats = scan_pings_hash(
@@ -472,6 +495,31 @@ class StreamingMapper:
             "brick growth did not converge after 12 retries in one chunk"
         )
 
+    def _run_chunk_sharded(self, images, positions, quats, n: int) -> None:
+        """Multi-chip chunk engine: the frame-parallel sharded wrapper
+        handles growth internally; sticky post-growth budgets are threaded
+        back through ``effective`` so later chunks start where this one
+        ended (each adoption counts as one grow).  ``images`` keeps the
+        padded static chunk shape; ``stop=n`` masks the padding without
+        running its window programs."""
+        from sonar_3d_reconstruction_tpu.parallel.shard_frames import (
+            map_ping_sequence_sharded_frames,
+        )
+
+        eff: Dict[str, Any] = {}
+        cap_before = self.state.local_capacity
+        self.state, _stats = map_ping_sequence_sharded_frames(
+            images, positions, quats, self.cfg, mesh=self.mesh,
+            state=self.state, dtype=self.dtype,
+            window=min(self.window, self.chunk_size),
+            tables=self._tables, stop=n, effective=eff,
+            **self._sharded_budgets,
+        )
+        eff = {k: v for k, v in eff.items() if v is not None}
+        if eff != self._sharded_budgets or self.state.local_capacity != cap_before:
+            self.stats.grows += 1
+            self._sharded_budgets = eff
+
     def _finish_chunk(self, t0: float, n: int) -> None:
         done = time.perf_counter()
         self.stats.device_time += done - t0
@@ -509,6 +557,20 @@ class StreamingMapper:
             )
 
             points, probs = extract_occupied_brick(self.state, self.cfg)
+        elif self.backend == "brick-sharded":
+            from sonar_3d_reconstruction_tpu.grid.brick import (
+                extract_occupied_brick,
+            )
+            from sonar_3d_reconstruction_tpu.parallel.shard_brick import (
+                local_brick_states,
+            )
+
+            parts = [
+                extract_occupied_brick(s, self.cfg)
+                for s in local_brick_states(self.state)
+            ]
+            points = np.concatenate([p[0] for p in parts])
+            probs = np.concatenate([p[1] for p in parts])
         else:
             points, probs = extract_occupied_hash(self.state, self.cfg)
         sec = int(stamp)

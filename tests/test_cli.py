@@ -85,10 +85,17 @@ def test_cli_offline_brick_sharded_matches_brick(tmp_path, capsys):
     state, _ = load_map(map_s)
     assert int(np.asarray(state.used).sum()) == ss["num_voxels"]
 
-    # streaming path refuses the multi-chip backend with a clear error
-    rc = main(["map-bag", bag, "--backend", "brick-sharded"])
-    assert rc == 2
-    assert "streaming runtime is single-chip" in capsys.readouterr().err
+    # the STREAMING runtime runs the same multi-chip backend (host-gated
+    # capped tables, padded final chunk masked via stop) — same cloud
+    cloud_st = str(tmp_path / "sharded_stream.pc2")
+    out_st = run(capsys, "map-bag", bag, "--param", "max_range=5.0",
+                 "--param", "voxel_resolution=0.1", "--chunk", "4",
+                 "--window", "2", "--backend", "brick-sharded",
+                 "--save-cloud", cloud_st)
+    st = json.loads(out_st.splitlines()[-1])
+    assert st["frames_mapped"] == 5
+    c = np.fromfile(cloud_st, np.float32).reshape(-1, 4)
+    np.testing.assert_array_equal(a[np.lexsort(a.T)], c[np.lexsort(c.T)])
 
 
 def test_cli_query_saved_map(tmp_path, capsys):

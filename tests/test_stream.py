@@ -169,6 +169,58 @@ def test_stream_brick_backend(tmp_path, small_cfg):
         assert c[k] == b[k]
 
 
+def test_stream_brick_sharded_backend(tmp_path, small_cfg):
+    """StreamingMapper(backend='brick-sharded') on the 8-device CPU mesh:
+    bit-identical map to the single-chip brick stream (same host-gated
+    capped tables, padded final chunk masked via stop), growth under a
+    tiny sharded capacity, and the same published cloud."""
+    from sonar_3d_reconstruction_tpu.io.pointcloud import parse_pointcloud2
+    from sonar_3d_reconstruction_tpu.parallel.shard_brick import (
+        gather_sharded_brick_state,
+    )
+    from test_brick_grid import brick_state_to_dict
+
+    cfg = small_cfg
+    path, images, positions, quats = make_bag(tmp_path, cfg, 5, seed=610)
+    sm = StreamingMapper(
+        cfg, chunk_size=3, window=3, initial_capacity=1 << 13,
+        dtype=jnp.float64, backend="brick-sharded",
+    )
+    stats = sm.run_bag(path)
+    assert stats.frames_mapped == 5
+
+    ref = StreamingMapper(
+        cfg, chunk_size=3, window=3, initial_capacity=1 << 11,
+        dtype=jnp.float64, backend="brick",
+    )
+    ref.run_bag(path)
+    keys, lo = gather_sharded_brick_state(sm.state)
+    a = {tuple(k): float(v) for k, v in zip(keys, lo)}
+    b = brick_state_to_dict(ref.state)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k], k
+
+    ps, _ = parse_pointcloud2(sm.pointcloud_msg())
+    pr, _ = parse_pointcloud2(ref.pointcloud_msg())
+    assert {tuple(np.round(p, 6)) for p in ps} == {
+        tuple(np.round(p, 6)) for p in pr
+    }
+
+    # growth under a tiny per-shard capacity converges to the same map
+    smt = StreamingMapper(
+        cfg, chunk_size=5, window=3, initial_capacity=1 << 8,
+        dtype=jnp.float64, backend="brick-sharded",
+    )
+    smt.run_bag(path)
+    assert smt.stats.grows > 0
+    keys2, lo2 = gather_sharded_brick_state(smt.state)
+    c = {tuple(k): float(v) for k, v in zip(keys2, lo2)}
+    assert c.keys() == b.keys()
+    for k in c:
+        assert c[k] == b[k]
+
+
 def test_stream_growth(tmp_path, small_cfg):
     cfg = small_cfg
     path, images, positions, quats = make_bag(tmp_path, cfg, 5, seed=200)
