@@ -103,8 +103,12 @@ def _dense_step(state, image, T, *, tables, spec, cfg, dtype):
 
 
 class SonarMapper:
-    """Stateful sonar-to-3D mapper with a hashed sparse (default) or dense
-    bounded voxel map backend."""
+    """Stateful sonar-to-3D mapper (reference SonarTo3DMapper parity,
+    3d_mapper.py:197-650) over one of four map backends: "hash" (default,
+    per-voxel bucketized hash grid), "brick" (sparse-of-dense 4x4x4 brick
+    table — fastest at survey scale), "brick-sharded" (the brick table
+    sharded over a jax Mesh via the frame-parallel engine; every read
+    path distributes exactly), or "dense" (bounded dense grid)."""
 
     def __init__(
         self,
