@@ -169,6 +169,36 @@ def row_gather(p):
 ms = marginal(f"row u32 gather  ({UV},{B}) rows from ({LB},{B})", row_gather)
 print(f"    -> {ms*1e6/UV:.2f} ns/row", flush=True)
 
+# ---- brick VALUE-row ops: does cost scale with ROWS or with TABLE
+# capacity?  (round-3 row_bench measured ~250-300 ns/row at few-k rows
+# and the cost looked ~proportional to table bytes — a full-table pass
+# would mean snugger/dynamically-sized value tables cut the apply's
+# table ops directly.  Fixed 7168 gathered+scattered rows, capacity
+# swept 2^14..2^17.)
+NROWS = 7168
+for cap_pow in (14, 15, 16, 17):
+    CAP = 1 << cap_pow
+    vidx = np.sort(
+        rng.choice(CAP, size=NROWS, replace=False).astype(np.int32)
+    )
+    vidx_d = jnp.asarray(vidx)
+    vtab = jnp.asarray(
+        rng.standard_normal((CAP, 64)).astype(np.float32)
+    )
+
+    def value_rmw(p, vidx_d=vidx_d, vtab=vtab):
+        rows = vtab[vidx_d] + p.astype(jnp.float32)
+        return vtab.at[vidx_d].set(
+            rows, mode="drop", unique_indices=True, indices_are_sorted=True
+        )
+
+    ms = marginal(
+        f"f32 value row gather+scatter  {NROWS} rows of (2^{cap_pow},64)",
+        jax.jit(value_rmw),
+    )
+    print(f"    -> {ms*1e6/NROWS:.2f} ns/row "
+          f"({CAP*64*4/ms*1e-6:.1f} GB/s if full-table)", flush=True)
+
 # ---- u64 scalar scatter ------------------------------------------------
 # Everything (array creation, tracing, execution) must run INSIDE the
 # x64 context or jnp silently downgrades uint64 -> uint32 and the
