@@ -89,6 +89,10 @@ _NODE_PARAM_DEFAULTS: Dict[str, Any] = {
     # reference node:105 (read :154, used per frame :338-339; prod config
     # enables it, config/3d_mapper.yaml:62)
     "show_opencv_visualization": False,
+    # EXTENSION beyond the reference's declared set: select the TPU map
+    # backend (hash | brick | brick-sharded | dense).  Default preserves
+    # the reference-parity hash behavior.
+    "map_backend": "hash",
 }
 
 
@@ -126,7 +130,7 @@ class SonarMapperNode(Node):  # pragma: no cover - needs a ROS2 environment
             math.radians(p("sonar_orientation.pitch")),
             math.radians(p("sonar_orientation.yaw")),
         ]
-        self.mapper = SonarMapper(lib_config)
+        self.mapper = SonarMapper(lib_config, backend=str(p("map_backend")))
         self.show_free_space = bool(p("show_free_space"))
         self.show_opencv_visualization = bool(p("show_opencv_visualization"))
         self.map_frame_id = str(p("map_frame_id"))

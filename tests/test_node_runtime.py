@@ -107,6 +107,25 @@ def test_ingest_through_synchronizer_and_publish(node_env):
     assert (xyzi[:, 3] > 0.6).all()
 
 
+def test_map_backend_parameter_selects_backend(node_env):
+    """The additive map_backend parameter routes the node's mapper onto
+    the brick (and sharded) backends; ingest+extraction behave the same."""
+    node = _make_node(node_env, map_backend="brick")
+    assert node.mapper.backend == "brick"
+    sonar_sub, odom_sub = node._sync.subscribers
+    img = synthetic_ping(32, 24, seed=77)
+    sonar_sub.deliver(_image_msg(img, 60.0))
+    odom_sub.deliver(_odom_msg((0.0, 0.0, 0.0), 60.02))
+    assert node.mapper.frame_count == 1
+    ref = _make_node(node_env)  # default hash
+    rs, ro = ref._sync.subscribers
+    rs.deliver(_image_msg(img, 60.0))
+    ro.deliver(_odom_msg((0.0, 0.0, 0.0), 60.02))
+    a = node.mapper.get_point_cloud()
+    b = ref.mapper.get_point_cloud()
+    assert a["num_occupied"] == b["num_occupied"] > 0
+
+
 def test_unsynced_messages_never_map(node_env):
     """Image/odometry stamps farther apart than slop never pair (reference
     behavior: the synchronizer silently drops them)."""
