@@ -166,8 +166,6 @@ def _map_bag_offline(args, cfg, stream_cfg) -> int:
     t_map = time.perf_counter() - t0
     n = len(images)
     span = float(stamps[-1] - stamps[0]) if n > 1 else 0.0
-    import numpy as np
-
     print(
         json.dumps(
             {

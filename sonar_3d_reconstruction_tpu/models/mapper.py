@@ -306,6 +306,16 @@ class SonarMapper:
         self.processed_frame_count += 1
 
         polar_image = np.asarray(polar_image)
+        if self.backend == "brick-sharded":
+            # host arrays only — the sharded wrapper computes the transform
+            # and uploads the ping itself (no duplicated device transfer)
+            stats = self._process_sharded(
+                polar_image[None],
+                np.asarray(robot_position, np.float64)[None],
+                np.asarray(robot_orientation, np.float64)[None],
+            )
+            return self._finish_ping(stats, t0)
+
         tables = self._tables_for(polar_image.shape)
         T = (
             pose_matrix_from_quaternion(
@@ -329,12 +339,6 @@ class SonarMapper:
             )
         elif self.backend == "brick":
             stats = self._process_brick(image_dev, T_dev, tables)
-        elif self.backend == "brick-sharded":
-            stats = self._process_sharded(
-                polar_image[None],
-                np.asarray(robot_position, np.float64)[None],
-                np.asarray(robot_orientation, np.float64)[None],
-            )
         else:
             # proactive growth, then replay-on-overflow as a backstop
             while True:
@@ -385,7 +389,11 @@ class SonarMapper:
 
         if self.track_update_counts and self.backend == "hash":
             self._record_update_counts(image_dev, T_dev, tables)
+        return self._finish_ping(stats, t0)
 
+    def _finish_ping(self, stats, t0: float) -> Dict[str, Any]:
+        """Assemble the reference-schema per-ping result dict
+        (3d_mapper.py:587-595) from a backend step's stats."""
         out = {
             k: int(v)
             for k, v in stats.items()

@@ -85,7 +85,6 @@ def default_xchg_budget(unique_budget: int, n_shards: int) -> int:
 
 
 @functools.lru_cache(maxsize=32)
-@functools.lru_cache(maxsize=32)
 def make_window_scan_sharded_frames(
     mesh: Mesh,
     tables: FanTables,
@@ -333,6 +332,8 @@ def make_window_scan_sharded_frames(
         frames) and their stats rows are zero."""
         P_ = images.shape[0]
         limit = P_ if stop is None else max(0, min(P_, int(stop)))
+        if limit == 0:
+            return state, {}
         images = jnp.asarray(images)
         transforms = jnp.asarray(transforms, dtype)
         start = jnp.asarray(start, jnp.int32)
@@ -415,7 +416,7 @@ def map_ping_sequence_sharded_frames(
         state if state is not None
         else init_sharded_brick_grid(mesh, local_capacity, dtype, brick_bits)
     )
-    if P_ == 0:
+    if P_ == 0 or (stop is not None and stop <= 0):
         return st, {}
     window = min(window, P_)
     if isinstance(insert_budget, list):

@@ -329,17 +329,19 @@ class StreamingMapper:
         quats = np.stack(
             self._chunk_quats + [self._chunk_quats[-1]] * pad
         )
+        if self.backend == "brick-sharded":
+            # host arrays only: the sharded wrapper computes transforms and
+            # uploads the chunk itself (no duplicated multi-MB transfer)
+            t0 = time.perf_counter()
+            self._run_chunk_sharded(images, positions, quats, n)
+            self._finish_chunk(t0, n)
+            return
         T = batched_sonar_to_world(positions, quats, self.cfg)
-
         images_dev = jnp.asarray(images)
         T_dev = jnp.asarray(T, self.dtype)
         t0 = time.perf_counter()
         if self.backend == "brick":
             self._run_chunk_brick(images_dev, T_dev, n, T[:, :3, 3])
-            self._finish_chunk(t0, n)
-            return
-        if self.backend == "brick-sharded":
-            self._run_chunk_sharded(images, positions, quats, n)
             self._finish_chunk(t0, n)
             return
         start = 0

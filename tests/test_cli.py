@@ -56,9 +56,10 @@ def test_cli_make_map_roundtrip(tmp_path, capsys):
 
 
 def test_cli_offline_brick_sharded_matches_brick(tmp_path, capsys):
-    """--offline --backend brick-sharded runs the frame-parallel engine on
-    the CPU mesh and must produce the identical cloud/snapshot as the
-    single-chip brick backend; streaming rejects the backend cleanly."""
+    """--backend brick-sharded runs the frame-parallel engine on the CPU
+    mesh in BOTH modes (--offline batch and streaming chunks) and must
+    produce the identical cloud/snapshot as the single-chip brick
+    backend."""
     bag = str(tmp_path / "sh.db3")
     run(capsys, "make-bag", bag, "--pings", "5", "--range-bins", "60",
         "--bearing-bins", "48")
