@@ -156,3 +156,91 @@ def load_map_brick(
         ),
         cfg,
     )
+
+
+def load_map_sharded_brick(
+    path: str,
+    mesh=None,
+    local_capacity: Optional[int] = None,
+    dtype=jnp.float32,
+    brick_bits: Optional[int] = None,
+    axis_name: str = "space",
+):
+    """Restore a snapshot into a SHARDED brick grid: each voxel is dealt
+    to its brick's owner shard (ownership is a pure function of the brick
+    code, parallel/shard_brick.owner_shard_brick), so a map saved from ANY
+    backend — hash, brick, or either sharded engine — resumes multi-chip
+    mapping.  Returns (ShardedBrickState, MapperConfig)."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from sonar_3d_reconstruction_tpu.grid.brick import (
+        DEFAULT_BRICK_BITS,
+        load_voxels_brick,
+    )
+    from sonar_3d_reconstruction_tpu.ops.packing import pack_brick_keys
+    from sonar_3d_reconstruction_tpu.parallel.shard import make_mesh
+    from sonar_3d_reconstruction_tpu.parallel.shard_brick import (
+        ShardedBrickState,
+        owner_shard_brick,
+    )
+
+    bb = brick_bits or DEFAULT_BRICK_BITS
+    with np.load(path, allow_pickle=False) as z:
+        assert str(z["format"]) == _FORMAT, f"unknown snapshot format in {path}"
+        keys = z["keys"].reshape(-1, 3).astype(np.int32)
+        lo = z["log_odds"]
+        min_bounds = z["min_bounds"]
+        max_bounds = z["max_bounds"]
+        cfg = config_from_dict(json.loads(str(z["config"])))
+
+    mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
+    S = int(mesh.devices.size)
+    n = len(keys)
+    if n:
+        hi, lo_code, in_range = pack_brick_keys(jnp.asarray(keys), bb)
+        assert bool(jnp.all(in_range)), "snapshot keys out of packable range"
+        owner = np.asarray(owner_shard_brick(hi, lo_code, bb, S))
+    else:
+        owner = np.empty((0,), np.int32)
+    per = [np.flatnonzero(owner == s) for s in range(S)]
+
+    # uniform per-shard capacity: the auto-sized max over shards (pow2),
+    # floored at the caller's local_capacity
+    sized = [
+        load_voxels_brick(keys[i], lo[i], dtype=dtype, brick_bits=bb)
+        for i in per
+    ]
+    cap = max([s.capacity for s in sized] + [local_capacity or 0])
+    assert cap & (cap - 1) == 0, "local_capacity must be a power of two"
+    locals_ = [
+        s if s.capacity == cap
+        else load_voxels_brick(keys[i], lo[i], capacity=cap, dtype=dtype,
+                               brick_bits=bb)
+        for s, i in zip(sized, per)
+    ]
+
+    sh = NamedSharding(mesh, PartitionSpec(axis_name))
+    stack = lambda f: jax.device_put(
+        jnp.stack([f(s) for s in locals_]), sh
+    )
+    big = jnp.asarray(min_bounds, dtype)
+    return (
+        ShardedBrickState(
+            key_rows=stack(lambda s: s.key_rows),
+            log_odds=stack(lambda s: s.log_odds),
+            touched=stack(lambda s: s.touched),
+            min_bounds=jax.device_put(
+                jnp.broadcast_to(big[None], (S, 3)), sh
+            ),
+            max_bounds=jax.device_put(
+                jnp.broadcast_to(
+                    jnp.asarray(max_bounds, dtype)[None], (S, 3)
+                ),
+                sh,
+            ),
+            used=stack(lambda s: jnp.asarray(s.used, jnp.int32)),
+            poisoned=stack(lambda s: jnp.zeros((), bool)),
+        ),
+        cfg,
+    )

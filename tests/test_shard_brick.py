@@ -191,3 +191,64 @@ def test_sharded_brick_checkpoint_roundtrip(tmp_path, small_cfg):
     smin, smax = sharded_brick_bounds(sh)
     np.testing.assert_array_equal(smin, np.asarray(restored.min_bounds))
     np.testing.assert_array_equal(smax, np.asarray(restored.max_bounds))
+
+
+def test_sharded_restore_resumes_multichip_exactly(tmp_path, small_cfg):
+    """load_map_sharded_brick deals a snapshot's voxels to their owner
+    shards; resuming the remaining pings on the restored state must match
+    the uninterrupted sharded run bit-for-bit — including when the
+    snapshot was saved from the single-chip HASH backend."""
+    from sonar_3d_reconstruction_tpu.io.checkpoint import (
+        load_map_sharded_brick,
+        save_map,
+    )
+    from sonar_3d_reconstruction_tpu.parallel.shard_frames import (
+        map_ping_sequence_sharded_frames,
+    )
+
+    cfg = small_cfg
+    images, positions, quats = make_seq(cfg, 6, seed=955)
+    mesh = make_mesh()
+
+    full, _ = map_ping_sequence_sharded_frames(
+        images, positions, quats, cfg, mesh=mesh, dtype=jnp.float64,
+        window=3, local_capacity=1 << 10,
+    )
+    want = sharded_brick_to_dict(full)
+
+    # interrupt after 3 pings, snapshot, restore sharded, resume
+    half, _ = map_ping_sequence_sharded_frames(
+        images[:3], positions[:3], quats[:3], cfg, mesh=mesh,
+        dtype=jnp.float64, window=3, local_capacity=1 << 10,
+    )
+    path = str(tmp_path / "resume.npz")
+    save_map(path, half, cfg)
+    restored, rcfg = load_map_sharded_brick(path, mesh=mesh, dtype=jnp.float64)
+    assert rcfg.voxel_resolution == cfg.voxel_resolution
+    assert int(np.asarray(restored.used).sum()) == len(
+        sharded_brick_to_dict(half)
+    )
+    resumed, _ = map_ping_sequence_sharded_frames(
+        images[3:], positions[3:], quats[3:], cfg, mesh=mesh,
+        state=restored, dtype=jnp.float64, window=3,
+    )
+    got = sharded_brick_to_dict(resumed)
+    assert got.keys() == want.keys()
+    for k in got:
+        assert got[k] == want[k], k
+
+    # cross-backend: a hash-saved snapshot restores into the sharded grid
+    from sonar_3d_reconstruction_tpu.pipeline import map_ping_sequence
+
+    hstate, _ = map_ping_sequence(
+        images[:3], positions[:3], quats[:3], cfg, backend="hash",
+        dtype=jnp.float64, window=3,
+    )
+    hpath = str(tmp_path / "hash.npz")
+    save_map(hpath, hstate, cfg)
+    hrestored, _ = load_map_sharded_brick(hpath, mesh=mesh, dtype=jnp.float64)
+    hr = sharded_brick_to_dict(hrestored)
+    hh = sharded_brick_to_dict(restored)
+    assert hr.keys() == hh.keys()
+    for k in hr:
+        assert hr[k] == hh[k]
