@@ -11,4 +11,6 @@ from sonar_3d_reconstruction_tpu.io.timesync import ApproximateTimeSync  # noqa:
 from sonar_3d_reconstruction_tpu.io.checkpoint import (  # noqa: F401
     save_map,
     load_map,
+    load_map_brick,
+    load_map_sharded_brick,
 )

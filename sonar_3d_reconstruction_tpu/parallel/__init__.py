@@ -14,8 +14,12 @@ from sonar_3d_reconstruction_tpu.parallel.shard_brick import (  # noqa: F401
     ShardedBrickState,
     gather_sharded_brick_state,
     init_sharded_brick_grid,
+    local_brick_states,
     map_ping_sequence_sharded_brick,
     rehash_sharded_bricks,
+)
+from sonar_3d_reconstruction_tpu.parallel.shard_frames import (  # noqa: F401
+    map_ping_sequence_sharded_frames,
 )
 from sonar_3d_reconstruction_tpu.parallel.multihost import (  # noqa: F401
     apply_record_segments,
