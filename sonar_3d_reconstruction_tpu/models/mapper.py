@@ -287,6 +287,11 @@ class SonarMapper:
             images, positions, quaternions, self.cfg, mesh=self.mesh,
             state=self.state, dtype=self.dtype,
             window=min(window, images.shape[0]), effective=eff,
+            # worst-case (uncapped) tables: the stateful mapper sees many
+            # batches and per-batch auto caps would recompile whenever a
+            # deeper return arrives (same rationale as map_sequence's
+            # fan_cap=None for the single-chip backends)
+            fan_cap=None, window_cap=None, free_cap=None,
             **self._sharded_budgets,
         )
         self._sharded_budgets = {

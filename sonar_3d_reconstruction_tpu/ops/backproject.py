@@ -332,6 +332,32 @@ def required_window_cap(
     return max(1, deepest + 1)
 
 
+def resolve_capped_tables(
+    images: np.ndarray,
+    cfg: MapperConfig,
+    range_bins: int,
+    bearing_bins: int,
+    fan_cap="auto",
+    window_cap="auto",
+    free_cap="auto",
+) -> FanTables:
+    """Host-gated cap resolution shared by pipeline.map_ping_sequence and
+    the sharded sequence wrappers: "auto" sizes each static lattice cap
+    exactly for THESE images (bit-equivalent by construction); an int
+    pins it; None/0 keeps the config worst case."""
+    P = len(images)
+    if fan_cap == "auto":
+        fan_cap = required_fan_cap(images, cfg, range_bins) if P else 0
+    if window_cap == "auto":
+        window_cap = required_window_cap(images, cfg, range_bins) if P else 0
+    if free_cap == "auto":
+        free_cap = required_free_cap(images, cfg, range_bins) if P else 0
+    return build_fan_tables(
+        cfg, range_bins, bearing_bins, fan_cap=int(fan_cap or 0),
+        window_cap=int(window_cap or 0), free_cap=int(free_cap or 0),
+    )
+
+
 def _local_points(r, cos_v, sin_v, cos_b, sin_b):
     """Sonar-frame coordinates (+X fwd, +Y right with the reference's negated-y
     right-hand fix, +Z down; reference :432-436).  Multiplication order matches

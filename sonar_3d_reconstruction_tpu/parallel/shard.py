@@ -538,6 +538,9 @@ def map_ping_sequence_sharded(
     lane_budget: Optional[int] = None,
     insert_budget=None,
     max_grow_retries: int = 12,
+    fan_cap="auto",
+    window_cap="auto",
+    free_cap="auto",
 ) -> Tuple[ShardedHashState, Dict[str, np.ndarray]]:
     """Sharded equivalent of pipeline.map_ping_sequence: map a whole ping
     sequence over the mesh with grow+replay-from-first-failure and the same
@@ -552,14 +555,19 @@ def map_ping_sequence_sharded(
         default_batch_budget,
         default_unique_budget,
     )
-    from sonar_3d_reconstruction_tpu.ops.backproject import build_fan_tables
+    from sonar_3d_reconstruction_tpu.ops.backproject import (
+        resolve_capped_tables,
+    )
     from sonar_3d_reconstruction_tpu.pipeline import batched_sonar_to_world
 
     cfg = cfg or MapperConfig()
     mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
     images = np.asarray(images)
     P_, R, B = images.shape
-    tables = build_fan_tables(cfg, R, B)
+    tables = resolve_capped_tables(
+        images, cfg, R, B, fan_cap=fan_cap, window_cap=window_cap,
+        free_cap=free_cap,
+    )
     T = batched_sonar_to_world(positions, quaternions, cfg)
     images_dev = jnp.asarray(images)
     T_dev = jnp.asarray(T, dtype)

@@ -387,6 +387,9 @@ def map_ping_sequence_sharded_brick(
     brick_bits: int = DEFAULT_BRICK_BITS,
     max_grow_retries: int = 12,
     effective: Optional[Dict] = None,
+    fan_cap="auto",
+    window_cap="auto",
+    free_cap="auto",
 ) -> Tuple[ShardedBrickState, Dict[str, np.ndarray]]:
     """Sharded-brick equivalent of pipeline.map_ping_sequence: grow and
     replay from the first failed frame with full cause attribution (unique
@@ -395,14 +398,19 @@ def map_ping_sequence_sharded_brick(
     if given, receives the post-growth budgets so a stateful caller can
     pass them back next batch instead of re-growing."""
     from sonar_3d_reconstruction_tpu.grid.hash import default_unique_budget
-    from sonar_3d_reconstruction_tpu.ops.backproject import build_fan_tables
+    from sonar_3d_reconstruction_tpu.ops.backproject import (
+        resolve_capped_tables,
+    )
     from sonar_3d_reconstruction_tpu.pipeline import batched_sonar_to_world
 
     cfg = cfg or MapperConfig()
     mesh = mesh if mesh is not None else make_mesh(axis_name=axis_name)
     images = np.asarray(images)
     P_, R, B = images.shape
-    tables = build_fan_tables(cfg, R, B)
+    tables = resolve_capped_tables(
+        images, cfg, R, B, fan_cap=fan_cap, window_cap=window_cap,
+        free_cap=free_cap,
+    )
     T = batched_sonar_to_world(positions, quaternions, cfg)
     images_dev = jnp.asarray(images)
     T_dev = jnp.asarray(T, dtype)

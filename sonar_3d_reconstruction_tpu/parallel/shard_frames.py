@@ -385,6 +385,9 @@ def map_ping_sequence_sharded_frames(
     effective: Optional[Dict] = None,
     tables: Optional[FanTables] = None,
     stop: Optional[int] = None,
+    fan_cap="auto",
+    window_cap="auto",
+    free_cap="auto",
 ) -> Tuple[ShardedBrickState, Dict[str, np.ndarray]]:
     """Host wrapper: grow the right knob and replay from the first failed
     frame, with the frame-parallel engine's extra growable cause
@@ -393,12 +396,15 @@ def map_ping_sequence_sharded_frames(
     receives the post-growth budgets for stateful callers.
 
     ``tables``: caller-provided fan tables (e.g. the streaming runtime's
-    host-gated capped tables — any cap exact for these images is exact
-    here too); defaults to the uncapped geometry.  ``stop``: frames >=
-    stop are padding kept only for static chunk shapes — never mapped,
-    zero stats rows."""
+    grow-only gated tables — any cap exact for these images is exact here
+    too); when absent the host gates size the lattice caps exactly for
+    THESE images ("auto", same contract as pipeline.map_ping_sequence).
+    ``stop``: frames >= stop are padding kept only for static chunk
+    shapes — never mapped, zero stats rows."""
     from sonar_3d_reconstruction_tpu.grid.hash import default_unique_budget
-    from sonar_3d_reconstruction_tpu.ops.backproject import build_fan_tables
+    from sonar_3d_reconstruction_tpu.ops.backproject import (
+        resolve_capped_tables,
+    )
     from sonar_3d_reconstruction_tpu.pipeline import batched_sonar_to_world
 
     cfg = cfg or MapperConfig()
@@ -407,7 +413,11 @@ def map_ping_sequence_sharded_frames(
     images = np.asarray(images)
     P_, R, B = images.shape
     if tables is None:
-        tables = build_fan_tables(cfg, R, B)
+        tables = resolve_capped_tables(
+            images if stop is None else images[: max(0, int(stop))],
+            cfg, R, B, fan_cap=fan_cap, window_cap=window_cap,
+            free_cap=free_cap,
+        )
     T = batched_sonar_to_world(positions, quaternions, cfg)
     images_dev = jnp.asarray(images)
     T_dev = jnp.asarray(T, dtype)

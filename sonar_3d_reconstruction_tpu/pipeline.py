@@ -613,27 +613,13 @@ def map_ping_sequence(
                 "unique_overflow": empty_b, "range_fail": empty_b,
             },
         )
-    if fan_cap == "auto":
-        from sonar_3d_reconstruction_tpu.ops.backproject import (
-            required_fan_cap,
-        )
+    from sonar_3d_reconstruction_tpu.ops.backproject import (
+        resolve_capped_tables,
+    )
 
-        fan_cap = required_fan_cap(images, cfg, R) if P else 0
-    if window_cap == "auto":
-        from sonar_3d_reconstruction_tpu.ops.backproject import (
-            required_window_cap,
-        )
-
-        window_cap = required_window_cap(images, cfg, R) if P else 0
-    if free_cap == "auto":
-        from sonar_3d_reconstruction_tpu.ops.backproject import (
-            required_free_cap,
-        )
-
-        free_cap = required_free_cap(images, cfg, R) if P else 0
-    tables = build_fan_tables(
-        cfg, R, B, fan_cap=int(fan_cap or 0), window_cap=int(window_cap or 0),
-        free_cap=int(free_cap or 0),
+    tables = resolve_capped_tables(
+        images, cfg, R, B, fan_cap=fan_cap, window_cap=window_cap,
+        free_cap=free_cap,
     )
     T = batched_sonar_to_world(positions, quaternions, cfg)
 
