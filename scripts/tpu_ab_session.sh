@@ -21,4 +21,8 @@ python bench.py                       > /tmp/tpu_ab/bench_scalar.json 2> /tmp/tp
 BENCH_DENSE_MODE=row python bench.py  > /tmp/tpu_ab/bench_row.json    2> /tmp/tpu_ab/bench_row.log
 BENCH_WINDOW=16 python bench.py       > /tmp/tpu_ab/bench_w16.json    2> /tmp/tpu_ab/bench_w16.log
 python scripts/profile_rowscatter.py  > /tmp/tpu_ab/rowscatter.log    2>&1
+#   5. Sharding machinery overhead on ONE real chip (S=1 mesh runs the
+#      grouped dedup + block peel + self-all_to_all + psum against the
+#      plain engine).                               -> shard_overhead.log
+python scripts/profile_shard_overhead.py > /tmp/tpu_ab/shard_overhead.log 2>&1
 tail -n 1 /tmp/tpu_ab/bench_*.json

@@ -193,6 +193,52 @@ def test_sharded_brick_checkpoint_roundtrip(tmp_path, small_cfg):
     np.testing.assert_array_equal(smax, np.asarray(restored.max_bounds))
 
 
+def test_sharded_restore_empty_map(tmp_path, small_cfg):
+    """An empty snapshot restores into an empty sharded grid."""
+    from sonar_3d_reconstruction_tpu.io.checkpoint import (
+        load_map_sharded_brick,
+        save_map,
+    )
+    from sonar_3d_reconstruction_tpu.grid.brick import init_brick_grid
+
+    path = str(tmp_path / "empty.npz")
+    save_map(path, init_brick_grid(1 << 8, jnp.float64), small_cfg)
+    restored, _ = load_map_sharded_brick(path, mesh=make_mesh(),
+                                         dtype=jnp.float64)
+    assert int(np.asarray(restored.used).sum()) == 0
+    assert sharded_brick_to_dict(restored) == {}
+
+
+def test_sharded_frames_submesh_sizes(small_cfg):
+    """The frame-parallel engine is exact on meshes smaller than the
+    device count (S=2 and S=4 of the 8 virtual devices)."""
+    import jax
+    from jax.sharding import Mesh
+
+    from sonar_3d_reconstruction_tpu.parallel.shard_frames import (
+        map_ping_sequence_sharded_frames,
+    )
+    from sonar_3d_reconstruction_tpu.pipeline import map_ping_sequence
+
+    cfg = small_cfg
+    images, positions, quats = make_seq(cfg, 4, seed=970)
+    single, _ = map_ping_sequence(
+        images, positions, quats, cfg, backend="brick", dtype=jnp.float64,
+        window=4,
+    )
+    want = brick_state_to_dict(single)
+    for S in (2, 4):
+        mesh = Mesh(np.asarray(jax.devices()[:S]), ("space",))
+        sh, _ = map_ping_sequence_sharded_frames(
+            images, positions, quats, cfg, mesh=mesh, dtype=jnp.float64,
+            window=4, local_capacity=1 << 10,
+        )
+        got = sharded_brick_to_dict(sh)
+        assert got.keys() == want.keys(), S
+        for k in got:
+            assert got[k] == want[k], (S, k)
+
+
 def test_sharded_restore_resumes_multichip_exactly(tmp_path, small_cfg):
     """load_map_sharded_brick deals a snapshot's voxels to their owner
     shards; resuming the remaining pings on the restored state must match
