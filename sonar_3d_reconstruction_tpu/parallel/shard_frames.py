@@ -52,6 +52,7 @@ from sonar_3d_reconstruction_tpu.config import MapperConfig
 from sonar_3d_reconstruction_tpu.grid.brick import (
     DEFAULT_BRICK_BITS,
     apply_brick_records_batched,
+    apply_brick_records_compact,
     default_brick_budget,
 )
 from sonar_3d_reconstruction_tpu.ops.backproject import (
@@ -60,9 +61,15 @@ from sonar_3d_reconstruction_tpu.ops.backproject import (
 )
 from sonar_3d_reconstruction_tpu.ops.dedup import (
     UniqueRecords,
+    dedup_frame_compact_grouped,
     dedup_frame_grouped,
 )
-from sonar_3d_reconstruction_tpu.ops.packing import EMPTY_HI, pack_brick_keys
+from sonar_3d_reconstruction_tpu.ops.packing import (
+    EMPTY32,
+    EMPTY_HI,
+    pack_box_keys,
+    pack_brick_keys,
+)
 from sonar_3d_reconstruction_tpu.parallel.shard import make_mesh
 from sonar_3d_reconstruction_tpu.parallel.shard_brick import (
     ShardedBrickState,
@@ -98,9 +105,13 @@ def make_window_scan_sharded_frames(
     lane_budget: Optional[int] = None,
     insert_budget=None,
     brick_bits: int = DEFAULT_BRICK_BITS,
+    box_bits: Optional[Tuple[int, int, int]] = None,
+    dense_mode: str = "scalar",
+    vox_budget: Optional[int] = None,
 ):
     """Frame-parallel sharded window-engine sequence runner:
-    (state, images (P,R,B), transforms (P,4,4), start) -> (state, stats).
+    (state, images (P,R,B), transforms (P,4,4), start[, box_mins])
+    -> (state, stats).
 
     ``xchg_budget``: static per-(frame, dest-shard) record-block width of
     the all_to_all exchange; overflow reports per-frame through the
@@ -108,6 +119,19 @@ def make_window_scan_sharded_frames(
     ``insert_budget`` are PER-SHARD apply statics exactly as in
     make_window_scan_sharded_brick (lane budget bounds window *
     xchg_budget exchanged lanes).
+
+    ``box_bits`` (static per-axis brick bits from
+    ops/packing.compute_window_boxes, sized so that
+    sum(bits) + 3*brick_bits + 1 + ceil(log2 S) <= 31) selects the
+    COMPACT box-key path: the per-shard dedup folds the owner shard into
+    a single-u32 sort word (ops/dedup.dedup_frame_compact_grouped), the
+    exchange moves (key, payload) = 8 B/record instead of the wide
+    four-array 16 B, and each owner runs the compact window apply
+    (grid/brick.apply_brick_records_compact, incl. ``dense_mode`` /
+    ``vox_budget``) — the same sort-byte savings the single-chip engine
+    measured (PERFORMANCE.md).  The scan then takes per-window
+    ``box_mins`` as its fifth argument.  ``box_bits=None`` keeps the wide
+    two-word path.
     """
     from sonar_3d_reconstruction_tpu.grid.hash import default_unique_budget
     from sonar_3d_reconstruction_tpu.ops.records import FrameAux
@@ -126,9 +150,15 @@ def make_window_scan_sharded_frames(
         insert_schedule = (insert_budget,)
     else:
         insert_schedule = tuple(insert_budget)
+    if box_bits is not None:
+        V = sum(box_bits) + 3 * brick_bits
+        gbits = max(1, (max(S - 1, 1)).bit_length())
+        assert V + 1 + gbits <= 31, (box_bits, S)
+        f_bits = max(1, (window - 1).bit_length())
+        assert V + f_bits <= 31, (box_bits, window)
 
     def local_window(blk, images, transforms, w_start, start, stop,
-                     *, window_insert_budget):
+                     box_min, *, window_insert_budget):
         my = jax.lax.axis_index(axis_name)
         P_total = images.shape[0]
 
@@ -150,12 +180,33 @@ def make_window_scan_sharded_frames(
             ).astype(jnp.int32)
             hi, lo, in_range = pack_brick_keys(keys, brick_bits)
             valid = cand["valid"] & frame_on
-            range_fail = jnp.any(valid & ~in_range)
-            valid = valid & in_range
+            if box_bits is None:
+                range_fail = jnp.any(valid & ~in_range)
+                valid = valid & in_range
+            else:
+                bkey, in_box = pack_box_keys(
+                    keys, box_min, box_bits, brick_bits
+                )
+                # boxes are host-proven inside the global range, so
+                # in_box failures are the same growth-cannot-fix class
+                range_fail = jnp.any(valid & ~(in_range & in_box))
+                valid = valid & in_range & in_box
             owner = owner_shard_brick(hi, lo, brick_bits, S)
-            rec, rec_owner = dedup_frame_grouped(
-                hi, lo, cand["is_occupied"], valid, owner, S, U
-            )
+            if box_bits is None:
+                rec, rec_owner = dedup_frame_grouped(
+                    hi, lo, cand["is_occupied"], valid, owner, S, U
+                )
+                arrays = (
+                    (rec.hi, EMPTY_HI), (rec.lo, EMPTY_HI),
+                    (rec.count, 0), (rec.n_occ, 0),
+                )
+                pack_fail = jnp.zeros((), bool)
+            else:
+                rec, rec_owner = dedup_frame_compact_grouped(
+                    bkey, cand["is_occupied"], valid, owner, S, V, U
+                )
+                arrays = ((rec.key, EMPTY32), (rec.payload, 0))
+                pack_fail = rec.pack_fail
 
             # per-owner record counts -> contiguous block starts
             sid = jnp.arange(S, dtype=jnp.int32)
@@ -174,26 +225,23 @@ def make_window_scan_sharded_frames(
                     [x, jnp.full((UX,), fill, x.dtype)]
                 )
 
-            p = (pad(rec.hi, EMPTY_HI), pad(rec.lo, EMPTY_HI),
-                 pad(rec.count, 0), pad(rec.n_occ, 0))
+            p = tuple(pad(x, fill) for x, fill in arrays)
+            fills = tuple(fill for _, fill in arrays)
             r = jnp.arange(UX, dtype=jnp.int32)
             blocks = []
             for d in range(S):
                 m = r < cnt[d]
-                sl = [
-                    jax.lax.dynamic_slice_in_dim(x, starts[d], UX)
-                    for x in p
-                ]
-                blocks.append((
-                    jnp.where(m, sl[0], EMPTY_HI),
-                    jnp.where(m, sl[1], EMPTY_HI),
-                    jnp.where(m, sl[2], 0),
-                    jnp.where(m, sl[3], 0),
+                blocks.append(tuple(
+                    jnp.where(
+                        m, jax.lax.dynamic_slice_in_dim(x, starts[d], UX),
+                        fill,
+                    )
+                    for x, fill in zip(p, fills)
                 ))
-            b_hi = jnp.stack([b[0] for b in blocks])   # (S, UX)
-            b_lo = jnp.stack([b[1] for b in blocks])
-            b_cnt = jnp.stack([b[2] for b in blocks])
-            b_occ = jnp.stack([b[3] for b in blocks])
+            b_arrays = tuple(
+                jnp.stack([b[j] for b in blocks])  # (S, UX)
+                for j in range(len(p))
+            )
             # per-dest true record count; the overflow sentinel makes the
             # receiving apply reject the window through frame_overflow
             tx_n = jnp.where(dedup_ovf | xchg_ovf, jnp.int32(UX + 1), cnt)
@@ -209,10 +257,10 @@ def make_window_scan_sharded_frames(
             cmin = jnp.where(any_valid, center(kmin), inf)
             cmax = jnp.where(any_valid, center(kmax), -inf)
             n_valid = jnp.sum(valid).astype(jnp.int32)
-            return (b_hi, b_lo, b_cnt, b_occ, tx_n, dedup_ovf, xchg_ovf,
+            return (b_arrays, tx_n, dedup_ovf, xchg_ovf, pack_fail,
                     range_fail, cmin, cmax, n_valid)
 
-        (b_hi, b_lo, b_cnt, b_occ, tx_n, dedup_ovf, xchg_ovf, range_fail,
+        (b_arrays, tx_n, dedup_ovf, xchg_ovf, pack_fail, range_fail,
          cmin, cmax, n_valid) = jax.lax.map(
             src_frame, jnp.arange(F, dtype=jnp.int32)
         )
@@ -224,9 +272,7 @@ def make_window_scan_sharded_frames(
                 x, axis_name, split_axis=1, concat_axis=1
             )
 
-        rx_hi, rx_lo, rx_cnt, rx_occ = (
-            xchg(b_hi), xchg(b_lo), xchg(b_cnt), xchg(b_occ)
-        )
+        rx = tuple(xchg(x) for x in b_arrays)
         rx_n = xchg(tx_n[:, :, None])[..., 0]  # (F, S_src)
 
         # window frame f == src * F + fi: (F, S, ...) -> (B, ...)
@@ -235,21 +281,36 @@ def make_window_scan_sharded_frames(
                 (S * F,) + x.shape[2:]
             )[:window]
 
-        lane = jnp.arange(UX, dtype=jnp.int32)
-        n_uni = frames_axis(rx_n)  # (B,)
-        recs = UniqueRecords(
-            hi=frames_axis(rx_hi),
-            lo=frames_axis(rx_lo),
-            count=frames_axis(rx_cnt),
-            n_occ=frames_axis(rx_occ),
-            valid=lane[None, :] < n_uni[:, None],
-            n_unique=n_uni,
-        )
-
         # per-frame aux, replicated via all_gather of the source values
         def gathered(x):
             return frames_axis(
                 jnp.swapaxes(jax.lax.all_gather(x, axis_name), 0, 1)
+            )
+
+        lane = jnp.arange(UX, dtype=jnp.int32)
+        n_uni = frames_axis(rx_n)  # (B,)
+        if box_bits is None:
+            rx_hi, rx_lo, rx_cnt, rx_occ = rx
+            recs = UniqueRecords(
+                hi=frames_axis(rx_hi),
+                lo=frames_axis(rx_lo),
+                count=frames_axis(rx_cnt),
+                n_occ=frames_axis(rx_occ),
+                valid=lane[None, :] < n_uni[:, None],
+                n_unique=n_uni,
+            )
+        else:
+            from sonar_3d_reconstruction_tpu.ops.dedup import CompactRecords
+
+            rx_key, rx_pay = rx
+            recs = CompactRecords(
+                key=frames_axis(rx_key),
+                payload=frames_axis(rx_pay),
+                valid=lane[None, :] < n_uni[:, None],
+                n_unique=n_uni,
+                # the dedup detects count-width failures at the SOURCE;
+                # gathered per-frame so the apply's pack path sees them
+                pack_fail=gathered(pack_fail),
             )
 
         auxs = FrameAux(
@@ -261,14 +322,24 @@ def make_window_scan_sharded_frames(
         g_dedup_ovf = gathered(dedup_ovf)  # (B,) identical on every shard
         g_xchg_ovf = gathered(xchg_ovf)
 
-        new_local, stats = apply_brick_records_batched(
-            _local_brick(blk), recs, auxs, cfg,
-            brick_budget=brick_budget, lane_budget=lane_budget,
-            insert_budget=window_insert_budget,
-            fail_reduce=lambda f: jax.lax.psum(
-                f.astype(jnp.int32), axis_name
-            ) > 0,
-        )
+        fail_reduce = lambda f: jax.lax.psum(
+            f.astype(jnp.int32), axis_name
+        ) > 0
+        if box_bits is None:
+            new_local, stats = apply_brick_records_batched(
+                _local_brick(blk), recs, auxs, cfg,
+                brick_budget=brick_budget, lane_budget=lane_budget,
+                insert_budget=window_insert_budget,
+                fail_reduce=fail_reduce,
+            )
+        else:
+            new_local, stats = apply_brick_records_compact(
+                _local_brick(blk), recs, auxs, cfg, box_min, box_bits,
+                brick_budget=brick_budget, lane_budget=lane_budget,
+                insert_budget=window_insert_budget,
+                vox_budget=vox_budget, dense_mode=dense_mode,
+                fail_reduce=fail_reduce,
+            )
         stats = dict(stats)
         for k in ("batch_n_unique", "batch_n_bricks", "batch_n_lanes",
                   "batch_n_need"):
@@ -284,7 +355,7 @@ def make_window_scan_sharded_frames(
         # cause attribution from the SOURCE-side flags (the apply's
         # frame_overflow conflates dedup-U and exchange overflows — both
         # arrive as the n_unique sentinel)
-        B = int(recs.hi.shape[0])
+        B = int(n_uni.shape[0])
         stats["unique_overflow"] = jnp.broadcast_to(
             jnp.any(g_dedup_ovf), (B,)
         )
@@ -317,23 +388,30 @@ def make_window_scan_sharded_frames(
             shard_map(
                 partial(local_window, window_insert_budget=ib),
                 mesh=mesh,
-                in_specs=(_state_specs(axis_name), P(), P(), P(), P(), P()),
+                in_specs=(
+                    _state_specs(axis_name), P(), P(), P(), P(), P(), P(),
+                ),
                 out_specs=(_state_specs(axis_name), stats_specs),
                 check_vma=False,
             )
         )
         for ib in set(insert_schedule)
     }
+    _zero_box = jnp.zeros((3,), jnp.int32)
 
-    def scan(state, images, transforms, start=0, stop=None):
+    def scan(state, images, transforms, start=0, stop=None, box_mins=None):
         """``stop`` (host int): frames >= stop are padding — their window
         programs are SKIPPED entirely (a streaming chunk keeps its static
         shape; the tail windows would run full-lattice sorts on masked-off
-        frames) and their stats rows are zero."""
+        frames) and their stats rows are zero.  ``box_mins``
+        ((n_windows, 3) int32, required when the builder got box_bits):
+        per-window compact box origins."""
         P_ = images.shape[0]
         limit = P_ if stop is None else max(0, min(P_, int(stop)))
         if limit == 0:
             return state, {}
+        assert (box_mins is not None) == (box_bits is not None), \
+            "box_mins and the builder's box_bits go together"
         images = jnp.asarray(images)
         transforms = jnp.asarray(transforms, dtype)
         start = jnp.asarray(start, jnp.int32)
@@ -341,8 +419,12 @@ def make_window_scan_sharded_frames(
         window_stats = []
         for wi, w in enumerate(range(0, limit, window)):
             ib = insert_schedule[min(wi, len(insert_schedule) - 1)]
+            bm = (
+                _zero_box if box_mins is None
+                else jnp.asarray(box_mins[wi], jnp.int32)
+            )
             state, stats = window_steps[ib](
-                state, images, transforms, jnp.int32(w), start, stop_v
+                state, images, transforms, jnp.int32(w), start, stop_v, bm
             )
             window_stats.append(stats)
         out = {
@@ -388,6 +470,10 @@ def map_ping_sequence_sharded_frames(
     fan_cap="auto",
     window_cap="auto",
     free_cap="auto",
+    box_min_bits=None,
+    dense_mode: str = "scalar",
+    vox_budget: Optional[int] = None,
+    use_boxes: bool = True,
 ) -> Tuple[ShardedBrickState, Dict[str, np.ndarray]]:
     """Host wrapper: grow the right knob and replay from the first failed
     frame, with the frame-parallel engine's extra growable cause
@@ -431,15 +517,35 @@ def map_ping_sequence_sharded_frames(
     window = min(window, P_)
     if isinstance(insert_budget, list):
         insert_budget = tuple(insert_budget)
+
+    # compact box-key path whenever the survey's per-window extents fit
+    # the tighter sharded budget: the owner shard folds into the dedup
+    # sort word, so the box gate is sized with frame_bits' slot widened
+    # to max(frame, 1 + owner) bits (compute_window_boxes checks
+    # V + that <= 31, covering both the dedup and the apply layouts)
+    from sonar_3d_reconstruction_tpu.ops.packing import compute_window_boxes
+
+    boxes = None
+    if use_boxes:
+        gbits = max(1, (max(S - 1, 1)).bit_length())
+        f_bits = max(1, (window - 1).bit_length())
+        boxes = compute_window_boxes(
+            T[:, :3, 3], cfg.max_range, cfg.voxel_resolution, window,
+            brick_bits, frame_bits=max(f_bits, 1 + gbits),
+            min_bits=box_min_bits,
+        )
+
     def make_scan():
         scan = make_window_scan_sharded_frames(
             mesh, tables, cfg, dtype, axis_name, unique_budget, window,
             xchg_budget, brick_budget, lane_budget, insert_budget,
-            brick_bits,
+            brick_bits, None if boxes is None else boxes[1],
+            dense_mode, vox_budget,
         )
-        if stop is None:
-            return scan
-        return partial(scan, stop=stop)
+        return partial(
+            scan, stop=stop,
+            box_mins=None if boxes is None else boxes[0],
+        )
 
     def _default_ub():
         return unique_budget or default_unique_budget(
@@ -490,5 +596,8 @@ def map_ping_sequence_sharded_frames(
             unique_budget=unique_budget, xchg_budget=xchg_budget,
             brick_budget=brick_budget, lane_budget=lane_budget,
             insert_budget=insert_budget,
+            # named like the input param so stateful callers can splat
+            # the dict straight back (sticky grow-only bits)
+            box_min_bits=None if boxes is None else boxes[1],
         )
     return out

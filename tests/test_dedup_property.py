@@ -213,6 +213,80 @@ def test_pack_box_keys_bounds_and_order():
     assert len(np.unique(np.asarray(k))) == len(grid)
 
 
+def test_dedup_frame_compact_grouped_random_property():
+    """dedup_frame_compact_grouped: same aggregates as the naive dict,
+    records CONTIGUOUS per group with correct rec_group, group folded
+    into the single sort word."""
+    from sonar_3d_reconstruction_tpu.ops.dedup import (
+        dedup_frame_compact_grouped,
+    )
+    from sonar_3d_reconstruction_tpu.ops.packing import (
+        pack_box_keys,
+        unpack_box_brick,
+    )
+
+    rng = np.random.default_rng(29)
+    brick_bits = 2
+    box_bits = (4, 4, 4)
+    key_bits = sum(box_bits) + 3 * brick_bits
+    for trial in range(8):
+        n = int(rng.integers(10, 3000))
+        spread = int(rng.integers(2, 12))
+        G = int(rng.integers(2, 9))
+        keys = rng.integers(-spread, spread, (n, 3)).astype(np.int32)
+        occ = rng.random(n) < 0.4
+        valid = rng.random(n) < 0.8
+        box_min = np.asarray([-16, -16, -16], np.int32)
+        bkey, in_box = pack_box_keys(
+            jnp.asarray(keys), jnp.asarray(box_min), box_bits, brick_bits
+        )
+        assert bool(jnp.all(in_box))
+        group = (np.asarray(bkey).astype(np.uint64) * 2654435761 % G).astype(
+            np.int32
+        )
+        budget = 1 << int(np.ceil(np.log2(max(8, n))))
+        rec, rec_group = dedup_frame_compact_grouped(
+            bkey, jnp.asarray(occ), jnp.asarray(valid), jnp.asarray(group),
+            G, key_bits, budget,
+        )
+        expect = naive_dedup(keys, occ, valid)
+        assert int(rec.n_unique) == len(expect), trial
+        assert not bool(rec.pack_fail)
+
+        rkey = np.asarray(rec.key)
+        rvalid = np.asarray(rec.valid)
+        rgroup = np.asarray(rec_group)
+        o = 3 * brick_bits
+        corner = np.asarray(
+            unpack_box_brick(
+                jnp.asarray(rkey >> o), jnp.asarray(box_min), box_bits,
+                brick_bits,
+            )
+        )
+        offc = rkey & ((1 << o) - 1)
+        b = 1 << brick_bits
+        offs = np.stack(
+            [offc >> (2 * brick_bits), (offc >> brick_bits) & (b - 1),
+             offc & (b - 1)], axis=-1,
+        ).astype(np.int32)
+        uk = corner + offs
+        got = {}
+        prev = None
+        counts = np.asarray(rec.count)
+        noccs = np.asarray(rec.n_occ)
+        for i in range(budget):
+            if not rvalid[i]:
+                assert rgroup[i] == G
+                continue
+            got[tuple(uk[i])] = (int(counts[i]), int(noccs[i]))
+            assert rgroup[i] == int(rkey[i] * np.uint64(2654435761) % G), i
+            cur = (rgroup[i], int(rkey[i]))
+            if prev is not None:
+                assert cur > prev, (trial, i)  # per-group contiguity
+            prev = cur
+        assert got == expect, trial
+
+
 def test_dedup_frame_compact_pack_fail_detection():
     """A voxel with 2^16+ candidates in one frame must assert pack_fail
     (its count cannot ride the 16-bit payload field); 2^16 - 1 candidates

@@ -110,6 +110,39 @@ def test_sharded_frames_xchg_budget_growth(small_cfg):
         assert c[k] == b[k], k
 
 
+def test_sharded_frames_wide_and_row_modes_match(small_cfg):
+    """The wide two-word fallback (use_boxes=False) and the compact
+    row-structured dense mode both reproduce the default compact engine
+    bit-for-bit."""
+    cfg = small_cfg
+    images, positions, quats = make_seq(cfg, 8, seed=975)
+    mesh = make_mesh()
+
+    base, bstats = map_ping_sequence_sharded_frames(
+        images, positions, quats, cfg, mesh=mesh, dtype=jnp.float64,
+        window=4, local_capacity=1 << 10,
+    )
+    want = sharded_brick_to_dict(base)
+
+    wide, _ = map_ping_sequence_sharded_frames(
+        images, positions, quats, cfg, mesh=mesh, dtype=jnp.float64,
+        window=4, local_capacity=1 << 10, use_boxes=False,
+    )
+    got = sharded_brick_to_dict(wide)
+    assert got.keys() == want.keys()
+    for k in got:
+        assert got[k] == want[k], ("wide", k)
+
+    row, _ = map_ping_sequence_sharded_frames(
+        images, positions, quats, cfg, mesh=mesh, dtype=jnp.float64,
+        window=4, local_capacity=1 << 10, dense_mode="row",
+    )
+    got = sharded_brick_to_dict(row)
+    assert got.keys() == want.keys()
+    for k in got:
+        assert got[k] == want[k], ("row", k)
+
+
 def test_default_xchg_budget_scales_inversely_with_shards():
     assert default_xchg_budget(96000, 8) >= 2 * 96000 // 8
     assert default_xchg_budget(96000, 8) < 96000
