@@ -515,8 +515,16 @@ class StreamingMapper:
             state=self.state, dtype=self.dtype,
             window=min(self.window, self.chunk_size),
             tables=self._tables, stop=n, effective=eff,
+            box_min_bits=self._box_bits,
             **self._sharded_budgets,
         )
+        # box-bit adoption is a recompile, not a budget grow (same
+        # accounting as the single-chip compact engine)
+        new_bits = eff.pop("box_min_bits", None)
+        if new_bits is not None:
+            if self._box_bits is not None and new_bits != self._box_bits:
+                self.stats.box_bits_recompiles += 1
+            self._box_bits = new_bits
         eff = {k: v for k, v in eff.items() if v is not None}
         if eff != self._sharded_budgets or self.state.local_capacity != cap_before:
             self.stats.grows += 1

@@ -188,6 +188,8 @@ def test_stream_brick_sharded_backend(tmp_path, small_cfg):
     )
     stats = sm.run_bag(path)
     assert stats.frames_mapped == 5
+    # compact box-bit adoption must not count as a budget grow
+    assert stats.grows == 0
 
     ref = StreamingMapper(
         cfg, chunk_size=3, window=3, initial_capacity=1 << 11,
