@@ -183,13 +183,15 @@ def test_stream_brick_sharded_backend(tmp_path, small_cfg):
     cfg = small_cfg
     path, images, positions, quats = make_bag(tmp_path, cfg, 5, seed=610)
     sm = StreamingMapper(
-        cfg, chunk_size=3, window=3, initial_capacity=1 << 13,
+        cfg, chunk_size=3, window=3, initial_capacity=1 << 16,
         dtype=jnp.float64, backend="brick-sharded",
     )
     stats = sm.run_bag(path)
     assert stats.frames_mapped == 5
-    # compact box-bit adoption must not count as a budget grow
+    # capacity is ample, so the only "adoption" is the first chunk's
+    # compact box bits — which must NOT count as a budget grow
     assert stats.grows == 0
+    assert sm._box_bits is not None
 
     ref = StreamingMapper(
         cfg, chunk_size=3, window=3, initial_capacity=1 << 11,
