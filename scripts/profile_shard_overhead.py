@@ -66,9 +66,11 @@ def run_plain(rep):
 
 
 def run_plain_wide(rep):
-    """Single-chip brick WIDE engine (boxes=None — the same key path the
-    sharded engine uses), so `sharded - plain_wide` isolates the sharding
-    machinery and `plain_wide - plain` prices the compact box keys."""
+    """Single-chip brick WIDE engine (boxes=None).  The sharded wrapper
+    now defaults to COMPACT box keys too, so `sharded - plain_compact`
+    isolates the sharding machinery directly; `plain_wide - plain_compact`
+    prices the wide fallback the sharded engine uses only for unpackable
+    extents."""
     from sonar_3d_reconstruction_tpu.grid.brick import init_brick_grid
     from sonar_3d_reconstruction_tpu.ops.backproject import (
         resolve_capped_tables,
