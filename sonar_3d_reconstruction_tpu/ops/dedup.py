@@ -424,92 +424,30 @@ def dedup_frame_compact_grouped(
     parallel/shard_frames.py) — the compact-key analog of
     dedup_frame_grouped.
 
-    The group FOLDS into the single sort array above the key and occ bit
-    (``group << (key_bits+1) | key << 1 | occ``), so BOTH sorts still
-    carry one u32 where the wide grouped path carries four/five.  The
-    caller guarantees ``ceil(log2 n_groups) + key_bits + 1 <= 31`` (the
-    box-bit host gate sizes boxes under that budget) and that ``group``
-    is a pure function of the voxel key, so equal keys stay in single
-    segments and the residue-difference aggregates of dedup_frame_compact
-    remain exact (segments are contiguous under the combined order).
-    ``pack_fail`` detection compares combined (group, key) values — equal
-    keys imply equal groups, so the 65535-distance test is unchanged.
+    The group FOLDS into the single sort word above the key: the combined
+    value ``comb = group << key_bits | key`` is itself a valid compact
+    key (group is a pure function of the voxel key, so equal keys stay in
+    single segments, comb segments == key segments, and the combined
+    order is exactly (group, key) — per-group contiguity), so the WHOLE
+    residue/pack_fail machinery is dedup_frame_compact run on ``comb``;
+    this wrapper only splits (group, key) back out of the compacted
+    records.  The caller guarantees
+    ``ceil(log2 n_groups) + key_bits + 1 <= 31`` (the box-bit host gate
+    sizes boxes under that budget), which is dedup_frame_compact's own
+    key-width precondition on comb.
     """
-    n = key.shape[0]
-    if lane_budget <= 0:
-        lane_budget = min(n, 2 * unique_budget)
-    lane_budget = min(n, max(lane_budget, unique_budget))
     gbits = max(1, (max(n_groups - 1, 1)).bit_length())
     assert gbits + key_bits + 1 <= 31, (n_groups, key_bits)
-    skey = jnp.where(
-        valid,
-        (group.astype(jnp.uint32) << (key_bits + 1))
-        | (key << 1)
-        | occ.astype(jnp.uint32),
-        EMPTY32,
-    )
-    (skey,) = jax.lax.sort((skey,), num_keys=1, is_stable=False)
-
-    vox = skey >> 1  # combined (group, key) — group is a function of key
-    csum_occ = jnp.cumsum((skey & 1).astype(jnp.int32))
-    track = (
-        ((jnp.arange(n, dtype=jnp.uint32) & jnp.uint32(0xFFFF)) << 16)
-        | (csum_occ.astype(jnp.uint32) & jnp.uint32(0xFFFF))
-    )
-
-    new_seg = jnp.concatenate([jnp.ones((1,), bool), vox[1:] != vox[:-1]])
-    is_end = jnp.concatenate([new_seg[1:], jnp.ones((1,), bool)])
-    seg_valid = skey != EMPTY32
-    rec = is_end & seg_valid
-    n_unique = jnp.sum(rec).astype(jnp.int32)
-    n_valid = jnp.sum(seg_valid).astype(jnp.int32)
-    n_unique = jnp.where(n_valid > lane_budget, jnp.int32(n + 1), n_unique)
-
-    if n > 0xFFFF:
-        pack_fail = jnp.any(
-            (vox[0xFFFF:] == vox[:-0xFFFF]) & seg_valid[0xFFFF:]
-        )
-    else:
-        pack_fail = jnp.zeros((), bool)
-
-    lb = lane_budget
-    c_key = jnp.where(rec[:lb], vox[:lb], EMPTY32)
-    c_key, c_track = jax.lax.sort(
-        (c_key, track[:lb]), num_keys=1, is_stable=False
-    )
-
-    idx16 = c_track >> 16
-    csum16 = c_track & jnp.uint32(0xFFFF)
-    prev_idx = jnp.concatenate(
-        [jnp.full((1,), 0xFFFF, jnp.uint32), idx16[:-1]]
-    )
-    prev_csum = jnp.concatenate([jnp.zeros((1,), jnp.uint32), csum16[:-1]])
-    c_count = (idx16 - prev_idx) & jnp.uint32(0xFFFF)
-    c_occ = (csum16 - prev_csum) & jnp.uint32(0xFFFF)
-    c_payload = (c_count << 16) | c_occ
-    u = unique_budget
-
-    def take(x, fill):
-        if u <= lb:
-            return x[:u]
-        pad = jnp.full((u - lb,), fill, x.dtype)
-        return jnp.concatenate([x, pad])
-
-    lane = jnp.arange(u, dtype=jnp.int32)
-    valid_u = lane < n_unique
-    c_comb = take(c_key, EMPTY32)
+    comb = (group.astype(jnp.uint32) << key_bits) | key
+    rec = dedup_frame_compact(comb, occ, valid, unique_budget, lane_budget)
     out_group = jnp.where(
-        valid_u, (c_comb >> key_bits).astype(jnp.int32), n_groups
+        rec.valid, (rec.key >> key_bits).astype(jnp.int32), n_groups
     )
     return (
-        CompactRecords(
+        rec._replace(
             key=jnp.where(
-                valid_u, c_comb & jnp.uint32((1 << key_bits) - 1), EMPTY32
+                rec.valid, rec.key & jnp.uint32((1 << key_bits) - 1), EMPTY32
             ),
-            payload=jnp.where(valid_u, take(c_payload, 0), 0),
-            valid=valid_u,
-            n_unique=n_unique,
-            pack_fail=pack_fail,
         ),
         out_group,
     )
