@@ -451,10 +451,10 @@ def main_brick(cfg, n_pings, reps, window):
             dedup_lane_budget=dedup_lane_budget, boxes=boxes,
         )
         assert not bool(np.asarray(stats["overflowed"]).any())
-        return int(st.used)
+        return int(st.used), st
 
     try:
-        run(0)
+        _, st_last = run(0)
     except AssertionError:
         unique_budget = effective["unique_budget"]
         brick_budget = effective["brick_budget"]
@@ -462,12 +462,27 @@ def main_brick(cfg, n_pings, reps, window):
         insert_budget = None
         vox_budget = None
         dedup_lane_budget = 0
-        run(0)
+        _, st_last = run(0)
     best = float("inf")
     for rep in range(1, reps + 1):
         t0 = time.perf_counter()
-        run(rep)
+        _, st_last = run(rep)
         best = min(best, time.perf_counter() - t0)
+
+    # sparse-vs-dense storage ratio (reference README.md:309 claims 29-93x
+    # for its dict "octree"; ours counts the ACTUAL allocated brick table
+    # vs a dense f32 log-odds grid over the survey's updated bounds)
+    res = cfg.voxel_resolution
+    bmin = np.asarray(st_last.min_bounds, np.float64)
+    bmax = np.asarray(st_last.max_bounds, np.float64)
+    dims = np.maximum(
+        1, np.round((bmax - bmin) / res).astype(np.int64) + 1
+    )
+    dense_bytes = int(dims.prod()) * 4
+    sparse_bytes = int(
+        st_last.key_rows.nbytes + st_last.log_odds.nbytes
+        + st_last.touched.nbytes
+    )
 
     latency = {}
     if os.environ.get("BENCH_LATENCY", "1") == "1":
@@ -510,6 +525,10 @@ def main_brick(cfg, n_pings, reps, window):
                     "dedup_lane_budget": dedup_lane_budget,
                     "fan_cap": tables.nvo_cap,
                     "capacity_bricks": capacity,
+                    "memory_sparse_mb": sparse_bytes / 1e6,
+                    "memory_dense_equiv_mb": dense_bytes / 1e6,
+                    "memory_ratio_vs_dense": dense_bytes
+                    / max(1, sparse_bytes),
                 },
             }
         )
