@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from typing import Iterable, List, Optional, Tuple
 
+import functools
+
 import numpy as np
 
 import jax
@@ -42,6 +44,19 @@ from sonar_3d_reconstruction_tpu.pipeline import (
     _records_single,
     batched_sonar_to_world,
 )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "brick_budget")
+)
+def _apply_brick_batched(state, recs, auxs, *, cfg, brick_budget):
+    from sonar_3d_reconstruction_tpu.grid.brick import (
+        apply_brick_records_batched,
+    )
+
+    return apply_brick_records_batched(
+        state, recs, auxs, cfg, brick_budget=brick_budget
+    )
 
 
 def _empty_records(unique_budget: int, dtype) -> Tuple[UniqueRecords, FrameAux]:
@@ -72,11 +87,13 @@ def records_for_segment(
     *,
     unique_budget: Optional[int] = None,
     dtype=jnp.float32,
+    brick_bits: int = 0,
 ) -> Tuple[UniqueRecords, FrameAux]:
     """Records for a contiguous bag segment (host-local, no map state).
 
     Returns stacked (UniqueRecords, FrameAux) with leading axis = number of
-    pings, as HOST numpy pytrees ready to ship over DCN.
+    pings, as HOST numpy pytrees ready to ship over DCN.  ``brick_bits``
+    > 0 produces brick-major keys for a BrickGridState fold.
     """
     images = np.asarray(images)
     P = images.shape[0]
@@ -98,7 +115,7 @@ def records_for_segment(
             _records_single(
                 images_dev, T_dev, jnp.int32(i), jnp.int32(0), jnp.int32(P),
                 tables=tables, cfg=cfg, dtype=dtype,
-                unique_budget=unique_budget,
+                unique_budget=unique_budget, brick_bits=brick_bits,
             )
         )
     recs = jax.tree_util.tree_map(
@@ -178,13 +195,27 @@ def apply_record_segments(
         recs_dev = jax.tree_util.tree_map(jnp.asarray, recs)
         auxs_dev = jax.tree_util.tree_map(jnp.asarray, auxs)
         u = recs.hi.shape[1]
+        brick = hasattr(state, "brick_volume")
+        if brick:
+            from sonar_3d_reconstruction_tpu.grid.brick import (
+                default_brick_budget,
+            )
         for b in range(0, P + pad, w):
             rec_w = jax.tree_util.tree_map(lambda x: x[b : b + w], recs_dev)
             aux_w = jax.tree_util.tree_map(lambda x: x[b : b + w], auxs_dev)
-            state, stats = _apply_batched(
-                state, rec_w, aux_w, cfg=cfg,
-                batch_budget=batch_budget or min(w * u, 4 * u),
-            )
+            if brick:
+                # records must carry brick-major keys
+                # (records_for_segment(brick_bits=state.brick_bits))
+                state, stats = _apply_brick_batched(
+                    state, rec_w, aux_w, cfg=cfg,
+                    brick_budget=batch_budget
+                    or default_brick_budget(w, u),
+                )
+            else:
+                state, stats = _apply_batched(
+                    state, rec_w, aux_w, cfg=cfg,
+                    batch_budget=batch_budget or min(w * u, 4 * u),
+                )
             for i in range(min(w, P - b)):
                 all_stats.append(
                     {k: np.asarray(v)[i] for k, v in stats.items()}
@@ -206,6 +237,7 @@ def map_ping_sequence_multihost(
     unique_budget: Optional[int] = None,
     batch_budget: Optional[int] = None,
     max_grow_retries: int = 12,
+    backend: str = "hash",
 ) -> Tuple[HashGridState, List[dict]]:
     """map_ping_sequence-grade host wrapper for the DCN decomposition
     (VERDICT r2 #7): split the ping stream into ``n_hosts`` contiguous
@@ -222,16 +254,32 @@ def map_ping_sequence_multihost(
       * ``range_fail``       -> raise (growth cannot fix an unpackable key).
 
     Results are bit-identical to pipeline.map_ping_sequence on the same
-    inputs.  Returns (state, per-frame stats dicts for all applied frames).
+    inputs (``backend="hash"`` or ``"brick"`` — record segments carry the
+    matching key layout and the fold applies to the matching table).
+    Returns (state, per-frame stats dicts for all applied frames).
     """
     from sonar_3d_reconstruction_tpu.grid.hash import init_hash_grid, rehash
 
     cfg = cfg or MapperConfig()
     images = np.asarray(images)
     P = images.shape[0]
-    st = state if state is not None else init_hash_grid(
-        initial_capacity, dtype
-    )
+    if backend == "brick":
+        from sonar_3d_reconstruction_tpu.grid.brick import (
+            DEFAULT_BRICK_BITS,
+            init_brick_grid,
+        )
+
+        brick_bits = (
+            state.brick_bits if state is not None else DEFAULT_BRICK_BITS
+        )
+        st = state if state is not None else init_brick_grid(
+            max(128, initial_capacity >> 4), dtype
+        )
+    else:
+        brick_bits = 0
+        st = state if state is not None else init_hash_grid(
+            initial_capacity, dtype
+        )
     if P == 0:
         return st, []
     bounds = np.linspace(0, P, n_hosts + 1).astype(int)
@@ -240,7 +288,7 @@ def map_ping_sequence_multihost(
         return [
             records_for_segment(
                 images[a:b], positions[a:b], quaternions[a:b], cfg,
-                unique_budget=ub, dtype=dtype,
+                unique_budget=ub, dtype=dtype, brick_bits=brick_bits,
             )
             for a, b in zip(bounds[:-1], bounds[1:])
             if b > a
@@ -267,6 +315,11 @@ def map_ping_sequence_multihost(
                 f"frame >= {start}: voxel keys outside the packable range "
                 "— check odometry frame offsets; growth cannot fix this"
             )
+        if any(bool(s.get("pack_overflow", False)) for s in tail):
+            raise ValueError(
+                "a voxel received 2^16+ emissions in one frame — use "
+                "backend='hash' for this degenerate geometry"
+            )
         if any(bool(s["unique_overflow"]) for s in tail):
             if unique_budget is None:
                 R, B = images.shape[1:]
@@ -282,9 +335,20 @@ def map_ping_sequence_multihost(
             if batch_budget is None:
                 u = segments[0][0].hi.shape[1]
                 w = min(window, P)
-                batch_budget = min(w * u, 4 * u)
+                if backend == "brick":
+                    from sonar_3d_reconstruction_tpu.grid.brick import (
+                        default_brick_budget,
+                    )
+
+                    batch_budget = default_brick_budget(w, u)
+                else:
+                    batch_budget = min(w * u, 4 * u)
             batch_budget *= 2
             st = new_st._replace(poisoned=jnp.zeros((), bool))
+        elif backend == "brick":
+            from sonar_3d_reconstruction_tpu.grid.brick import rehash_bricks
+
+            st = rehash_bricks(new_st, new_st.capacity * 2)
         else:
             st = rehash(new_st, new_capacity=new_st.key_hi.shape[0] * 2)
     raise RuntimeError(

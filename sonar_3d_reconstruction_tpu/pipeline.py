@@ -126,7 +126,8 @@ def hash_ping_step(
 
 
 @partial(
-    jax.jit, static_argnames=("tables", "cfg", "dtype", "unique_budget")
+    jax.jit,
+    static_argnames=("tables", "cfg", "dtype", "unique_budget", "brick_bits"),
 )
 def _records_single(
     images,       # (P, R, B) full stacked sequence
@@ -139,15 +140,19 @@ def _records_single(
     cfg: MapperConfig,
     dtype,
     unique_budget: int,
+    brick_bits: int = 0,
 ):
-    """State-independent half for ONE ping of a stacked sequence."""
+    """State-independent half for ONE ping of a stacked sequence.
+    ``brick_bits`` > 0 packs brick-major keys (the brick backend's
+    layout) instead of the hash grid's."""
     from sonar_3d_reconstruction_tpu.ops.records import frame_records
 
     image = jax.lax.dynamic_index_in_dim(images, idx, 0, keepdims=False)
     T = jax.lax.dynamic_index_in_dim(transforms, idx, 0, keepdims=False)
     frame_on = (idx >= start) & (idx < stop)
     return frame_records(
-        image, T, tables, cfg, unique_budget, dtype, frame_on=frame_on
+        image, T, tables, cfg, unique_budget, dtype, frame_on=frame_on,
+        brick_bits=brick_bits,
     )
 
 

@@ -168,3 +168,41 @@ def test_multihost_batch_budget_growth_replay(small_cfg):
     assert a.keys() == b.keys()
     for k in a:
         assert a[k] == b[k]
+
+
+def test_multihost_brick_backend_matches_one_shot(small_cfg):
+    """backend='brick': record segments carry brick-major keys and fold
+    into a BrickGridState, bit-identical to the single-host brick engine;
+    a tiny initial capacity exercises the brick rehash branch."""
+    from sonar_3d_reconstruction_tpu.parallel.multihost import (
+        map_ping_sequence_multihost,
+    )
+    from test_brick_grid import brick_state_to_dict
+
+    cfg = small_cfg
+    images, positions, quats = _inputs(cfg, 7, seed=530)
+    one_shot, _ = map_ping_sequence(
+        images, positions, quats, cfg, backend="brick", dtype=jnp.float64,
+        window=3,
+    )
+    b = brick_state_to_dict(one_shot)
+
+    st, stats = map_ping_sequence_multihost(
+        images, positions, quats, cfg, n_hosts=3, window=3,
+        dtype=jnp.float64, backend="brick", initial_capacity=1 << 17,
+    )
+    assert len(stats) == 7 and all(s is not None for s in stats)
+    a = brick_state_to_dict(st)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k], k
+
+    # brick capacity growth: 1<<9 -> 32 bricks forces the rehash branch
+    tiny, _ = map_ping_sequence_multihost(
+        images, positions, quats, cfg, n_hosts=2, window=3,
+        dtype=jnp.float64, backend="brick", initial_capacity=1 << 9,
+    )
+    c = brick_state_to_dict(tiny)
+    assert c.keys() == b.keys()
+    for k in c:
+        assert c[k] == b[k]
