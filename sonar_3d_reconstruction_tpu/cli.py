@@ -186,19 +186,11 @@ def _map_bag_offline(args, cfg, stream_cfg) -> int:
         from sonar_3d_reconstruction_tpu.io.pointcloud import serialize_pointcloud2
 
         if args.backend == "brick-sharded":
-            from sonar_3d_reconstruction_tpu.grid.brick import (
-                extract_occupied_brick,
-            )
             from sonar_3d_reconstruction_tpu.parallel.shard_brick import (
-                local_brick_states,
+                extract_occupied_sharded,
             )
 
-            parts = [
-                extract_occupied_brick(s, cfg)
-                for s in local_brick_states(state)
-            ]
-            pts = np.concatenate([p[0] for p in parts])
-            probs = np.concatenate([p[1] for p in parts])
+            pts, probs = extract_occupied_sharded(state, cfg)
         else:
             if args.backend == "brick":
                 from sonar_3d_reconstruction_tpu.grid.brick import (

@@ -221,17 +221,18 @@ def load_map_sharded_brick(
     ]
 
     sh = NamedSharding(mesh, PartitionSpec(axis_name))
-    stack = lambda f: jax.device_put(
-        jnp.stack([f(s) for s in locals_]), sh
-    )
-    big = jnp.asarray(min_bounds, dtype)
+
+    def stack(f):
+        return jax.device_put(jnp.stack([f(s) for s in locals_]), sh)
+
+    bmin = jnp.asarray(min_bounds, dtype)
     return (
         ShardedBrickState(
             key_rows=stack(lambda s: s.key_rows),
             log_odds=stack(lambda s: s.log_odds),
             touched=stack(lambda s: s.touched),
             min_bounds=jax.device_put(
-                jnp.broadcast_to(big[None], (S, 3)), sh
+                jnp.broadcast_to(bmin[None], (S, 3)), sh
             ),
             max_bounds=jax.device_put(
                 jnp.broadcast_to(

@@ -154,14 +154,18 @@ class SonarMapper:
             # sub-tables (parallel/shard_brick.local_brick_states)
             from sonar_3d_reconstruction_tpu.parallel.shard import make_mesh
             from sonar_3d_reconstruction_tpu.parallel.shard_brick import (
+                default_local_capacity,
                 init_sharded_brick_grid,
             )
 
             self.mesh = mesh if mesh is not None else make_mesh()
-            S = int(self.mesh.devices.size)
-            local = max(128, max(128, initial_capacity >> 4) // S)
-            local = 1 << (local - 1).bit_length()  # init asserts pow2
-            self.state = init_sharded_brick_grid(self.mesh, local, dtype)
+            self.state = init_sharded_brick_grid(
+                self.mesh,
+                default_local_capacity(
+                    initial_capacity, int(self.mesh.devices.size)
+                ),
+                dtype,
+            )
             # sticky post-growth budgets threaded back into every batch
             self._sharded_budgets: Dict[str, Any] = {}
         else:
@@ -277,7 +281,7 @@ class SonarMapper:
     def _process_sharded(self, images, positions, quaternions, window=8):
         """Route a ping batch through the frame-parallel sharded engine
         (growth handled inside its wrapper); sticky budgets carried across
-        calls.  Returns the LAST ping's per-frame stats as python ints."""
+        calls.  Returns the per-ping stats arrays."""
         from sonar_3d_reconstruction_tpu.parallel.shard_frames import (
             map_ping_sequence_sharded_frames,
         )
@@ -297,8 +301,7 @@ class SonarMapper:
         self._sharded_budgets = {
             k: v for k, v in eff.items() if v is not None
         }
-        self._last_seq_stats = stats
-        return {k: int(np.asarray(v)[-1]) for k, v in stats.items()}
+        return stats
 
     # ------------------------------------------------------------------
     def process_sonar_image(
@@ -314,11 +317,14 @@ class SonarMapper:
         if self.backend == "brick-sharded":
             # host arrays only — the sharded wrapper computes the transform
             # and uploads the ping itself (no duplicated device transfer)
-            stats = self._process_sharded(
+            seq_stats = self._process_sharded(
                 polar_image[None],
                 np.asarray(robot_position, np.float64)[None],
                 np.asarray(robot_orientation, np.float64)[None],
             )
+            stats = {
+                k: int(np.asarray(v)[-1]) for k, v in seq_stats.items()
+            }
             return self._finish_ping(stats, t0)
 
         tables = self._tables_for(polar_image.shape)
@@ -443,10 +449,9 @@ class SonarMapper:
         images = np.asarray(images)
         n = images.shape[0]
         if self.backend == "brick-sharded":
-            self._process_sharded(
+            stats = self._process_sharded(
                 images, positions, quaternions, window=max(1, window)
             )
-            stats = self._last_seq_stats
             if self.track_update_counts:
                 self._record_sequence_update_counts(images, positions,
                                                     quaternions)
@@ -660,19 +665,11 @@ class SonarMapper:
 
             points, probs = extract_occupied_brick(self.state, cfg)
         elif self.backend == "brick-sharded":
-            from sonar_3d_reconstruction_tpu.grid.brick import (
-                extract_occupied_brick,
-            )
             from sonar_3d_reconstruction_tpu.parallel.shard_brick import (
-                local_brick_states,
+                extract_occupied_sharded,
             )
 
-            parts = [
-                extract_occupied_brick(s, cfg)
-                for s in local_brick_states(self.state)
-            ]
-            points = np.concatenate([p[0] for p in parts])
-            probs = np.concatenate([p[1] for p in parts])
+            points, probs = extract_occupied_sharded(self.state, cfg)
         else:
             points, probs = extract_occupied_hash(self.state, cfg)
         return {

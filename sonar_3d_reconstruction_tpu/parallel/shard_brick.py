@@ -551,6 +551,30 @@ def local_brick_states(state: ShardedBrickState) -> "list[BrickGridState]":
     ]
 
 
+def default_local_capacity(initial_capacity: int, n_shards: int) -> int:
+    """Per-shard brick capacity from a user-facing VOXEL-scale capacity
+    (the SonarMapper/StreamingMapper ``initial_capacity`` contract):
+    bricks ~ capacity >> 4, split across shards, floored at 128 and
+    rounded up to the power of two init_sharded_brick_grid requires."""
+    local = max(128, max(128, initial_capacity >> 4) // n_shards)
+    return 1 << (local - 1).bit_length()
+
+
+def extract_occupied_sharded(
+    state: ShardedBrickState, cfg
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Occupied (points, probabilities) of a sharded brick map: the
+    per-shard device compaction of grid/brick.extract_occupied_brick,
+    concatenated (disjoint bricks — exact)."""
+    from sonar_3d_reconstruction_tpu.grid.brick import extract_occupied_brick
+
+    parts = [extract_occupied_brick(s, cfg) for s in local_brick_states(state)]
+    return (
+        np.concatenate([p[0] for p in parts]),
+        np.concatenate([p[1] for p in parts]),
+    )
+
+
 def gather_sharded_brick_state(
     state: ShardedBrickState,
 ) -> Tuple[np.ndarray, np.ndarray]:

@@ -154,10 +154,17 @@ class StreamingMapper:
             )
 
             self.mesh = mesh if mesh is not None else make_mesh()
-            S = int(self.mesh.devices.size)
-            local = max(128, max(128, initial_capacity >> 4) // S)
-            local = 1 << (local - 1).bit_length()
-            self.state = init_sharded_brick_grid(self.mesh, local, dtype)
+            from sonar_3d_reconstruction_tpu.parallel.shard_brick import (
+                default_local_capacity,
+            )
+
+            self.state = init_sharded_brick_grid(
+                self.mesh,
+                default_local_capacity(
+                    initial_capacity, int(self.mesh.devices.size)
+                ),
+                dtype,
+            )
             self._sharded_budgets: Dict[str, Any] = {}
         else:
             raise ValueError(f"unknown backend {backend!r}")
@@ -568,19 +575,11 @@ class StreamingMapper:
 
             points, probs = extract_occupied_brick(self.state, self.cfg)
         elif self.backend == "brick-sharded":
-            from sonar_3d_reconstruction_tpu.grid.brick import (
-                extract_occupied_brick,
-            )
             from sonar_3d_reconstruction_tpu.parallel.shard_brick import (
-                local_brick_states,
+                extract_occupied_sharded,
             )
 
-            parts = [
-                extract_occupied_brick(s, self.cfg)
-                for s in local_brick_states(self.state)
-            ]
-            points = np.concatenate([p[0] for p in parts])
-            probs = np.concatenate([p[1] for p in parts])
+            points, probs = extract_occupied_sharded(self.state, self.cfg)
         else:
             points, probs = extract_occupied_hash(self.state, self.cfg)
         sec = int(stamp)
