@@ -143,6 +143,38 @@ def test_sharded_frames_wide_and_row_modes_match(small_cfg):
         assert got[k] == want[k], ("row", k)
 
 
+def test_sharded_frames_auto_wide_fallback_on_huge_extents(small_cfg):
+    """A survey whose per-window extent cannot fit the u32 box budget
+    must AUTOMATICALLY fall back to the wide two-word engine (boxes
+    None) and still match the single-chip map bit-for-bit."""
+    cfg = small_cfg
+    images, positions, quats = make_seq(cfg, 4, seed=980)
+    # scatter the window's poses over ~200 m: per-axis box bits blow the
+    # 31-bit budget, but every key stays in the GLOBAL packable range
+    positions = positions + np.array(
+        [[0.0, 0.0, 0.0], [70.0, 0.0, 0.0], [0.0, 70.0, 0.0],
+         [0.0, 0.0, 70.0]]
+    )
+    mesh = make_mesh()
+
+    eff = {}
+    sh, _ = map_ping_sequence_sharded_frames(
+        images, positions, quats, cfg, mesh=mesh, dtype=jnp.float64,
+        window=4, local_capacity=1 << 10, effective=eff,
+    )
+    assert eff["box_min_bits"] is None  # the compact gate refused
+
+    single, _ = map_ping_sequence(
+        images, positions, quats, cfg, backend="brick", dtype=jnp.float64,
+        window=4,
+    )
+    a = sharded_brick_to_dict(sh)
+    b = brick_state_to_dict(single)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k], k
+
+
 def test_default_xchg_budget_scales_inversely_with_shards():
     assert default_xchg_budget(96000, 8) >= 2 * 96000 // 8
     assert default_xchg_budget(96000, 8) < 96000
