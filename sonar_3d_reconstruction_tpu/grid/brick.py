@@ -628,7 +628,13 @@ def apply_brick_records_compact(
             c_bid = c_bid[:NB]
 
     lane_b = jnp.arange(NB, dtype=jnp.int32)
-    valid_b = lane_b < n_bricks
+    # the EMPTY32 mask matters in row mode under a vox-budget overflow:
+    # n_bricks counts the FULL lane width while the truncated voxel list
+    # carries fewer distinct bricks, and translating the EMPTY32 tail
+    # would misreport the (growable, batch_overflow) truncation as a
+    # fatal range_fail (scalar mode: the first n_bricks entries are
+    # never EMPTY32, so the mask is a no-op)
+    valid_b = (lane_b < n_bricks) & (c_bid != EMPTY32)
 
     # ---- translate compacted brick box ids -> global brick codes (NB
     # elementwise lanes; box_min is brick-aligned so corners stay aligned).

@@ -570,11 +570,15 @@ def map_ping_sequence_sharded_frames(
             insert_budget = 2 * insert_budget
 
     def grow_batch():
-        nonlocal brick_budget
+        nonlocal brick_budget, vox_budget
         ux = xchg_budget or default_xchg_budget(_default_ub(), S)
         brick_budget = 2 * (
             brick_budget or default_brick_budget(window, ux * S) // S
         )
+        if vox_budget is not None:
+            # row-mode distinct-voxel budget reports through the same
+            # batch_overflow channel (apply_brick_records_compact)
+            vox_budget *= 2
 
     out = run_grow_replay(
         st=st, images_dev=images_dev, T_dev=T_dev, n_frames=P_,

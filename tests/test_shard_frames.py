@@ -142,6 +142,17 @@ def test_sharded_frames_wide_and_row_modes_match(small_cfg):
     for k in got:
         assert got[k] == want[k], ("row", k)
 
+    # a deliberately tiny row-mode vox budget must GROW (its truncated
+    # brick list once misreported as fatal range_fail) to the exact map
+    tiny, _ = map_ping_sequence_sharded_frames(
+        images, positions, quats, cfg, mesh=mesh, dtype=jnp.float64,
+        window=4, local_capacity=1 << 10, dense_mode="row", vox_budget=128,
+    )
+    got = sharded_brick_to_dict(tiny)
+    assert got.keys() == want.keys()
+    for k in got:
+        assert got[k] == want[k], ("tiny-vox", k)
+
 
 def test_sharded_frames_auto_wide_fallback_on_huge_extents(small_cfg):
     """A survey whose per-window extent cannot fit the u32 box budget
