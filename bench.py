@@ -2,7 +2,7 @@
 
 Measures the end-to-end hot path — fixed-shape backprojection of full-size
 pings (500 range bins x 512 bearings, the reference Oculus M750D geometry) +
-hashed-sparse scatter update at 5 cm resolution — as one jitted lax.scan, on
+brick-table scatter update at 5 cm resolution — as one windowed engine, on
 whatever device JAX provides (TPU under the driver).
 
 The metric counts VALID candidate emissions actually applied to the map
@@ -10,31 +10,125 @@ The metric counts VALID candidate emissions actually applied to the map
 performs one-by-one in Python (scripts/3d_mapper.py:387-567).  Baseline for
 ``vs_baseline`` is the BASELINE.md target of 1e9 updates/sec/chip.
 
-Prints exactly one JSON line.
+Prints exactly one JSON line — STRUCTURALLY ALWAYS (round-3 verdict item 1):
+
+- module top is stdlib-only; every heavy import happens inside ``main()``
+  under the exception wrapper, so even an import crash emits a parseable
+  error line;
+- backend acquisition runs under a watchdog (``BENCH_ACQUIRE_DEADLINE``,
+  default 150 s): the axon acquisition loop sleeps uninterruptibly in C when
+  the tunneled chip is down, so the watchdog emits an error JSON and
+  ``os._exit``\\ s rather than burning the driver's budget;
+- the whole run has a total deadline (``BENCH_DEADLINE``, default 1500 s):
+  on expiry the watchdog emits the best-known partial result (or an error
+  naming the stage) instead of nothing;
+- the capture path reuses committed snug budgets (``bench_plan.json``) so a
+  cold compile cache faces ONE program family, and the streaming-latency
+  measurement only runs if enough deadline budget remains.
 """
 
 import json
 import os
+import sys
+import threading
 import time
 
-import numpy as np
-
-import jax
-import jax.numpy as jnp
-
-from sonar_3d_reconstruction_tpu.utils.compile_cache import enable as _enable_cache
-
-_enable_cache()
-
-from sonar_3d_reconstruction_tpu.config import MapperConfig
-from sonar_3d_reconstruction_tpu.ops.backproject import build_fan_tables
-from sonar_3d_reconstruction_tpu.pipeline import map_ping_sequence
-
 BASELINE_UPDATES_PER_SEC = 1e9
+PLAN_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_plan.json")
+
+_T0 = time.monotonic()
+_DEADLINE = float(os.environ.get("BENCH_DEADLINE", "1500"))
+_EMIT_LOCK = threading.Lock()
+_EMITTED = False
+_STAGE = "start"
+_PARTIAL = None  # best-known payload for the watchdog to salvage
+
+
+def _remaining() -> float:
+    return _DEADLINE - (time.monotonic() - _T0)
+
+
+def _stage(name: str) -> None:
+    global _STAGE
+    _STAGE = name
+
+
+def _emit(payload) -> bool:
+    """Print the single JSON line (first caller wins; thread-safe)."""
+    global _EMITTED
+    with _EMIT_LOCK:
+        if _EMITTED:
+            return False
+        _EMITTED = True
+    print(json.dumps(payload), flush=True)
+    return True
+
+
+def _error_payload(msg: str):
+    return {
+        "metric": "voxel_log_odds_updates_per_sec",
+        "value": 0.0,
+        "unit": "updates/s",
+        "vs_baseline": 0.0,
+        "error": msg,
+        "stage": _STAGE,
+        "elapsed_s": round(time.monotonic() - _T0, 1),
+    }
+
+
+def _watchdog_fire(reason: str, code: int) -> None:
+    if _PARTIAL is not None:
+        payload = dict(_PARTIAL)
+        payload.setdefault("detail", {})["deadline_note"] = (
+            f"{reason} at stage {_STAGE}; reporting last complete result"
+        )
+        _emit(payload)
+    else:
+        _emit(_error_payload(reason))
+    sys.stdout.flush()
+    os._exit(code)
+
+
+def _start_total_watchdog() -> None:
+    def _watch():
+        rem = _remaining()
+        while rem > 0:
+            time.sleep(min(rem, 5.0))
+            rem = _remaining()
+        _watchdog_fire(f"total deadline {_DEADLINE:.0f}s expired", 3)
+
+    threading.Thread(target=_watch, daemon=True).start()
+
+
+def _acquire_backend(deadline_s: float):
+    """jax.devices() with a hard bound (uninterruptible C sleep inside)."""
+    import jax
+
+    done = threading.Event()
+
+    def _watch():
+        if not done.wait(deadline_s):
+            _watchdog_fire(
+                f"backend acquisition exceeded {deadline_s:.0f}s "
+                "(tunneled TPU unreachable?)", 3,
+            )
+
+    threading.Thread(target=_watch, daemon=True).start()
+    try:
+        return jax.devices()
+    finally:
+        done.set()
+
+
+def _round_up(x, m=8192):
+    return int(-(-x // m) * m)
 
 
 def make_inputs(cfg, n_pings, seed=0):
     """Synthetic survey: bright seabed returns over low noise, forward motion."""
+    import numpy as np
+
     rng = np.random.default_rng(seed)
     R, B = cfg.image_height, cfg.image_width
     images = rng.integers(0, 25, size=(n_pings, R, B)).astype(np.uint8)
@@ -56,7 +150,83 @@ def make_inputs(cfg, n_pings, seed=0):
     return images, positions, quats
 
 
+# ---------------------------------------------------------------------------
+# Budget plan: committed snug budgets for the default capture configuration,
+# keyed by everything that determines them.  A stale plan can only cost a
+# fallback to the discovery path (budgets are safety-netted by overflow
+# detection + growth), never correctness.
+# ---------------------------------------------------------------------------
+
+def _plan_key(cfg, n_pings, window, backend, dense_mode, caps, capacity,
+              seed):
+    import hashlib
+
+    raw = json.dumps(
+        {
+            "backend": backend,
+            "n_pings": n_pings,
+            "window": window,
+            "dense_mode": dense_mode,
+            "seed": seed,
+            "caps": list(caps),
+            "capacity": capacity,
+            "image": [cfg.image_height, cfg.image_width],
+            "res": cfg.voxel_resolution,
+            "range": [cfg.min_range, cfg.max_range],
+            "fov": cfg.horizontal_fov,
+            "thr": cfg.intensity_threshold,
+        },
+        sort_keys=True,
+    )
+    return hashlib.md5(raw.encode()).hexdigest()[:16]
+
+
+def _load_plan(key):
+    if os.environ.get("BENCH_USE_PLAN", "1") != "1":
+        return None
+    try:
+        with open(PLAN_PATH) as f:
+            plans = json.load(f)
+        return plans.get(key)
+    except (OSError, ValueError):
+        return None
+
+
+def _write_plan(key, budgets) -> None:
+    try:
+        with open(PLAN_PATH) as f:
+            plans = json.load(f)
+    except (OSError, ValueError):
+        plans = {}
+    plans[key] = budgets
+    with open(PLAN_PATH, "w") as f:
+        json.dump(plans, f, indent=1, sort_keys=True)
+        f.write("\n")
+
+
 def main():
+    _stage("imports")
+    import numpy as np  # noqa: F401  (used downstream)
+
+    if os.environ.get("BENCH_PLATFORM"):
+        # dev override (e.g. BENCH_PLATFORM=cpu): the env var JAX_PLATFORMS
+        # is too late on this host — sitecustomize's axon register() pins
+        # the config to "axon,cpu" — so apply it as a runtime update
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
+    from sonar_3d_reconstruction_tpu.utils.compile_cache import (
+        enable as _enable_cache,
+    )
+
+    _enable_cache()
+    _stage("backend-acquire")
+    _acquire_backend(float(os.environ.get("BENCH_ACQUIRE_DEADLINE", "150")))
+
+    _stage("setup")
+    from sonar_3d_reconstruction_tpu.config import MapperConfig
+
     cfg = MapperConfig()  # 0.05 m voxels, 130 deg FOV, 10 m range
     # 256 pings = steady state: the fixed per-run costs (map init + two
     # ~28 ms tunnel sync round trips) are ~0.6 ms/ping of pure measurement
@@ -73,16 +243,26 @@ def main():
     backend = os.environ.get("BENCH_BACKEND", "brick")
     if backend == "brick":
         return main_brick(cfg, n_pings, reps, window)
+    return main_hash(cfg, n_pings, reps, window)
 
-    images, positions, quats = make_inputs(cfg, n_pings)
-    # size the static occupied-fan width exactly for this survey (host gate;
-    # identical emissions, smaller candidate lattice — see PERFORMANCE.md)
+
+def main_hash(cfg, n_pings, reps, window):
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
     from sonar_3d_reconstruction_tpu.ops.backproject import (
+        build_fan_tables,
         required_fan_cap,
         required_free_cap,
         required_window_cap,
     )
+    from sonar_3d_reconstruction_tpu.pipeline import map_ping_sequence
 
+    images, positions, quats = make_inputs(cfg, n_pings)
+    # size the static occupied-fan width exactly for this survey (host gate;
+    # identical emissions, smaller candidate lattice — see PERFORMANCE.md)
     fan_cap = required_fan_cap(images, cfg, cfg.image_height)
     window_cap = required_window_cap(images, cfg, cfg.image_height)
     free_cap = required_free_cap(images, cfg, cfg.image_height)
@@ -99,6 +279,7 @@ def main():
     # smaller tables mean smaller non-donated state copies and better
     # scatter locality (scripts/profile_donate.py).  Growth replays if a
     # longer survey exceeds it.
+    _stage("warmup-hash")
     effective = {}
     st, stats = map_ping_sequence(
         images, positions, quats, cfg,
@@ -130,9 +311,6 @@ def main():
     # once per sensor/environment; growth protects correctness if exceeded).
     # Every apply-side indexed op and the window sort scale with them.
     if os.environ.get("BENCH_TUNE_BUDGETS", "1") == "1":
-        def _round_up(x, m=8192):
-            return int(-(-x // m) * m)
-
         max_frame = int(
             (np.asarray(stats["num_occupied"])
              + np.asarray(stats["num_free"])).max()
@@ -197,6 +375,7 @@ def main():
         assert not bool(np.asarray(stats["overflowed"]).any())
         return int(st.used)  # forces real completion (not just dispatch)
 
+    _stage("timed-hash")
     try:
         run(0)  # ensure the final-capacity programs are compiled
     except AssertionError:
@@ -214,46 +393,52 @@ def main():
         run(rep)
         best = min(best, time.perf_counter() - t0)
 
+    updates_per_sec = total_updates / best
+    payload = {
+        "metric": "voxel_log_odds_updates_per_sec",
+        "value": updates_per_sec,
+        "unit": "updates/s",
+        "vs_baseline": updates_per_sec / BASELINE_UPDATES_PER_SEC,
+        "detail": {
+            "backend": "hash",
+            "pings_per_sec": n_pings / best,
+            "mean_ping_latency_ms": 1e3 * best / n_pings,
+            "updates_per_ping": total_updates / n_pings,
+            "candidates_per_ping": tables.candidates_per_ping(
+                cfg.occupied_window
+            ),
+            "device": jax.devices()[0].platform,
+            "n_pings": n_pings,
+            "window": window,
+            "unique_budget": unique_budget,
+            "batch_budget": batch_budget,
+            "lane_budget": lane_budget,
+            "insert_budget": insert_budget,
+            "dedup_lane_budget": dedup_lane_budget,
+            "fan_cap": tables.nvo_cap,
+        },
+    }
+    global _PARTIAL
+    _PARTIAL = payload
+
     # real arrival->state-committed latency (BASELINE.md "p50 ping→map
     # latency"): feed the same survey through the streaming runtime in its
     # documented low-latency configuration (chunk == window) and read the
     # measured per-frame percentiles from StreamStats
-    latency = {}
-    if os.environ.get("BENCH_LATENCY", "1") == "1":
-        latency = measure_stream_latency(
+    _stage("latency-hash")
+    lat_min = float(os.environ.get("BENCH_LATENCY_MIN_REMAINING", "300"))
+    if os.environ.get("BENCH_LATENCY", "1") != "1":
+        pass
+    elif _remaining() < lat_min:
+        payload["detail"]["latency_skipped"] = (
+            f"deadline: {_remaining():.0f}s left < {lat_min:.0f}s"
+        )
+    else:
+        payload["detail"].update(measure_stream_latency(
             cfg, images, positions, quats, window, capacity,
             unique_budget, batch_budget,
-        )
-
-    updates_per_sec = total_updates / best
-    print(
-        json.dumps(
-            {
-                "metric": "voxel_log_odds_updates_per_sec",
-                "value": updates_per_sec,
-                "unit": "updates/s",
-                "vs_baseline": updates_per_sec / BASELINE_UPDATES_PER_SEC,
-                "detail": {
-                    "pings_per_sec": n_pings / best,
-                    "mean_ping_latency_ms": 1e3 * best / n_pings,
-                    **latency,
-                    "updates_per_ping": total_updates / n_pings,
-                    "candidates_per_ping": tables.candidates_per_ping(
-                        cfg.occupied_window
-                    ),
-                    "device": jax.devices()[0].platform,
-                    "n_pings": n_pings,
-                    "window": window,
-                    "unique_budget": unique_budget,
-                    "batch_budget": batch_budget,
-                    "lane_budget": lane_budget,
-                    "insert_budget": insert_budget,
-                    "dedup_lane_budget": dedup_lane_budget,
-                    "fan_cap": tables.nvo_cap,
-                },
-            }
-        )
-    )
+        ))
+    _emit(payload)
 
 
 def measure_stream_latency(
@@ -264,6 +449,8 @@ def measure_stream_latency(
     the LOW-LATENCY configuration (chunk == window), back-to-back arrivals.
     Reuses the timed run's snug budgets/capacity so the programs come from
     the same compile cache family."""
+    import jax.numpy as jnp
+
     from sonar_3d_reconstruction_tpu.io.bag import ImageMsg, OdometryMsg
     from sonar_3d_reconstruction_tpu.stream import StreamingMapper
 
@@ -316,20 +503,33 @@ def measure_stream_latency(
 
 
 def main_brick(cfg, n_pings, reps, window):
-    """Brick-backend bench path (BENCH_BACKEND=brick): same survey, same
-    metric, the grid/brick.py engine with snug measured budgets."""
-    from sonar_3d_reconstruction_tpu.grid.brick import init_brick_grid
+    """Brick-backend bench path (the default): same survey, same metric,
+    the grid/brick.py engine with snug measured budgets — from the
+    committed plan when it matches (ONE compiled program family on a cold
+    cache), discovered by a warmup run otherwise."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from sonar_3d_reconstruction_tpu.grid.brick import (
+        DEFAULT_BRICK_BITS,
+        init_brick_grid,
+    )
     from sonar_3d_reconstruction_tpu.ops.backproject import (
+        build_fan_tables,
         required_fan_cap,
         required_free_cap,
         required_window_cap,
     )
+    from sonar_3d_reconstruction_tpu.ops.packing import compute_window_boxes
     from sonar_3d_reconstruction_tpu.pipeline import (
         batched_sonar_to_world,
         map_ping_sequence,
         scan_pings_brick,
     )
 
+    _stage("setup-brick")
     images, positions, quats = make_inputs(cfg, n_pings)
     fan_cap = required_fan_cap(images, cfg, cfg.image_height)
     window_cap = required_window_cap(images, cfg, cfg.image_height)
@@ -338,90 +538,113 @@ def main_brick(cfg, n_pings, reps, window):
         cfg, cfg.image_height, cfg.image_width, fan_cap=fan_cap,
         window_cap=window_cap, free_cap=free_cap,
     )
-
-    # optional explicit warmup budgets (experiments at window sizes whose
-    # DEFAULT brick budget would not fit HBM, e.g. BENCH_WINDOW=16)
-    warm_bb = os.environ.get("BENCH_BRICK_BUDGET")
-    effective = {}
-    if warm_bb:
-        from sonar_3d_reconstruction_tpu.pipeline import scan_pings_brick
-
-        capacity = int(os.environ.get("BENCH_BRICK_CAPACITY", str(1 << 16)))
-        unique_budget = int(os.environ.get("BENCH_UNIQUE_BUDGET", "131072"))
-        brick_budget = int(warm_bb)
-        st, stats = scan_pings_brick(
-            init_brick_grid(capacity, jnp.float32),
-            jnp.asarray(images),
-            jnp.asarray(batched_sonar_to_world(positions, quats, cfg),
-                        jnp.float32),
-            tables=tables, cfg=cfg, dtype=jnp.float32,
-            unique_budget=unique_budget, window=window,
-            brick_budget=brick_budget,
-        )
-        assert not bool(np.asarray(stats["overflowed"]).any()), \
-            "explicit warmup budgets overflowed"
-    else:
-        st, stats = map_ping_sequence(
-            images, positions, quats, cfg, backend="brick",
-            dtype=jnp.float32, window=window, effective=effective,
-            state=init_brick_grid(
-                int(os.environ.get("BENCH_BRICK_CAPACITY", str(1 << 16))),
-                jnp.float32,
-            ),
-        )
-        capacity = effective["capacity"]
-        unique_budget = effective["unique_budget"]
-        brick_budget = effective["brick_budget"]
-    total_updates = int(np.asarray(stats["num_candidates"]).sum())
-    _ = int(st.used)
-
-    lane_budget = None
-    insert_budget = None
-    dedup_lane_budget = 0
-    if os.environ.get("BENCH_TUNE_BUDGETS", "1") == "1":
-        def _round_up(x, m=8192):
-            return int(-(-x // m) * m)
-
-        max_frame = int(
-            (np.asarray(stats["num_occupied"])
-             + np.asarray(stats["num_free"])).max()
-        )
-        max_valid = int(np.asarray(stats["num_candidates"]).max())
-        # tighter margins than the hash path: the perturbed bench pixel sits
-        # below the intensity threshold so counts are bit-deterministic
-        # across reps, and growth+replay protects correctness regardless.
-        # The compaction slice only pays off while it is SMALLER than the
-        # free-capped lattice (the round-3 trace caught 1.1x+8k rounding
-        # pushing it past the lattice width — no slicing at all).
-        snug_u = min(_round_up(1.1 * max_frame, 4096), unique_budget)
-        dedup_lane_budget = max(_round_up(1.05 * max_valid, 4096), snug_u)
-        # all apply-side budgets are REPORTED by the engine
-        brick_budget = min(
-            _round_up(1.15 * int(np.asarray(stats["batch_n_bricks"]).max()),
-                      1024),
-            brick_budget,
-        )
-        lane_budget = _round_up(
-            1.1 * int(np.asarray(stats["batch_n_lanes"]).max())
-        )
-        need = np.asarray(stats["batch_n_need"]).astype(np.int64)
-        pad = (-len(need)) % window
-        win_need = np.pad(need, (0, pad)).reshape(-1, window).max(axis=1)
-        cold = _round_up(1.15 * int(win_need[0]), 1024)
-        warm = min(_round_up(1.15 * int(win_need[1:].max()), 1024), cold) \
-            if len(win_need) > 1 else cold
-        insert_budget = [cold, warm]
-        unique_budget = snug_u
-
     # dense_mode="row" scatters one (window,)-wide row per distinct voxel
-    # instead of one u32 per record lane (grid/brick.py dense_mode) — the
-    # vox budget comes from the measured per-window distinct-voxel count
+    # instead of one u32 per record lane (grid/brick.py dense_mode)
     dense_mode = os.environ.get("BENCH_DENSE_MODE", "scalar")
-    vox_budget = None
-    if dense_mode == "row" and os.environ.get("BENCH_TUNE_BUDGETS", "1") == "1":
-        vox_budget = _round_up(
-            1.1 * int(np.asarray(stats["batch_n_unique"]).max()), 4096
-        )
+    init_capacity = int(os.environ.get("BENCH_BRICK_CAPACITY", str(1 << 16)))
+    plan_key = _plan_key(
+        cfg, n_pings, window, "brick", dense_mode,
+        (fan_cap, window_cap, free_cap), init_capacity, 0,
+    )
+    plan = _load_plan(plan_key)
+
+    effective = {}
+
+    def discover():
+        """Warmup at default budgets + snug tuning from measured stats
+        (compiles its own program family — the capture path avoids this
+        via the plan)."""
+        _stage("warmup-discover-brick")
+        warm_bb = os.environ.get("BENCH_BRICK_BUDGET")
+        if warm_bb:
+            # optional explicit warmup budgets (experiments at window sizes
+            # whose DEFAULT brick budget would not fit HBM, e.g.
+            # BENCH_WINDOW=16)
+            capacity = init_capacity
+            unique_budget = int(os.environ.get("BENCH_UNIQUE_BUDGET",
+                                               "131072"))
+            brick_budget = int(warm_bb)
+            st, stats = scan_pings_brick(
+                init_brick_grid(capacity, jnp.float32),
+                jnp.asarray(images),
+                jnp.asarray(batched_sonar_to_world(positions, quats, cfg),
+                            jnp.float32),
+                tables=tables, cfg=cfg, dtype=jnp.float32,
+                unique_budget=unique_budget, window=window,
+                brick_budget=brick_budget,
+            )
+            assert not bool(np.asarray(stats["overflowed"]).any()), \
+                "explicit warmup budgets overflowed"
+        else:
+            st, stats = map_ping_sequence(
+                images, positions, quats, cfg, backend="brick",
+                dtype=jnp.float32, window=window, effective=effective,
+                state=init_brick_grid(init_capacity, jnp.float32),
+            )
+            capacity = effective["capacity"]
+            unique_budget = effective["unique_budget"]
+            brick_budget = effective["brick_budget"]
+        _ = int(st.used)
+
+        b = {
+            "capacity": capacity,
+            "unique_budget": unique_budget,
+            "brick_budget": brick_budget,
+            "lane_budget": None,
+            "insert_budget": None,
+            "vox_budget": None,
+            "dedup_lane_budget": 0,
+            # pre-tuning (warmup-effective) values: the overflow fallback
+            # and the streaming-latency run need the SAFE budgets
+            "safe_unique_budget": unique_budget,
+            "safe_brick_budget": brick_budget,
+        }
+        if os.environ.get("BENCH_TUNE_BUDGETS", "1") == "1":
+            max_frame = int(
+                (np.asarray(stats["num_occupied"])
+                 + np.asarray(stats["num_free"])).max()
+            )
+            max_valid = int(np.asarray(stats["num_candidates"]).max())
+            # tighter margins than the hash path: the perturbed bench pixel
+            # sits below the intensity threshold so counts are
+            # bit-deterministic across reps, and growth+replay protects
+            # correctness regardless.  The compaction slice only pays off
+            # while it is SMALLER than the free-capped lattice (the round-3
+            # trace caught 1.1x+8k rounding pushing it past the lattice
+            # width — no slicing at all).
+            snug_u = min(_round_up(1.1 * max_frame, 4096), unique_budget)
+            b["dedup_lane_budget"] = max(
+                _round_up(1.05 * max_valid, 4096), snug_u
+            )
+            # all apply-side budgets are REPORTED by the engine
+            b["brick_budget"] = min(
+                _round_up(
+                    1.15 * int(np.asarray(stats["batch_n_bricks"]).max()),
+                    1024,
+                ),
+                brick_budget,
+            )
+            b["lane_budget"] = _round_up(
+                1.1 * int(np.asarray(stats["batch_n_lanes"]).max())
+            )
+            need = np.asarray(stats["batch_n_need"]).astype(np.int64)
+            pad = (-len(need)) % window
+            win_need = np.pad(need, (0, pad)).reshape(-1, window).max(axis=1)
+            cold = _round_up(1.15 * int(win_need[0]), 1024)
+            warm = min(_round_up(1.15 * int(win_need[1:].max()), 1024),
+                       cold) if len(win_need) > 1 else cold
+            b["insert_budget"] = [cold, warm]
+            b["unique_budget"] = snug_u
+            if dense_mode == "row":
+                b["vox_budget"] = _round_up(
+                    1.1 * int(np.asarray(stats["batch_n_unique"]).max()),
+                    4096,
+                )
+        return b
+
+    budgets = dict(plan) if plan else discover()
+    if not plan and os.environ.get("BENCH_WRITE_PLAN", "0") == "1":
+        _write_plan(plan_key, budgets)
 
     T_host = batched_sonar_to_world(positions, quats, cfg)
     images_dev = jnp.asarray(images)
@@ -430,9 +653,6 @@ def main_brick(cfg, n_pings, reps, window):
 
     # compact box-key engine (single-u32 sort keys) whenever the survey's
     # per-window extents fit — same partition as scan_pings_brick's windows
-    from sonar_3d_reconstruction_tpu.grid.brick import DEFAULT_BRICK_BITS
-    from sonar_3d_reconstruction_tpu.ops.packing import compute_window_boxes
-
     boxes = compute_window_boxes(
         T_host[:, :3, 3], cfg.max_range, cfg.voxel_resolution, window,
         DEFAULT_BRICK_BITS,
@@ -441,32 +661,46 @@ def main_brick(cfg, n_pings, reps, window):
 
     def run(rep):
         imgs = images_dev.at[0, 0, 0].set(np.uint8(rep % 251))
-        st = init_brick_grid(capacity, jnp.float32)
+        st = init_brick_grid(budgets["capacity"], jnp.float32)
         st, stats = scan_pings_brick(
             st, imgs, T_dev, tables=tables, cfg=cfg, dtype=jnp.float32,
-            unique_budget=unique_budget, window=window,
-            brick_budget=brick_budget, lane_budget=lane_budget,
-            insert_budget=insert_budget, vox_budget=vox_budget,
+            unique_budget=budgets["unique_budget"], window=window,
+            brick_budget=budgets["brick_budget"],
+            lane_budget=budgets["lane_budget"],
+            insert_budget=budgets["insert_budget"],
+            vox_budget=budgets["vox_budget"],
             dense_mode=dense_mode,
-            dedup_lane_budget=dedup_lane_budget, boxes=boxes,
+            dedup_lane_budget=budgets["dedup_lane_budget"], boxes=boxes,
         )
         assert not bool(np.asarray(stats["overflowed"]).any())
-        return int(st.used), st
+        _ = int(st.used)  # forces real completion (not just dispatch)
+        return st, stats
 
+    _stage("compile-brick")
     try:
-        _, st_last = run(0)
+        st_last, stats = run(0)
     except AssertionError:
-        unique_budget = effective["unique_budget"]
-        brick_budget = effective["brick_budget"]
-        lane_budget = None
-        insert_budget = None
-        vox_budget = None
-        dedup_lane_budget = 0
-        _, st_last = run(0)
+        if plan:
+            # stale committed plan (source changed emission counts):
+            # rediscover from scratch — still capture-safe, just slower
+            plan = None
+            budgets = discover()
+            st_last, stats = run(0)
+        else:
+            budgets.update(
+                unique_budget=budgets["safe_unique_budget"],
+                brick_budget=budgets["safe_brick_budget"],
+                lane_budget=None, insert_budget=None, vox_budget=None,
+                dedup_lane_budget=0,
+            )
+            st_last, stats = run(0)
+    total_updates = int(np.asarray(stats["num_candidates"]).sum())
+
+    _stage("timed-brick")
     best = float("inf")
     for rep in range(1, reps + 1):
         t0 = time.perf_counter()
-        _, st_last = run(rep)
+        st_last, _ = run(rep)
         best = min(best, time.perf_counter() - t0)
 
     # sparse-vs-dense storage ratio (reference README.md:309 claims 29-93x
@@ -484,56 +718,73 @@ def main_brick(cfg, n_pings, reps, window):
         + st_last.touched.nbytes
     )
 
-    latency = {}
-    if os.environ.get("BENCH_LATENCY", "1") == "1":
-        # the SAFE warmup budget, not the snug one: the stream derives its
-        # dedup slice from 2x the unique budget, and a snug value can force
-        # one mid-stream growth replay — correct but it pollutes p95
-        latency = measure_stream_latency(
-            cfg, images, positions, quats, window, capacity,
-            effective["unique_budget"] if effective else unique_budget,
-            None, backend="brick",
-        )
-
     updates_per_sec = total_updates / best
-    print(
-        json.dumps(
-            {
-                "metric": "voxel_log_odds_updates_per_sec",
-                "value": updates_per_sec,
-                "unit": "updates/s",
-                "vs_baseline": updates_per_sec / BASELINE_UPDATES_PER_SEC,
-                "detail": {
-                    "backend": "brick",
-                    "pings_per_sec": n_pings / best,
-                    "mean_ping_latency_ms": 1e3 * best / n_pings,
-                    **latency,
-                    "updates_per_ping": total_updates / n_pings,
-                    "device": jax.devices()[0].platform,
-                    "n_pings": n_pings,
-                    "window": window,
-                    "unique_budget": unique_budget,
-                    "brick_budget": brick_budget,
-                    "lane_budget": lane_budget,
-                    "insert_budget": insert_budget,
-                    "vox_budget": vox_budget if boxes is not None else None,
-                    # dense_mode only takes effect in the compact box-key
-                    # branch; report what actually ran
-                    "dense_mode": dense_mode if boxes is not None
-                    else "scalar",
-                    "compact_boxes": boxes is not None,
-                    "dedup_lane_budget": dedup_lane_budget,
-                    "fan_cap": tables.nvo_cap,
-                    "capacity_bricks": capacity,
-                    "memory_sparse_mb": sparse_bytes / 1e6,
-                    "memory_dense_equiv_mb": dense_bytes / 1e6,
-                    "memory_ratio_vs_dense": dense_bytes
-                    / max(1, sparse_bytes),
-                },
-            }
+    payload = {
+        "metric": "voxel_log_odds_updates_per_sec",
+        "value": updates_per_sec,
+        "unit": "updates/s",
+        "vs_baseline": updates_per_sec / BASELINE_UPDATES_PER_SEC,
+        "detail": {
+            "backend": "brick",
+            "pings_per_sec": n_pings / best,
+            "mean_ping_latency_ms": 1e3 * best / n_pings,
+            "updates_per_ping": total_updates / n_pings,
+            "device": jax.devices()[0].platform,
+            "n_pings": n_pings,
+            "window": window,
+            "unique_budget": budgets["unique_budget"],
+            "brick_budget": budgets["brick_budget"],
+            "lane_budget": budgets["lane_budget"],
+            "insert_budget": budgets["insert_budget"],
+            "vox_budget": budgets["vox_budget"]
+            if boxes is not None else None,
+            # dense_mode only takes effect in the compact box-key branch;
+            # report what actually ran
+            "dense_mode": dense_mode if boxes is not None else "scalar",
+            "compact_boxes": boxes is not None,
+            "dedup_lane_budget": budgets["dedup_lane_budget"],
+            "fan_cap": tables.nvo_cap,
+            "capacity_bricks": budgets["capacity"],
+            "budget_plan": "hit" if plan else "discovered",
+            "memory_sparse_mb": sparse_bytes / 1e6,
+            "memory_dense_equiv_mb": dense_bytes / 1e6,
+            "memory_ratio_vs_dense": dense_bytes / max(1, sparse_bytes),
+        },
+    }
+    global _PARTIAL
+    _PARTIAL = payload
+
+    _stage("latency-brick")
+    lat_min = float(os.environ.get("BENCH_LATENCY_MIN_REMAINING", "300"))
+    if os.environ.get("BENCH_LATENCY", "1") != "1":
+        pass
+    elif _remaining() < lat_min:
+        payload["detail"]["latency_skipped"] = (
+            f"deadline: {_remaining():.0f}s left < {lat_min:.0f}s"
         )
-    )
+    else:
+        # the SAFE (untuned) unique budget, not the snug one: the stream
+        # derives its dedup slice from 2x the unique budget, and a snug
+        # value can force one mid-stream growth replay — correct but it
+        # pollutes p95
+        safe_u = budgets.get("safe_unique_budget",
+                             budgets["unique_budget"] * 2)
+        payload["detail"].update(measure_stream_latency(
+            cfg, images, positions, quats, window, budgets["capacity"],
+            safe_u, None, backend="brick",
+        ))
+    _emit(payload)
 
 
 if __name__ == "__main__":
-    main()
+    _start_total_watchdog()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except BaseException as e:  # noqa: BLE001 — the one line MUST print
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        _emit(_error_payload(f"{type(e).__name__}: {e}"))
+        raise SystemExit(1)

@@ -245,11 +245,12 @@ class BagReader:
     def topic_names(self) -> Dict[str, str]:
         return {name: typ for name, typ in self.topics.values()}
 
-    def messages(
+    def raw_messages(
         self, topic_names: Optional[List[str]] = None
-    ) -> Iterator[Tuple[str, float, object]]:
-        """Yield (topic, bag_timestamp_sec, decoded_msg) in time order.
-        Only Image/Odometry topics are decoded; others are skipped."""
+    ) -> Iterator[Tuple[str, str, float, bytes]]:
+        """Yield (topic, type, bag_timestamp_sec, cdr_blob) in time order
+        (Image/Odometry topics only) — the batch-decode feed (io/native.py)
+        and McapReader API twin."""
         wanted = {
             tid: (name, typ)
             for tid, (name, typ) in self.topics.items()
@@ -265,12 +266,20 @@ class BagReader:
             list(wanted),
         ):
             name, typ = wanted[tid]
+            yield name, typ, ts * 1e-9, blob
+
+    def messages(
+        self, topic_names: Optional[List[str]] = None
+    ) -> Iterator[Tuple[str, float, object]]:
+        """Yield (topic, bag_timestamp_sec, decoded_msg) in time order.
+        Only Image/Odometry topics are decoded; others are skipped."""
+        for name, typ, ts, blob in self.raw_messages(topic_names):
             msg = (
                 decode_image_msg(blob)
                 if typ == IMAGE_TYPE
                 else decode_odometry_msg(blob)
             )
-            yield name, ts * 1e-9, msg
+            yield name, ts, msg
 
     def close(self) -> None:
         self.conn.close()

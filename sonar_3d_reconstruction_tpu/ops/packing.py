@@ -26,13 +26,20 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import numpy as np
+
 import jax.numpy as jnp
 
 AXIS_BITS = 20
 _BIAS = 1 << (AXIS_BITS - 1)          # 2^19
 _AXIS_MAX = (1 << AXIS_BITS) - 1       # biased upper bound (inclusive)
 
-EMPTY_HI = jnp.uint32(0xFFFFFFFF)
+# np (not jnp) scalars: a module-level jnp constant would initialize the
+# jax backend at IMPORT time — on the axon host that acquires the tunneled
+# TPU with an unbounded retry loop, hanging any import when the chip is
+# unreachable (the round-3 driver failure mode).  Inside traced code numpy
+# scalars lift to identical uint32 constants.
+EMPTY_HI = np.uint32(0xFFFFFFFF)
 
 # hi = x20 << 12 | y20 >> 8      (x's 20 bits, y's high 12 bits)
 # lo = (y20 & 0xFF) << 20 | z20  (y's low 8 bits, z's 20 bits; bits 28-31 zero)
@@ -176,7 +183,7 @@ def unpack_brick_keys(
 # the (few-k) compacted brick list back through the box origin.
 # ---------------------------------------------------------------------------
 
-EMPTY32 = jnp.uint32(0xFFFFFFFF)
+EMPTY32 = np.uint32(0xFFFFFFFF)  # np, not jnp — see EMPTY_HI note
 
 
 def pack_box_keys(

@@ -53,8 +53,35 @@ def _host_fingerprint() -> str:
     return hashlib.md5(raw.encode()).hexdigest()[:12]
 
 
+def _configured_platform() -> str:
+    """First configured jax platform WITHOUT initializing any backend.
+
+    Probing ``jax.default_backend()`` here cost round 3 both driver
+    artifacts: it initializes the axon TPU backend, and when the tunneled
+    chip is unreachable that init sleeps in an unbounded retry loop — at
+    import time, before any entry point can force CPU or apply a deadline
+    (VERDICT.md round 3).  The runtime config / env tell us the intent
+    without touching a backend: tests and the multi-chip dryrun pin
+    ``jax_platforms=cpu`` before calling ``enable()``; on the TPU host
+    sitecustomize exports ``JAX_PLATFORMS=axon``.
+    """
+    try:
+        import jax
+
+        configured = jax.config.jax_platforms  # runtime update wins
+    except Exception:
+        configured = None
+    if not configured:
+        configured = os.environ.get("JAX_PLATFORMS", "")
+    return configured.split(",")[0].strip().lower() if configured else ""
+
+
 def enable(cache_dir: str | None = None) -> str:
-    """Enable the persistent compilation cache (idempotent)."""
+    """Enable the persistent compilation cache (idempotent).
+
+    Never initializes a jax backend (see ``_configured_platform``) — safe
+    to call before deciding/acquiring the device.
+    """
     import jax
 
     if cache_dir is None:
@@ -63,17 +90,13 @@ def enable(cache_dir: str | None = None) -> str:
             os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__)))), ".jax_cache"),
         )
-    # The EFFECTIVE backend decides (this initializes it, which every
-    # entry point does moments later anyway): on the TPU host sitecustomize
-    # pins "axon,cpu" and the tpu backend keeps hitting the shared root
-    # cache (remote compiles cost minutes) — but if the tunnel fails to
-    # initialize and jax falls back to cpu, or the platform is pinned to
-    # cpu (tests), CPU AOT entries go to the per-host dir.
-    try:
-        on_cpu = jax.default_backend() == "cpu"
-    except Exception:  # no backend at all: cache dir is moot, pick safe
-        on_cpu = True
-    if on_cpu:
+    # TPU processes hit the shared root (remote compiles cost minutes and
+    # the executables are host-neutral); CPU processes — and, safely,
+    # processes whose platform we cannot determine — use the per-host dir,
+    # because XLA:CPU AOT executables bake in host CPU features and a
+    # foreign entry can segfault on load (module docstring).
+    platform = _configured_platform()
+    if platform in ("", "cpu"):
         cache_dir = os.path.join(cache_dir, "cpu-" + _host_fingerprint())
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
