@@ -448,11 +448,18 @@ def measure_stream_latency(
     """p50/p95 arrival->state-committed latency through StreamingMapper in
     the LOW-LATENCY configuration (chunk == window), back-to-back arrivals.
     Reuses the timed run's snug budgets/capacity so the programs come from
-    the same compile cache family."""
+    the same compile cache family.
+
+    ``BENCH_LATENCY_CHUNK`` overrides the stream's chunk==window size —
+    chunk=1 measures the per-ping latency FLOOR (each ping flushes its own
+    device step instead of batching 8), at the cost of a separate compiled
+    program family; leave unset for capture runs."""
     import jax.numpy as jnp
 
     from sonar_3d_reconstruction_tpu.io.bag import ImageMsg, OdometryMsg
     from sonar_3d_reconstruction_tpu.stream import StreamingMapper
+
+    window = int(os.environ.get("BENCH_LATENCY_CHUNK", str(window)))
 
     if backend == "brick":
         # streaming brick capacity arg counts voxel-equivalents (>> 4 split

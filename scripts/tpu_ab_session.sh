@@ -1,28 +1,48 @@
 #!/bin/sh
-# TPU A/B session for the pending row-3 experiments (run when the axon
-# tunnel is up; see bench-run-protocol memory / CLAUDE.md for the rules:
-# warm cache mandatory, never edit source while a run is live).
+# TPU session for the round-4 measurements (run when the axon tunnel is
+# up; see bench-run-protocol memory / CLAUDE.md for the rules: warm cache
+# mandatory for timing claims, never edit source while a run is live).
 #
-# Pending questions this answers, in priority order:
-#   1. Does the always-on compact-dedup payload shrink hold/raise the
-#      103.1M updates/s record?                       -> bench_scalar.json
-#   2. Does dense_mode=row beat the scalar dense scatter (the single
-#      largest traced line item, 0.40 ms/ping)?       -> bench_row.json
-#   3. Does window=16 pay now that sorts shrank 4x (per-window fixed
-#      costs halve; w16 previously measured ~= w8)?   -> bench_w16.json
-#   4. Row/value-op microcosts incl. the value-row capacity sweep
-#      (full-table-pass hypothesis).                  -> rowscatter.log
+# Ordered so the CAPTURE-CRITICAL steps come first (round-3 verdict items
+# 1-3): a driver-shaped cold/warm bench with the committed plan, then the
+# A/Bs, then the new measurement rows.
 #
-# Each bench line lands in the log; compare "value" fields.
+#  0. Cold-cache wall budget: time `python bench.py` exactly as the driver
+#     runs it (the committed bench_plan.json should hold the program count
+#     to ONE family + latency).             -> bench_capture.json + time
+#  1. Payload-shrink regression check vs the 103.1M record (the shrink is
+#     always-on since round 3).             -> bench_capture.json value
+#  2. dense_mode=row A/B (largest traced line item, 0.40 ms/ping).
+#                                           -> bench_row.json
+#  3. window=16 with tuned budgets.         -> bench_w16.json
+#  4. Radix/binned dedup verdict at bench shapes (verdict item 4).
+#                                           -> radix.json
+#  5. Publish tick: extraction + serialization at 2^22 (verdict item 5).
+#                                           -> publish.json
+#  6. chunk=1 streaming latency floor (verdict item 8).
+#                                           -> bench_chunk1.json
+#  7. Row/value-op microcosts (capacity sweep, full-table-pass check).
+#                                           -> rowscatter.log
+#  8. S=1 sharding-machinery overhead.      -> shard_overhead.log
+#  9. Capture-readiness check (plan hit + warm wall) — run LAST, after
+#     everything above warmed the cache.    -> cache_check.json
+#
+# After this session: update PERFORMANCE.md rows, set defaults by
+# measurement, regenerate bench_plan.json if defaults changed, re-run
+# scripts/cache_check.py, and DO NOT commit traced-source changes after
+# the final warm run.
 set -x
 cd /root/repo
 mkdir -p /tmp/tpu_ab
-python bench.py                       > /tmp/tpu_ab/bench_scalar.json 2> /tmp/tpu_ab/bench_scalar.log
-BENCH_DENSE_MODE=row python bench.py  > /tmp/tpu_ab/bench_row.json    2> /tmp/tpu_ab/bench_row.log
-BENCH_WINDOW=16 python bench.py       > /tmp/tpu_ab/bench_w16.json    2> /tmp/tpu_ab/bench_w16.log
-python scripts/profile_rowscatter.py  > /tmp/tpu_ab/rowscatter.log    2>&1
-#   5. Sharding machinery overhead on ONE real chip (S=1 mesh runs the
-#      grouped dedup + block peel + self-all_to_all + psum against the
-#      plain engine).                               -> shard_overhead.log
+
+time python bench.py                  > /tmp/tpu_ab/bench_capture.json 2> /tmp/tpu_ab/bench_capture.log
+BENCH_DENSE_MODE=row python bench.py  > /tmp/tpu_ab/bench_row.json     2> /tmp/tpu_ab/bench_row.log
+BENCH_WINDOW=16 python bench.py       > /tmp/tpu_ab/bench_w16.json     2> /tmp/tpu_ab/bench_w16.log
+python scripts/profile_radix.py       > /tmp/tpu_ab/radix.json         2>&1
+python scripts/profile_publish.py     > /tmp/tpu_ab/publish.json       2>&1
+BENCH_LATENCY_CHUNK=1 BENCH_REPS=1 python bench.py \
+                                      > /tmp/tpu_ab/bench_chunk1.json  2> /tmp/tpu_ab/bench_chunk1.log
+python scripts/profile_rowscatter.py  > /tmp/tpu_ab/rowscatter.log     2>&1
 python scripts/profile_shard_overhead.py > /tmp/tpu_ab/shard_overhead.log 2>&1
-tail -n 1 /tmp/tpu_ab/bench_*.json
+python scripts/cache_check.py         > /tmp/tpu_ab/cache_check.json   2>&1
+tail -n 1 /tmp/tpu_ab/*.json

@@ -291,12 +291,39 @@ class BagReader:
         self.close()
 
 
+# rosbag2 QoS YAML for a sensor-style topic (what `ros2 bag record`
+# captures from BEST_EFFORT/KEEP_LAST publishers, reference node:184-189);
+# readers only require the column to exist, but real tooling shows it
+_QOS_SENSOR_YAML = (
+    "- history: 3\n  depth: 0\n  reliability: 2\n  durability: 2\n"
+    "  deadline:\n    sec: 9223372036\n    nsec: 854775807\n"
+    "  lifespan:\n    sec: 9223372036\n    nsec: 854775807\n"
+    "  liveliness: 1\n  liveliness_lease_duration:\n    sec: 9223372036\n"
+    "    nsec: 854775807\n  avoid_ros_namespace_conventions: false"
+)
+
+
 class BagWriter:
-    """Writes a minimal rosbag2-schema ``.db3`` (synthetic fixtures)."""
+    """Writes a rosbag2-Humble-schema ``.db3`` (fixtures, recordings).
+
+    Emits the full storage layout `rosbag2_storage` (Humble, schema v3)
+    creates — ``schema`` + ``metadata`` tables, QoS-bearing ``topics``, the
+    ``timestamp_idx`` index — so ROS2 tooling (``ros2 bag info/play``) can
+    consume bags this framework records, not only the other way around.
+    """
 
     def __init__(self, path: str):
         self.conn = sqlite3.connect(path)
         c = self.conn
+        c.execute(
+            "CREATE TABLE schema(schema_version INTEGER PRIMARY KEY, "
+            "ros_distro TEXT NOT NULL)"
+        )
+        c.execute("INSERT INTO schema VALUES (3, 'humble')")
+        c.execute(
+            "CREATE TABLE metadata(id INTEGER PRIMARY KEY, "
+            "metadata_version INTEGER NOT NULL, metadata TEXT NOT NULL)"
+        )
         c.execute(
             "CREATE TABLE topics(id INTEGER PRIMARY KEY, name TEXT NOT NULL, "
             "type TEXT NOT NULL, serialization_format TEXT NOT NULL, "
@@ -307,14 +334,22 @@ class BagWriter:
             "topic_id INTEGER NOT NULL, timestamp INTEGER NOT NULL, "
             "data BLOB NOT NULL)"
         )
+        c.execute("CREATE INDEX timestamp_idx ON messages (timestamp ASC)")
         self._topic_ids: Dict[str, int] = {}
+        self._topic_types: Dict[str, str] = {}
+        self._counts: Dict[str, int] = {}
+        self._t_min: Optional[int] = None
+        self._t_max = 0
 
     def add_topic(self, name: str, typ: str) -> int:
         tid = len(self._topic_ids) + 1
         self.conn.execute(
-            "INSERT INTO topics VALUES (?, ?, ?, 'cdr', '')", (tid, name, typ)
+            "INSERT INTO topics VALUES (?, ?, ?, 'cdr', ?)",
+            (tid, name, typ, _QOS_SENSOR_YAML),
         )
         self._topic_ids[name] = tid
+        self._topic_types[name] = typ
+        self._counts[name] = 0
         return tid
 
     def write(self, topic: str, stamp_sec: float, msg) -> None:
@@ -323,12 +358,42 @@ class BagWriter:
             if isinstance(msg, ImageMsg)
             else encode_odometry_msg(msg)
         )
+        t_ns = int(round(stamp_sec * 1e9))
         self.conn.execute(
             "INSERT INTO messages(topic_id, timestamp, data) VALUES (?, ?, ?)",
-            (self._topic_ids[topic], int(round(stamp_sec * 1e9)), blob),
+            (self._topic_ids[topic], t_ns, blob),
         )
+        self._counts[topic] += 1
+        self._t_min = t_ns if self._t_min is None else min(self._t_min, t_ns)
+        self._t_max = max(self._t_max, t_ns)
 
     def close(self) -> None:
+        # rosbag2_bagfile_information blob (metadata_version 5) — `ros2 bag
+        # info` reads this; keys/structure per rosbag2_storage's YAML
+        t0 = self._t_min or 0
+        topics_yaml = "".join(
+            "  - topic_metadata:\n"
+            f"      name: {name}\n"
+            f"      type: {self._topic_types[name]}\n"
+            "      serialization_format: cdr\n"
+            f"    message_count: {self._counts[name]}\n"
+            for name in self._topic_ids
+        )
+        meta = (
+            "rosbag2_bagfile_information:\n"
+            "  version: 5\n"
+            "  storage_identifier: sqlite3\n"
+            f"  duration:\n    nanoseconds: {self._t_max - t0}\n"
+            f"  starting_time:\n    nanoseconds_since_epoch: {t0}\n"
+            f"  message_count: {sum(self._counts.values())}\n"
+            "  topics_with_message_count:\n"
+            f"{topics_yaml}"
+            "  compression_format: \"\"\n  compression_mode: \"\"\n"
+        )
+        self.conn.execute(
+            "INSERT INTO metadata(metadata_version, metadata) VALUES (5, ?)",
+            (meta,),
+        )
         self.conn.commit()
         self.conn.close()
 

@@ -166,6 +166,48 @@ def test_mcap_chunk_is_foreign_shaped():
     assert 0x0B not in ops, "no Statistics record — readers must not rely"
 
 
+def test_bagwriter_emits_humble_layout(tmp_path):
+    """Reverse interop: OUR writer emits the full rosbag2-Humble storage
+    layout (schema/metadata tables, QoS column, timestamp index, metadata
+    YAML with per-topic counts) so `ros2 bag info/play` can consume bags
+    this framework records — not only the other way around."""
+    import sqlite3
+
+    from sonar_3d_reconstruction_tpu.io.bag import BagWriter
+
+    path = str(tmp_path / "ours.db3")
+    with BagWriter(path) as w:
+        w.add_topic(IMAGE_TOPIC, "sensor_msgs/msg/Image")
+        w.add_topic(ODOM_TOPIC, "nav_msgs/msg/Odometry")
+        for i in range(3):
+            t = 100.0 + i
+            w.write(ODOM_TOPIC, t, OdometryMsg(
+                t, "camera_init", "body", np.zeros(3),
+                np.array([0, 0, 0, 1.0])))
+    conn = sqlite3.connect(path)
+    tables = {r[0] for r in conn.execute(
+        "SELECT name FROM sqlite_master WHERE type='table'")}
+    assert {"schema", "metadata", "topics", "messages"} <= tables
+    assert conn.execute("SELECT ros_distro FROM schema").fetchone()[0] \
+        == "humble"
+    idx = {r[0] for r in conn.execute(
+        "SELECT name FROM sqlite_master WHERE type='index' "
+        "AND name='timestamp_idx'")}
+    assert idx == {"timestamp_idx"}
+    qos = conn.execute(
+        "SELECT offered_qos_profiles FROM topics LIMIT 1").fetchone()[0]
+    assert "reliability: 2" in qos
+    meta = conn.execute("SELECT metadata FROM metadata").fetchone()[0]
+    assert "rosbag2_bagfile_information" in meta
+    assert "message_count: 3" in meta
+    assert f"name: {ODOM_TOPIC}" in meta
+    conn.close()
+    # and our own reader still round-trips it
+    with BagReader(path) as r:
+        msgs = list(r.messages())
+    assert len(msgs) == 3
+
+
 def test_external_fixture_drives_full_pipeline():
     """Foreign bytes -> time pairing -> mapper: the complete replay path the
     reference exercises with `ros2 bag play` (launch:167-178)."""
