@@ -308,51 +308,20 @@ def main_hash(cfg, n_pings, reps, window):
     dedup_lane_budget = 0
 
     # Snug non-pow2 budgets measured from the warmup (deployments tune these
-    # once per sensor/environment; growth protects correctness if exceeded).
-    # Every apply-side indexed op and the window sort scale with them.
+    # once per sensor/environment via utils/autotune + the `tune` CLI;
+    # growth protects correctness if exceeded).  Every apply-side indexed
+    # op and the window sort scale with them.
     if os.environ.get("BENCH_TUNE_BUDGETS", "1") == "1":
-        max_frame = int(
-            (np.asarray(stats["num_occupied"])
-             + np.asarray(stats["num_free"])).max()
+        from sonar_3d_reconstruction_tpu.utils.autotune import (
+            snug_budgets_hash,
         )
-        # the unique budget bounds DISTINCT voxels only; the dedup
-        # compaction slice covers VALID candidates via its own explicit
-        # lane budget (ops/dedup.py), so U — and the (B, U) window sort,
-        # scans and stats that scale with it — stays snug to the measured
-        # per-frame unique counts
-        max_valid = int(np.asarray(stats["num_candidates"]).max())
-        snug_u = min(_round_up(1.25 * max_frame), unique_budget)
-        dedup_lane_budget = max(
-            _round_up(1.1 * max_valid), snug_u
-        )
-        snug_b = batch_budget
-        if "batch_n_unique" in stats:
-            max_batch = int(np.asarray(stats["batch_n_unique"]).max())
-            snug_b = min(_round_up(1.15 * max_batch), batch_budget)
-            # the apply's lane prefix must cover the window's summed
-            # per-frame unique records (grid/hash.py Lb); decoupled from
-            # the batch budget so the per-unique table ops stay tight
-            uni = (np.asarray(stats["num_occupied"])
-                   + np.asarray(stats["num_free"])).astype(np.int64)
-            pad = (-len(uni)) % window
-            win_lanes = np.pad(uni, (0, pad)).reshape(-1, window).sum(axis=1)
-            lane_budget = max(_round_up(1.1 * int(win_lanes.max())), snug_b)
-        if "batch_n_need" in stats:
-            # all three insert-side scatters run at this width.  A fresh
-            # map's FIRST window inserts nearly all its uniques while later
-            # windows insert only newly-swept territory, so use a cold
-            # first-window budget + a snug budget for the rest (one compiled
-            # apply variant each; per-window stats are window-constant so
-            # reshape-max gives the per-window need)
-            need = np.asarray(stats["batch_n_need"]).astype(np.int64)
-            pad = (-len(need)) % window
-            win_need = np.pad(need, (0, pad)).reshape(-1, window).max(axis=1)
-            cold = min(_round_up(1.15 * int(win_need[0])), snug_b)
-            warm = min(_round_up(1.15 * int(win_need[1:].max())), cold) \
-                if len(win_need) > 1 else cold
-            insert_budget = [cold, warm]
-        if snug_u < unique_budget or snug_b < batch_budget:
-            unique_budget, batch_budget = snug_u, snug_b
+
+        t = snug_budgets_hash(stats, window, unique_budget, batch_budget)
+        unique_budget = t["unique_budget"]
+        batch_budget = t["batch_budget"]
+        lane_budget = t["lane_budget"]
+        insert_budget = t["insert_budget"]
+        dedup_lane_budget = t["dedup_lane_budget"]
 
     images_dev = jnp.asarray(images)
     T_dev = jnp.asarray(batched_sonar_to_world(positions, quats, cfg),
@@ -607,46 +576,18 @@ def main_brick(cfg, n_pings, reps, window):
             "safe_brick_budget": brick_budget,
         }
         if os.environ.get("BENCH_TUNE_BUDGETS", "1") == "1":
-            max_frame = int(
-                (np.asarray(stats["num_occupied"])
-                 + np.asarray(stats["num_free"])).max()
+            # snug-budget formulas live in utils/autotune (the deployment
+            # `tune` feature); margins documented there.  The compaction
+            # slice only pays off while it is SMALLER than the free-capped
+            # lattice (the round-3 trace caught 1.1x+8k rounding pushing it
+            # past the lattice width — no slicing at all).
+            from sonar_3d_reconstruction_tpu.utils.autotune import (
+                snug_budgets_brick,
             )
-            max_valid = int(np.asarray(stats["num_candidates"]).max())
-            # tighter margins than the hash path: the perturbed bench pixel
-            # sits below the intensity threshold so counts are
-            # bit-deterministic across reps, and growth+replay protects
-            # correctness regardless.  The compaction slice only pays off
-            # while it is SMALLER than the free-capped lattice (the round-3
-            # trace caught 1.1x+8k rounding pushing it past the lattice
-            # width — no slicing at all).
-            snug_u = min(_round_up(1.1 * max_frame, 4096), unique_budget)
-            b["dedup_lane_budget"] = max(
-                _round_up(1.05 * max_valid, 4096), snug_u
-            )
-            # all apply-side budgets are REPORTED by the engine
-            b["brick_budget"] = min(
-                _round_up(
-                    1.15 * int(np.asarray(stats["batch_n_bricks"]).max()),
-                    1024,
-                ),
-                brick_budget,
-            )
-            b["lane_budget"] = _round_up(
-                1.1 * int(np.asarray(stats["batch_n_lanes"]).max())
-            )
-            need = np.asarray(stats["batch_n_need"]).astype(np.int64)
-            pad = (-len(need)) % window
-            win_need = np.pad(need, (0, pad)).reshape(-1, window).max(axis=1)
-            cold = _round_up(1.15 * int(win_need[0]), 1024)
-            warm = min(_round_up(1.15 * int(win_need[1:].max()), 1024),
-                       cold) if len(win_need) > 1 else cold
-            b["insert_budget"] = [cold, warm]
-            b["unique_budget"] = snug_u
-            if dense_mode == "row":
-                b["vox_budget"] = _round_up(
-                    1.1 * int(np.asarray(stats["batch_n_unique"]).max()),
-                    4096,
-                )
+
+            b.update(snug_budgets_brick(
+                stats, window, unique_budget, brick_budget, dense_mode,
+            ))
         return b
 
     budgets = dict(plan) if plan else discover()

@@ -16,6 +16,11 @@ for the non-ROS workflow:
       Generate a synthetic KIRO-style recording (test fixture; the real
       dataset is not distributable).
 
+  python -m sonar_3d_reconstruction_tpu tune BAG.db3 --out plan.json
+      Measure the bag once and emit a deployment budget plan; feed it back
+      with map-bag --offline --budgets plan.json (snug budgets size every
+      apply-side op — the bench's own ~2x-vs-defaults machinery).
+
   python -m sonar_3d_reconstruction_tpu query MAP.npz X,Y,Z [X,Y,Z ...]
       Occupancy probability at world points from a saved snapshot
       (reference SimpleOctree.get_probability semantics).
@@ -148,6 +153,14 @@ def _map_bag_offline(args, cfg, stream_cfg) -> int:
         slop=stream_cfg.sync_slop,
     )
     t_load = time.perf_counter() - t0
+    budgets = None
+    if getattr(args, "budgets", None):
+        with open(args.budgets) as f:
+            budgets = json.load(f)
+        if args.backend == "brick-sharded":
+            print("warning: --budgets applies to hash/brick backends only",
+                  file=sys.stderr)
+            budgets = None
     t0 = time.perf_counter()
     if args.backend == "brick-sharded":
         from sonar_3d_reconstruction_tpu.parallel.shard_frames import (
@@ -161,7 +174,7 @@ def _map_bag_offline(args, cfg, stream_cfg) -> int:
     else:
         state, stats = map_ping_sequence(
             images, positions, quats, cfg, dtype=jnp.float32,
-            window=args.window, backend=args.backend,
+            window=args.window, backend=args.backend, budgets=budgets,
         )
     t_map = time.perf_counter() - t0
     n = len(images)
@@ -227,6 +240,40 @@ def cmd_make_bag(args: argparse.Namespace) -> int:
     )
     write_synthetic_bag(args.out, images, positions, quats, rate_hz=args.rate)
     print(f"synthetic bag: {n} pings ({R}x{B}) -> {args.out}")
+    return 0
+
+
+def cmd_tune(args: argparse.Namespace) -> int:
+    """One warmup mapping run over the bag -> a deployment budget plan
+    (utils/autotune.tune_sequence).  Feed the plan back with
+    ``map-bag --offline --budgets PLAN.json`` — snug budgets size every
+    apply-side indexed op and sort (PERFORMANCE.md; ~2x vs defaults)."""
+    import jax.numpy as jnp
+
+    from sonar_3d_reconstruction_tpu.config import load_config
+    from sonar_3d_reconstruction_tpu.io.bag import load_bag_sequence
+    from sonar_3d_reconstruction_tpu.utils.autotune import tune_sequence
+
+    overrides = _parse_overrides(args.param)
+    cfg, stream_cfg = load_config(args.config, overrides)
+    images, positions, quats, _ = load_bag_sequence(
+        args.bag,
+        sonar_topic=stream_cfg.sonar_topic,
+        odometry_topic=stream_cfg.odometry_topic,
+        slop=stream_cfg.sync_slop,
+    )
+    plan = tune_sequence(
+        images, positions, quats, cfg, backend=args.backend,
+        window=args.window, dense_mode=args.dense_mode, dtype=jnp.float32,
+    )
+    text = json.dumps(plan, indent=1, sort_keys=True)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(text + "\n")
+        print(f"budget plan ({len(images)} pings) -> {args.out}",
+              file=sys.stderr)
+    else:
+        print(text)
     return 0
 
 
@@ -312,6 +359,28 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
     p.add_argument("--save-map", default=None, metavar="OUT.npz")
     p.add_argument("--save-cloud", default=None, metavar="OUT.pc2")
+    p.add_argument(
+        "--budgets", default=None, metavar="PLAN.json",
+        help="deployment budget plan from `tune` (--offline path); snug "
+        "budgets size every apply-side op — stale plans fall back safely",
+    )
+
+    p = sub.add_parser(
+        "tune", help="measure a bag once -> deployment budget plan (JSON)"
+    )
+    p.add_argument("bag")
+    p.add_argument("--config", default=None, help="reference-schema YAML")
+    p.add_argument(
+        "--param", action="append", default=[], metavar="KEY=VALUE",
+        help="config override (highest priority), repeatable",
+    )
+    p.add_argument("--backend", choices=("hash", "brick"), default="brick")
+    p.add_argument("--window", type=int, default=8)
+    p.add_argument(
+        "--dense-mode", choices=("scalar", "row"), default="scalar",
+        help="brick dense-scatter structure the plan budgets for",
+    )
+    p.add_argument("--out", default=None, metavar="PLAN.json")
 
     p = sub.add_parser(
         "query", help="occupancy probability at world points from a saved map"
@@ -339,6 +408,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         "selftest": cmd_selftest,
         "map-bag": cmd_map_bag,
         "make-bag": cmd_make_bag,
+        "tune": cmd_tune,
         "query": cmd_query,
         "bench": cmd_bench,
     }[args.cmd](args)

@@ -567,6 +567,7 @@ def map_ping_sequence(
     window_cap: Any = "auto",
     free_cap: Any = "auto",
     box_min_bits=None,
+    budgets: Optional[Dict[str, Any]] = None,
 ) -> Tuple[Any, Dict[str, np.ndarray]]:
     """Map a whole recorded ping sequence in one (or, after growth, few) scans.
 
@@ -575,6 +576,12 @@ def map_ping_sequence(
       positions / quaternions: (P, 3) and (P, 4) odometry poses
         (reference /fast_lio/odometry stream).
       state: resume from an existing map state (default: fresh).
+      budgets: optional deployment budget plan (utils/autotune.tune_sequence
+        or the CLI's `tune` output): snug unique/brick/batch, apply-side
+        lane/insert/vox/dedup-slice budgets, capacity, and dense_mode.  A
+        stale plan is safe — the first overflow drops the snug extras and
+        replays under the normal cause-attributed growth.  The plan's
+        backend/window must match (asserted).
       effective: optional dict the hash backend fills with the settings the
         sequence settled on after growth ({unique_budget, batch_budget,
         capacity, fan_cap}) — callers that re-drive scan_pings_hash directly
@@ -644,13 +651,26 @@ def map_ping_sequence(
         )
         return st, {k: np.asarray(v) for k, v in stats.items()}
 
+    if budgets is not None:
+        assert budgets.get("backend", backend) == backend, (
+            budgets.get("backend"), backend)
+        assert budgets.get("window", window) == window, (
+            budgets.get("window"), window)
+        if unique_budget is None:
+            unique_budget = budgets.get("unique_budget")
+
     if backend == "brick":
+        if state is None and budgets is not None and budgets.get("capacity"):
+            from sonar_3d_reconstruction_tpu.grid.brick import init_brick_grid
+
+            state = init_brick_grid(int(budgets["capacity"]), dtype)
         return _map_ping_sequence_brick(
             images_dev, T_dev, cfg, tables=tables, state=state,
             dtype=dtype, window=max(window, 1),
             unique_budget=unique_budget, effective=effective,
             max_grow_retries=max_grow_retries,
             sonar_positions=T[:, :3, 3], box_min_bits=box_min_bits,
+            budgets=budgets,
         )
 
     if backend != "hash":
@@ -683,15 +703,25 @@ def map_ping_sequence(
                 cfg.occupied_window
             )
 
+    if state is None and budgets is not None and budgets.get("capacity"):
+        initial_capacity = int(budgets["capacity"])
     st = state if state is not None else init_hash_grid(initial_capacity, dtype)
     merged: Dict[str, np.ndarray] = {}
     start = 0
     batch_budget = None
+    extras: Dict[str, Any] = {}
+    if budgets is not None:
+        batch_budget = budgets.get("batch_budget")
+        extras = {
+            "lane_budget": budgets.get("lane_budget"),
+            "insert_budget": budgets.get("insert_budget"),
+            "dedup_lane_budget": budgets.get("dedup_lane_budget") or 0,
+        }
     for _ in range(max_grow_retries):
         new_st, stats = scan_pings_hash(
             st, images_dev, T_dev, jnp.int32(start),
             tables=tables, cfg=cfg, dtype=dtype, unique_budget=unique_budget,
-            window=window, batch_budget=batch_budget,
+            window=window, batch_budget=batch_budget, **extras,
         )
         over = np.asarray(stats["overflowed"])
         # merge this attempt's stats for frames it actually applied
@@ -715,6 +745,18 @@ def map_ping_sequence(
                 "±2^19-cell range (±26 km at 5 cm) — check odometry frame "
                 "offsets; growing the table cannot fix this"
             )
+        if extras:
+            # a snug budget plan proved stale: drop ALL plan values first
+            # (they are sized together) and replay at the safe pre-tuning
+            # budgets before any growth
+            extras = {}
+            if budgets is not None:
+                unique_budget = int(
+                    budgets.get("safe_unique_budget") or unique_budget * 2
+                )
+                batch_budget = budgets.get("safe_batch_budget")
+            st = new_st._replace(poisoned=jnp.zeros((), bool))
+            continue
         if bool(np.asarray(stats["unique_overflow"])[tail].any()):
             # per-frame budget too small: double it and re-derive the batch
             # budget from the new value
@@ -753,6 +795,7 @@ def _map_ping_sequence_brick(
     max_grow_retries: int,
     sonar_positions=None,
     box_min_bits=None,
+    budgets: Optional[Dict[str, Any]] = None,
 ) -> Tuple[Any, Dict[str, np.ndarray]]:
     """Brick-backend host wrapper: grow-and-replay with cause attribution
     (unique / brick+lane / insert budget / capacity), mirroring the hash
@@ -787,12 +830,24 @@ def _map_ping_sequence_brick(
     merged: Dict[str, np.ndarray] = {}
     start = 0
     brick_budget = None
+    extras: Dict[str, Any] = {}
+    plan_active = False
+    if budgets is not None:
+        brick_budget = budgets.get("brick_budget")
+        extras = {
+            "lane_budget": budgets.get("lane_budget"),
+            "insert_budget": budgets.get("insert_budget"),
+            "vox_budget": budgets.get("vox_budget"),
+            "dense_mode": budgets.get("dense_mode", "scalar"),
+            "dedup_lane_budget": budgets.get("dedup_lane_budget") or 0,
+        }
+        plan_active = True
     for _ in range(max_grow_retries):
         new_st, stats = scan_pings_brick(
             st, images_dev, T_dev, jnp.int32(start),
             tables=tables, cfg=cfg, dtype=dtype,
             unique_budget=unique_budget, window=window,
-            brick_budget=brick_budget, boxes=boxes,
+            brick_budget=brick_budget, boxes=boxes, **extras,
         )
         over = np.asarray(stats["overflowed"])
         applied_hi = P if not over.any() else int(np.argmax(over))
@@ -827,6 +882,19 @@ def _map_ping_sequence_brick(
                 "in one frame (count packing width) — use backend='hash' "
                 "for this degenerate geometry"
             )
+        if plan_active:
+            # a snug budget plan proved stale: drop ALL plan values first
+            # (they are sized together) and replay at the safe pre-tuning
+            # budgets before any growth (keep dense_mode — it is a
+            # representation choice, not a size)
+            plan_active = False
+            extras = {"dense_mode": extras.get("dense_mode", "scalar")}
+            unique_budget = int(
+                budgets.get("safe_unique_budget") or unique_budget * 2
+            )
+            brick_budget = budgets.get("safe_brick_budget")
+            st = new_st._replace(poisoned=jnp.zeros((), bool))
+            continue
         if bool(np.asarray(stats["unique_overflow"])[tail].any()):
             unique_budget *= 2
             brick_budget = None

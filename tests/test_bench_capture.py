@@ -1,0 +1,111 @@
+"""Capture-machinery regression tests for bench.py and the graft entry.
+
+Round 3 lost both driver artifacts to import-time TPU acquisition hangs
+(VERDICT r3 item 1).  These tests pin the structural guarantees that make
+a repeat impossible:
+
+  * importing the whole library, bench, and __graft_entry__ initializes
+    ZERO jax backends (the hang was always inside backend init);
+  * bench.py emits exactly one parseable JSON line even when main() fails
+    before any jax work (error + stage fields instead of silence);
+  * the committed bench_plan.json matches the default capture
+    configuration (a stale plan costs the capture an extra compiled
+    program family — scripts/cache_check.py enforces this on TPU, this
+    test enforces it on every suite run);
+  * the one-line emit is first-caller-wins (watchdog vs main race).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_no_backend_init_at_import():
+    code = (
+        "import sonar_3d_reconstruction_tpu, bench, __graft_entry__\n"
+        "import sonar_3d_reconstruction_tpu.io.native\n"
+        "import sonar_3d_reconstruction_tpu.grid.brick\n"
+        "import sonar_3d_reconstruction_tpu.grid.hash\n"
+        "import sonar_3d_reconstruction_tpu.pipeline\n"
+        "import sonar_3d_reconstruction_tpu.stream\n"
+        "import sonar_3d_reconstruction_tpu.models.mapper\n"
+        "import sonar_3d_reconstruction_tpu.parallel.shard_frames\n"
+        "import sonar_3d_reconstruction_tpu.io.mcap\n"
+        "import sonar_3d_reconstruction_tpu.cli\n"
+        "import jax._src.xla_bridge as xb\n"
+        "assert not xb._backends, list(xb._backends)\n"
+        "print('CLEAN')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], cwd=REPO, capture_output=True,
+        text=True, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "CLEAN" in out.stdout
+
+
+def test_bench_emits_error_json_on_failure():
+    """A pre-jax failure (bad env) must still produce the one JSON line."""
+    # CPU platform: acquisition succeeds instantly and deterministically
+    # (the axon tunnel may be up, down, or slow), so the failure is the
+    # BENCH_PINGS parse at stage "setup"
+    env = dict(os.environ, BENCH_PINGS="not-a-number", BENCH_PLATFORM="cpu")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, cwd=REPO, capture_output=True, text=True, timeout=300,
+    )
+    lines = [ln for ln in out.stdout.strip().splitlines()
+             if ln.startswith("{")]
+    assert len(lines) == 1, out.stdout
+    payload = json.loads(lines[0])
+    assert payload["metric"] == "voxel_log_odds_updates_per_sec"
+    assert payload["value"] == 0.0
+    assert "error" in payload and "stage" in payload
+    assert out.returncode != 0  # failure is still signalled via rc
+
+
+def test_emit_is_first_caller_wins(capsys):
+    import bench
+
+    # reset module state (other tests may have imported it)
+    bench._EMITTED = False
+    assert bench._emit({"a": 1}) is True
+    assert bench._emit({"b": 2}) is False
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out == ['{"a": 1}']
+    bench._EMITTED = False
+
+
+def test_committed_plan_matches_default_capture_config():
+    """bench_plan.json must contain the key for the driver's default run
+    (plain `python bench.py`: brick backend, 256 pings, window 8, scalar
+    dense mode, default capacity/seed)."""
+    import bench
+    from sonar_3d_reconstruction_tpu.config import MapperConfig
+    from sonar_3d_reconstruction_tpu.ops.backproject import (
+        required_fan_cap,
+        required_free_cap,
+        required_window_cap,
+    )
+
+    cfg = MapperConfig()
+    images, _, _ = bench.make_inputs(cfg, 256)
+    caps = (
+        required_fan_cap(images, cfg, cfg.image_height),
+        required_window_cap(images, cfg, cfg.image_height),
+        required_free_cap(images, cfg, cfg.image_height),
+    )
+    key = bench._plan_key(cfg, 256, 8, "brick", "scalar", caps, 1 << 16, 0)
+    with open(bench.PLAN_PATH) as f:
+        plans = json.load(f)
+    assert key in plans, (
+        "bench_plan.json is stale for the default capture config — "
+        "regenerate with BENCH_WRITE_PLAN=1 python bench.py"
+    )
+    plan = plans[key]
+    for field in ("capacity", "unique_budget", "brick_budget",
+                  "safe_unique_budget"):
+        assert field in plan, field
