@@ -121,10 +121,6 @@ def _acquire_backend(deadline_s: float):
         done.set()
 
 
-def _round_up(x, m=8192):
-    return int(-(-x // m) * m)
-
-
 def make_inputs(cfg, n_pings, seed=0):
     """Synthetic survey: bright seabed returns over low noise, forward motion."""
     import numpy as np
@@ -628,13 +624,19 @@ def main_brick(cfg, n_pings, reps, window):
     try:
         st_last, stats = run(0)
     except AssertionError:
+        ok = False
         if plan:
             # stale committed plan (source changed emission counts):
             # rediscover from scratch — still capture-safe, just slower
             plan = None
             budgets = discover()
-            st_last, stats = run(0)
-        else:
+            try:
+                st_last, stats = run(0)
+                ok = True
+            except AssertionError:
+                pass  # rediscovered snug budgets also too tight
+        if not ok:
+            # final safety net: the pre-tuning (warmup-effective) budgets
             budgets.update(
                 unique_budget=budgets["safe_unique_budget"],
                 brick_budget=budgets["safe_brick_budget"],

@@ -55,7 +55,11 @@ def main() -> int:
     if line is None:
         problems.append("no JSON line on stdout")
     else:
-        parsed = json.loads(line)
+        try:
+            parsed = json.loads(line)
+        except ValueError as e:
+            problems.append(f"unparseable stdout line ({e}): {line[:200]}")
+    if parsed is not None:
         if parsed.get("error"):
             problems.append(f"bench error: {parsed['error']}")
         detail = parsed.get("detail", {})

@@ -22,10 +22,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from sonar_3d_reconstruction_tpu.utils.compile_cache import enable as _enable
-
-_enable()
-
 
 def _time(fn, reps):
     best = float("inf")
@@ -49,8 +45,17 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # platform override BEFORE the cache enable: enable() picks the cache
+    # dir by the configured platform, and a cpu run writing host-specific
+    # AOT entries into the shared TPU root can segfault other hosts
+    # (CLAUDE.md) — bench.py has the same ordering
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from sonar_3d_reconstruction_tpu.utils.compile_cache import (
+        enable as _enable,
+    )
+
+    _enable()
 
     from bench import make_inputs
     from sonar_3d_reconstruction_tpu.config import MapperConfig

@@ -35,10 +35,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from sonar_3d_reconstruction_tpu.utils.compile_cache import enable as _enable
-
-_enable()
-
 
 def main():
     ap = argparse.ArgumentParser()
@@ -53,8 +49,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # platform override BEFORE the cache enable (cache dir is picked by the
+    # configured platform; see profile_publish.py / CLAUDE.md)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from sonar_3d_reconstruction_tpu.utils.compile_cache import (
+        enable as _enable,
+    )
+
+    _enable()
 
     from bench import make_inputs
     from sonar_3d_reconstruction_tpu.config import MapperConfig

@@ -95,8 +95,26 @@ def cmd_map_bag(args: argparse.Namespace) -> int:
     overrides = _parse_overrides(args.param)
     cfg, stream_cfg = load_config(args.config, overrides)
 
+    # --budgets plans carry the backend/window they were tuned for; adopt
+    # them when the flags were not explicitly given so the documented
+    # `tune` -> `map-bag --budgets` flow works without repeating flags
+    plan = None
+    if getattr(args, "budgets", None):
+        with open(args.budgets) as f:
+            plan = json.load(f)
+    if args.backend is None:
+        args.backend = plan.get("backend", "hash") if plan else "hash"
+    if args.window is None:
+        args.window = plan.get("window", 8) if plan else 8
+
     if args.offline:
-        return _map_bag_offline(args, cfg, stream_cfg)
+        return _map_bag_offline(args, cfg, stream_cfg, plan)
+    if plan is not None:
+        print(
+            "warning: --budgets applies to the --offline path only "
+            "(streaming runs with its own host-gated budgets); ignoring",
+            file=sys.stderr,
+        )
 
     mapper = StreamingMapper(
         cfg,
@@ -130,7 +148,7 @@ def cmd_map_bag(args: argparse.Namespace) -> int:
     return 0
 
 
-def _map_bag_offline(args, cfg, stream_cfg) -> int:
+def _map_bag_offline(args, cfg, stream_cfg, budgets=None) -> int:
     """Batch path: native batch decode + pairing, whole bag as windowed
     device dispatches (pipeline.map_ping_sequence)."""
     import jax.numpy as jnp
@@ -153,14 +171,24 @@ def _map_bag_offline(args, cfg, stream_cfg) -> int:
         slop=stream_cfg.sync_slop,
     )
     t_load = time.perf_counter() - t0
-    budgets = None
-    if getattr(args, "budgets", None):
-        with open(args.budgets) as f:
-            budgets = json.load(f)
+    if budgets is not None:
         if args.backend == "brick-sharded":
             print("warning: --budgets applies to hash/brick backends only",
                   file=sys.stderr)
             budgets = None
+        elif budgets.get("backend", args.backend) != args.backend:
+            raise SystemExit(
+                f"--budgets plan was tuned for backend="
+                f"{budgets.get('backend')!r} but map-bag is running "
+                f"{args.backend!r}; pass --backend {budgets.get('backend')} "
+                "(or omit it — the plan's backend is adopted by default)"
+            )
+        elif budgets.get("window", args.window) != args.window:
+            raise SystemExit(
+                f"--budgets plan was tuned for window="
+                f"{budgets.get('window')} but map-bag is running "
+                f"--window {args.window} (omit --window to adopt the plan's)"
+            )
     t0 = time.perf_counter()
     if args.backend == "brick-sharded":
         from sonar_3d_reconstruction_tpu.parallel.shard_frames import (
@@ -342,10 +370,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--chunk", type=int, default=32)
     p.add_argument(
         "--backend", choices=("hash", "brick", "brick-sharded"),
-        default="hash",
+        default=None,
         help="map backend (streaming and --offline): per-voxel hash table "
         "or sparse-of-dense brick table (grid/brick.py; measured faster "
-        "at survey scale, see PERFORMANCE.md)",
+        "at survey scale, see PERFORMANCE.md).  Default: hash, or the "
+        "--budgets plan's backend when one is given",
     )
     p.add_argument(
         "--offline", action="store_true",
@@ -353,9 +382,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         "(fastest; no streaming publish)",
     )
     p.add_argument(
-        "--window", type=int, default=8,
+        "--window", type=int, default=None,
         help="batched-apply engine window (both streaming and --offline): "
-        "one set of table interactions per window of pings; 1 = per-ping",
+        "one set of table interactions per window of pings; 1 = per-ping. "
+        "Default: 8, or the --budgets plan's window when one is given",
     )
     p.add_argument("--save-map", default=None, metavar="OUT.npz")
     p.add_argument("--save-cloud", default=None, metavar="OUT.pc2")

@@ -652,10 +652,19 @@ def map_ping_sequence(
         return st, {k: np.asarray(v) for k, v in stats.items()}
 
     if budgets is not None:
-        assert budgets.get("backend", backend) == backend, (
-            budgets.get("backend"), backend)
-        assert budgets.get("window", window) == window, (
-            budgets.get("window"), window)
+        # real errors, not asserts: a mismatched plan under python -O would
+        # otherwise be silently applied (e.g. a brick capacity used as a
+        # hash slot count)
+        if budgets.get("backend", backend) != backend:
+            raise ValueError(
+                f"budget plan was tuned for backend="
+                f"{budgets.get('backend')!r}, not {backend!r}"
+            )
+        if budgets.get("window", window) != window:
+            raise ValueError(
+                f"budget plan was tuned for window="
+                f"{budgets.get('window')}, not {window}"
+            )
         if unique_budget is None:
             unique_budget = budgets.get("unique_budget")
 

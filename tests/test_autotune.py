@@ -144,19 +144,52 @@ def test_cli_tune_map_bag_roundtrip(tmp_path):
         "--param", "max_range=5.0", "--param", "voxel_resolution=0.1",
         "--budgets", plan_path,
     ]) == 0
+    # the documented flow passes NO backend/window flags — map-bag must
+    # adopt the plan's (tune defaults to brick, map-bag alone to hash)
+    assert main([
+        "map-bag", bag, "--offline",
+        "--param", "max_range=5.0", "--param", "voxel_resolution=0.1",
+        "--budgets", plan_path,
+    ]) == 0
+    # an explicitly contradicting backend is a clear error, not a crash
+    with pytest.raises(SystemExit, match="tuned for backend"):
+        main([
+            "map-bag", bag, "--offline", "--backend", "hash",
+            "--param", "max_range=5.0", "--param", "voxel_resolution=0.1",
+            "--budgets", plan_path,
+        ])
 
 
 def test_formulas_match_committed_bench_plan():
     """bench discover() now routes through autotune — the committed
     bench_plan.json must be exactly reproducible from the formulas (any
-    drift would silently stale the capture plan)."""
+    drift would silently stale the capture plan).
+
+    Deliberately the heaviest test in the suite (~70 s warm on one CPU
+    core: a 256-ping full-size warmup) — it is the only check that
+    catches FORMULA drift, not just key drift (test_bench_capture covers
+    keys cheaply), and a stale capture plan cost round 3 its artifacts."""
     import bench
+    from sonar_3d_reconstruction_tpu.ops.backproject import (
+        required_fan_cap,
+        required_free_cap,
+        required_window_cap,
+    )
 
     cfg = MapperConfig()
     images, positions, quats = bench.make_inputs(cfg, 256)
     with open(bench.PLAN_PATH) as f:
         plans = json.load(f)
-    (plan,) = plans.values()
+    # select by the default-capture key (the file may legitimately hold
+    # plans for several configs — _write_plan merges, never prunes)
+    caps = (
+        required_fan_cap(images, cfg, cfg.image_height),
+        required_window_cap(images, cfg, cfg.image_height),
+        required_free_cap(images, cfg, cfg.image_height),
+    )
+    plan = plans[
+        bench._plan_key(cfg, 256, 8, "brick", "scalar", caps, 1 << 16, 0)
+    ]
     # reconstruct the stats the discovery warmup measured via a fresh run
     # at the plan's own budgets (bit-identical emissions by design)
     from sonar_3d_reconstruction_tpu.grid.brick import init_brick_grid
