@@ -109,12 +109,17 @@ def cmd_map_bag(args: argparse.Namespace) -> int:
 
     if args.offline:
         return _map_bag_offline(args, cfg, stream_cfg, plan)
-    if plan is not None:
+    if plan is not None and args.backend == "brick-sharded":
         print(
-            "warning: --budgets applies to the --offline path only "
-            "(streaming runs with its own host-gated budgets); ignoring",
+            "warning: --budgets applies to hash/brick backends only; "
+            "ignoring",
             file=sys.stderr,
         )
+        plan = None
+    if plan is not None and plan.get("window") is not None:
+        # the streaming engine clamps window to the chunk size; a plan
+        # tuned for window W needs chunk >= W to run as tuned
+        args.chunk = max(args.chunk, int(plan["window"]))
 
     mapper = StreamingMapper(
         cfg,
@@ -123,6 +128,7 @@ def cmd_map_bag(args: argparse.Namespace) -> int:
         window=args.window,
         dtype=jnp.float32,
         backend=args.backend,
+        budgets=plan,
     )
     t0 = time.perf_counter()
     stats = mapper.run_bag(args.bag)

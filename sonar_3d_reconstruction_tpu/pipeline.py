@@ -711,6 +711,7 @@ def map_ping_sequence(
             effective["window_cap"] = tables.effective_window(
                 cfg.occupied_window
             )
+            effective["free_cap"] = tables.free_cap
 
     if state is None and budgets is not None and budgets.get("capacity"):
         initial_capacity = int(budgets["capacity"])
@@ -876,6 +877,7 @@ def _map_ping_sequence_brick(
                 effective["window_cap"] = tables.effective_window(
                     cfg.occupied_window
                 )
+                effective["free_cap"] = tables.free_cap
                 effective["box_bits"] = None if boxes is None else boxes[1]
             return new_st, merged
         start = applied_hi

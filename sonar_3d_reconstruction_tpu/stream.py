@@ -120,7 +120,42 @@ class StreamingMapper:
         batch_budget: Optional[int] = None,
         backend: str = "hash",
         mesh=None,
+        budgets: Optional[Dict[str, Any]] = None,
     ):
+        # a deployment budget plan (utils/autotune.tune_sequence) seeds the
+        # SIZES the stream would otherwise discover as it goes: table
+        # capacity, the snug unique/batch/brick budgets, and the grow-only
+        # fan/window/free caps (seeding the caps means the FIRST chunk
+        # compiles the final-cap programs — no mid-stream cap recompiles on
+        # data the plan covered).  Apply-side micro-budgets
+        # (lane/insert/vox) are offline-only; the stream keeps its own
+        # host-gated machinery for those.  A stale plan is safe — every
+        # overflow is detected and the normal growth takes over.
+        if budgets is not None:
+            if budgets.get("backend", backend) != backend:
+                raise ValueError(
+                    f"budget plan was tuned for backend="
+                    f"{budgets.get('backend')!r}, not {backend!r}"
+                )
+            eff_window = max(1, min(window, chunk_size))
+            if budgets.get("window", eff_window) != eff_window:
+                raise ValueError(
+                    f"budget plan was tuned for window="
+                    f"{budgets.get('window')}, not {eff_window}"
+                )
+            if budgets.get("capacity"):
+                # plan capacity counts table rows for its backend (bricks
+                # for brick); undo the brick >>4 voxel-heuristic below
+                initial_capacity = int(budgets["capacity"])
+                if backend == "brick":
+                    initial_capacity <<= 4
+            if unique_budget is None:
+                unique_budget = budgets.get("unique_budget")
+            if batch_budget is None and backend == "hash":
+                batch_budget = budgets.get("batch_budget")
+            self._plan = budgets
+        else:
+            self._plan = None
         self.cfg = cfg or MapperConfig()
         self.stream_cfg = stream_cfg or StreamConfig()
         self.chunk_size = chunk_size
@@ -193,6 +228,17 @@ class StreamingMapper:
         # seen so far (ops/backproject.required_free_cap)
         self._free_cap_mode = free_cap
         self._free_cap: int = 0
+        if self._plan is not None:
+            if backend == "brick":
+                self._brick_budget = self._plan.get("brick_budget")
+            # seed the grow-only caps at the plan's measured values (only
+            # meaningful in "auto" mode — explicit modes keep their ints)
+            if self._fan_cap_mode == "auto":
+                self._fan_cap = int(self._plan.get("fan_cap") or 0)
+            if self._window_cap_mode == "auto":
+                self._window_cap = int(self._plan.get("window_cap") or 0)
+            if self._free_cap_mode == "auto":
+                self._free_cap = int(self._plan.get("free_cap") or 0)
         # sticky per-axis brick bits for the brick backend's compact
         # box-key engine (grow-only: a chunk needing wider axes adopts the
         # wider program once; a chunk whose box cannot fit at all falls

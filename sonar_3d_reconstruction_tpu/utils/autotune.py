@@ -184,5 +184,6 @@ def tune_sequence(
         capacity=int(effective["capacity"]),
         fan_cap=int(effective["fan_cap"]),
         window_cap=int(effective["window_cap"]),
+        free_cap=int(effective.get("free_cap", 0)),
     )
     return budgets

@@ -122,6 +122,50 @@ def test_stale_plan_falls_back_safely(small_setup, backend):
     assert not np.asarray(stats_tuned["overflowed"]).any()
 
 
+def test_streaming_with_plan_bit_identical(small_setup):
+    """A plan seeds the streaming runtime's sizes (capacity, snug budgets,
+    grow-only caps): same map as an unseeded stream, and ZERO mid-stream
+    cap recompiles on the data the plan covered."""
+    from sonar_3d_reconstruction_tpu.grid.brick import extract_occupied_brick
+    from sonar_3d_reconstruction_tpu.io.bag import ImageMsg, OdometryMsg
+    from sonar_3d_reconstruction_tpu.stream import StreamingMapper
+
+    cfg, images, positions, quats = small_setup
+    plan = tune_sequence(
+        images, positions, quats, cfg, backend="brick", window=4,
+        dtype=jnp.float64,
+    )
+
+    def run(budgets):
+        sm = StreamingMapper(
+            cfg, chunk_size=4, window=4, dtype=jnp.float64,
+            backend="brick", budgets=budgets,
+        )
+        h, w = images.shape[1:]
+        for i in range(images.shape[0]):
+            t = 1000.0 + 0.5 * i
+            sm.on_ping(ImageMsg(t, "sonar_link", h, w, "mono8", False, w,
+                                images[i].tobytes()))
+            sm.on_pose(OdometryMsg(t, "camera_init", "body", positions[i],
+                                   quats[i]))
+        stats = sm.finish()
+        return sm, stats
+
+    sm_ref, _ = run(None)
+    sm_plan, stats_plan = run(plan)
+    s = stats_plan.summary()
+    assert s["fan_cap_recompiles"] == 0
+    assert s["window_cap_recompiles"] == 0
+    assert s["free_cap_recompiles"] == 0
+    assert s["grows"] == 0
+    pts_r, pr_r = extract_occupied_brick(sm_ref.state, cfg)
+    pts_p, pr_p = extract_occupied_brick(sm_plan.state, cfg)
+    order_r = np.lexsort(pts_r.T)
+    order_p = np.lexsort(pts_p.T)
+    np.testing.assert_array_equal(pts_p[order_p], pts_r[order_r])
+    np.testing.assert_array_equal(pr_p[order_p], pr_r[order_r])
+
+
 def test_cli_tune_map_bag_roundtrip(tmp_path):
     from sonar_3d_reconstruction_tpu.cli import main
 
