@@ -32,7 +32,10 @@
 # scripts/cache_check.py, and DO NOT commit traced-source changes after
 # the final warm run.
 set -x
-cd /root/repo
+# run from this script's repo (works from an isolated /tmp snapshot too —
+# export SONAR3D_COMPILE_CACHE=/root/repo/.jax_cache there so the warm
+# cache is shared with the live checkout)
+cd "$(dirname "$0")/.."
 mkdir -p /tmp/tpu_ab
 
 time python bench.py                  > /tmp/tpu_ab/bench_capture.json 2> /tmp/tpu_ab/bench_capture.log
