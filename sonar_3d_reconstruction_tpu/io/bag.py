@@ -516,9 +516,25 @@ def write_synthetic_bag(
     t0: float = 1_700_000_000.0,
     odom_jitter: float = 0.0,
 ) -> None:
-    """Synthetic KIRO-style recording: paired Image + Odometry streams."""
+    """Synthetic KIRO-style recording: paired Image + Odometry streams.
+
+    The container follows the extension: ``.mcap`` writes an mcap file
+    (zstd-chunked when the native codec is available, rosbag2's default
+    recording format), anything else the sqlite3 ``.db3`` layout."""
     n = len(images)
-    with BagWriter(path) as w:
+    if path.endswith(".mcap"):
+        from sonar_3d_reconstruction_tpu.io import native
+        from sonar_3d_reconstruction_tpu.io.mcap import McapWriter
+
+        compression = "store"
+        for name in ("zstd", "lz4"):
+            if native.available() and native.codec_available(name):
+                compression = name
+                break
+        writer = McapWriter(path, chunk_compression=compression)
+    else:
+        writer = BagWriter(path)
+    with writer as w:
         w.add_topic(sonar_topic, IMAGE_TYPE)
         w.add_topic(odometry_topic, ODOMETRY_TYPE)
         rng = np.random.default_rng(0)

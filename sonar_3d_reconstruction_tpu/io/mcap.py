@@ -241,10 +241,12 @@ class McapWriter:
     into UNCOMPRESSED chunk records (compression string "").
 
     Chunk headers carry a real CRC32 of the uncompressed records (validated
-    by the reader), and ``close`` emits a spec-shaped Summary section the
-    way rosbag2 recordings end: repeated Schema/Channel records, a
-    ChunkIndex per chunk, Statistics, SummaryOffset groups, and a Footer
-    with ``summary_start`` + ``summary_crc`` filled in.
+    by the reader); each chunk is followed by per-channel MessageIndex
+    records (referenced by offset from the chunk's ChunkIndex, the
+    rosbag2_storage_mcap layout); and ``close`` emits a spec-shaped Summary
+    section the way rosbag2 recordings end: repeated Schema/Channel
+    records, a ChunkIndex per chunk, Statistics, SummaryOffset groups, and
+    a Footer with ``summary_start`` + ``summary_crc`` filled in.
     """
 
     def __init__(
@@ -261,6 +263,7 @@ class McapWriter:
         self._chunk_bytes = 0
         self._chunk_t0: Optional[int] = None
         self._chunk_t1 = 0
+        self._chunk_msg_offsets: Dict[int, List[Tuple[int, int]]] = {}
         self._f = open(path, "wb")
         self._f.write(MAGIC)
         self._write(OP_HEADER, self._str("ros2") + self._str("sonar3d-tpu"))
@@ -283,10 +286,15 @@ class McapWriter:
     def _write(self, op: int, payload: bytes) -> None:
         self._f.write(struct.pack("<BQ", op, len(payload)) + payload)
 
-    def _write_message(self, payload: bytes, t_ns: int) -> None:
+    def _write_message(self, payload: bytes, t_ns: int, cid: int) -> None:
         if not self._compression:
             self._write(OP_MESSAGE, payload)
             return
+        # per-channel (log_time, offset-into-uncompressed-records) for the
+        # chunk's MessageIndex records (mcap spec op 0x07)
+        self._chunk_msg_offsets.setdefault(cid, []).append(
+            (t_ns, self._chunk_bytes)
+        )
         self._chunk_buf.append(
             struct.pack("<BQ", OP_MESSAGE, len(payload)) + payload
         )
@@ -318,13 +326,31 @@ class McapWriter:
             + compressed
         )
         self._write(OP_CHUNK, payload)
-        # ChunkIndex for the summary section (no per-chunk MessageIndex
-        # records are written, so message_index_offsets is empty / length 0)
+        # MessageIndex records per channel, directly after the chunk (the
+        # rosbag2_storage_mcap layout); ChunkIndex references each by file
+        # offset and carries the total index length
+        mi_start = self._f.tell()
+        mi_offsets: List[bytes] = []
+        for cid in sorted(self._chunk_msg_offsets):
+            mi_offsets.append(
+                struct.pack("<HQ", cid, self._f.tell())
+            )
+            entries = b"".join(
+                struct.pack("<QQ", t, off)
+                for t, off in self._chunk_msg_offsets[cid]
+            )
+            self._write(
+                OP_MESSAGE_INDEX,
+                struct.pack("<H", cid)
+                + struct.pack("<I", len(entries)) + entries,
+            )
+        mi_length = self._f.tell() - mi_start
+        mi_map = b"".join(mi_offsets)
         self._chunk_indexes.append(
             struct.pack("<QQQQ", self._chunk_t0 or 0, self._chunk_t1,
                         chunk_start, 9 + len(payload))
-            + struct.pack("<I", 0)   # empty message_index_offsets map
-            + struct.pack("<Q", 0)   # message_index_length
+            + struct.pack("<I", len(mi_map)) + mi_map
+            + struct.pack("<Q", mi_length)
             + self._str(compression)
             + struct.pack("<QQ", len(compressed), len(records))
         )
@@ -332,6 +358,7 @@ class McapWriter:
         self._chunk_bytes = 0
         self._chunk_t0 = None
         self._chunk_t1 = 0
+        self._chunk_msg_offsets = {}
 
     def add_topic(self, name: str, typ: str) -> int:
         if typ not in self._schema_ids:
@@ -368,6 +395,7 @@ class McapWriter:
         self._write_message(
             struct.pack("<HIQQ", cid, 0, t_ns, t_ns) + blob,
             t_ns,
+            cid,
         )
 
     def close(self) -> None:

@@ -425,6 +425,41 @@ def test_mcap_compressed_chunk_roundtrip(tmp_path, compression):
     assert top_ops.count(OP_CHUNK) >= 2  # chunk_size=512 forces several
     assert OP_MESSAGE not in top_ops
 
+    # spec-complete indexing (rosbag2_storage_mcap layout): every chunk is
+    # followed by per-channel MessageIndex records, and each ChunkIndex in
+    # the summary references them by absolute file offset with the right
+    # total length
+    import struct as _s
+
+    from sonar_3d_reconstruction_tpu.io.mcap import (
+        OP_CHUNK_INDEX, OP_MESSAGE_INDEX,
+    )
+
+    assert top_ops.count(OP_MESSAGE_INDEX) == 2 * top_ops.count(OP_CHUNK)
+    mi_at = {}  # file offset -> channel_id
+    pos = len(MAGIC)
+    for op, payload in _records(memoryview(raw)[len(MAGIC):]):
+        if op == OP_MESSAGE_INDEX:
+            (cid,) = _s.unpack_from("<H", payload, 0)
+            mi_at[pos] = cid
+        pos += 9 + len(payload)
+    n_chunk_indexes = 0
+    for op, payload in _records(memoryview(raw)[len(MAGIC):]):
+        if op != OP_CHUNK_INDEX:
+            continue
+        n_chunk_indexes += 1
+        (mi_map_len,) = _s.unpack_from("<I", payload, 32)
+        entries = payload[36 : 36 + mi_map_len]
+        (mi_length,) = _s.unpack_from("<Q", payload, 36 + mi_map_len)
+        total = 0
+        for e in range(0, mi_map_len, 10):
+            cid, off = _s.unpack_from("<HQ", entries, e)
+            assert mi_at.get(off) == cid, (off, cid, mi_at)
+            (rec_len,) = _s.unpack_from("<Q", raw, off + 1)
+            total += 9 + rec_len
+        assert total == mi_length
+    assert n_chunk_indexes == top_ops.count(OP_CHUNK)
+
     with McapReader(path) as r:
         assert r.topic_names()["/fast_lio/odometry"] == ODOMETRY_TYPE
         imgs, odoms = [], []
