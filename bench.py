@@ -19,7 +19,7 @@ Prints exactly one JSON line — STRUCTURALLY ALWAYS (round-3 verdict item 1):
   default 150 s): the axon acquisition loop sleeps uninterruptibly in C when
   the tunneled chip is down, so the watchdog emits an error JSON and
   ``os._exit``\\ s rather than burning the driver's budget;
-- the whole run has a total deadline (``BENCH_DEADLINE``, default 1500 s):
+- the whole run has a total deadline (``BENCH_DEADLINE``, default 1200 s):
   on expiry the watchdog emits the best-known partial result (or an error
   naming the stage) instead of nothing;
 - the capture path reuses committed snug budgets (``bench_plan.json``) so a
@@ -38,7 +38,9 @@ PLAN_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "bench_plan.json")
 
 _T0 = time.monotonic()
-_DEADLINE = float(os.environ.get("BENCH_DEADLINE", "1500"))
+# default comfortably INSIDE the driver's observed kill window (~25 min in
+# the round-3 artifact), so the salvage JSON always wins the race
+_DEADLINE = float(os.environ.get("BENCH_DEADLINE", "1200"))
 _EMIT_LOCK = threading.Lock()
 _EMITTED = False
 _STAGE = "start"

@@ -1,0 +1,48 @@
+#!/bin/bash
+# Poll the axon TPU tunnel; the moment it answers, run the round-4 A/B
+# session (scripts/tpu_ab_session.sh) from an isolated git-archive snapshot
+# so live edits in /root/repo can never race a running TPU bench
+# (CLAUDE.md: "NEVER edit source while a TPU bench runs in the background").
+#
+# Probe cadence 180 s; each probe bounded at 75 s (a live tunnel answers the
+# devices() call in a few seconds; a down tunnel sleeps forever in the
+# acquisition retry loop, hence the hard timeout). If /tmp/pytest_running
+# exists the launch waits for it to clear first (1-core host: a full pytest
+# suite running concurrently would skew the session's host-side wall times).
+set -u
+REPO=/root/repo
+SNAP=/tmp/tpu_snap
+LOG=/tmp/tpu_ab
+mkdir -p "$LOG"
+echo $$ > /tmp/tpu_poll.pid
+
+probe() {
+  timeout 75 python -c "import jax; d = jax.devices(); print('TPU UP:', d)" \
+    >> "$LOG/poll.log" 2>&1
+}
+
+while true; do
+  echo "$(date -u +%FT%TZ) probing" >> "$LOG/poll.log"
+  if probe; then
+    echo "$(date -u +%FT%TZ) tunnel is UP" >> "$LOG/poll.log"
+    break
+  fi
+  sleep 180
+done
+
+while [ -f /tmp/pytest_running ]; do
+  echo "$(date -u +%FT%TZ) waiting for pytest to finish" >> "$LOG/poll.log"
+  sleep 60
+done
+
+rm -rf "$SNAP"
+mkdir -p "$SNAP"
+git -C "$REPO" archive HEAD | tar -x -C "$SNAP"
+git -C "$REPO" rev-parse HEAD > "$LOG/session_head.txt"
+
+# share the live warm cache so the driver's end-of-round bench hits it
+export SONAR3D_COMPILE_CACHE="$REPO/.jax_cache"
+echo "$(date -u +%FT%TZ) launching session from $SNAP @ $(cat "$LOG/session_head.txt")" >> "$LOG/poll.log"
+sh "$SNAP/scripts/tpu_ab_session.sh" > "$LOG/session.log" 2>&1
+echo "$(date -u +%FT%TZ) session finished rc=$?" >> "$LOG/poll.log"
+touch "$LOG/SESSION_DONE"
