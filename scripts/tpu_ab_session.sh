@@ -7,11 +7,12 @@
 # 1-3): a driver-shaped cold/warm bench with the committed plan, then the
 # A/Bs, then the new measurement rows.
 #
-#  0. Cold-cache wall budget: time `python bench.py` exactly as the driver
+#  0. Cold-cache wall budget: `python bench.py` exactly as the driver
 #     runs it (the committed bench_plan.json should hold the program count
-#     to ONE family + latency).             -> bench_capture.json + time
-#  1. Payload-shrink regression check vs the 103.1M record (the shrink is
-#     always-on since round 3).             -> bench_capture.json value
+#     to ONE family + latency), wall-timed. -> bench_capture.json + wall
+#  1. Warm driver-shaped rerun (the capture-contract number) + the
+#     payload-shrink regression check vs the 103.1M record (the shrink is
+#     always-on since round 3).             -> bench_warm.json
 #  2. dense_mode=row A/B (largest traced line item, 0.40 ms/ping).
 #                                           -> bench_row.json
 #  3. window=16 with tuned budgets.         -> bench_w16.json
@@ -38,14 +39,39 @@ set -x
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/tpu_ab
 
-time python bench.py                  > /tmp/tpu_ab/bench_capture.json 2> /tmp/tpu_ab/bench_capture.log
-BENCH_DENSE_MODE=row python bench.py  > /tmp/tpu_ab/bench_row.json     2> /tmp/tpu_ab/bench_row.log
-BENCH_WINDOW=16 python bench.py       > /tmp/tpu_ab/bench_w16.json     2> /tmp/tpu_ab/bench_w16.log
+# walltime <label> <cmd...>: dash-portable wall clock (no `time` keyword in
+# dash and no /usr/bin/time in this image — the original `time python ...`
+# died with `time: not found`)
+walltime() {
+  _label="$1"; shift
+  _t0=$(date +%s)
+  "$@"
+  _rc=$?
+  _t1=$(date +%s)
+  echo "WALL $_label $((_t1 - _t0)) s rc=$_rc" >> /tmp/tpu_ab/walltimes.log
+  return $_rc
+}
+
+# step 0 measures the TRUE cold wall — lift the salvage deadline so the
+# cold compile completes instead of exiting with a partial at 1200 s (the
+# driver-facing default stays 1200; this one run is diagnostic).  env(1)
+# scopes the overrides: a dash `VAR=x funcname` assignment would PERSIST
+# into every later step.
+walltime bench_cold env BENCH_DEADLINE=5400 python bench.py \
+                                      > /tmp/tpu_ab/bench_capture.json 2> /tmp/tpu_ab/bench_capture.log
+# warm, driver-shaped run at the real default deadline — this is the
+# number the capture contract is judged on
+walltime bench_warm python bench.py   > /tmp/tpu_ab/bench_warm.json    2> /tmp/tpu_ab/bench_warm.log
+walltime bench_row env BENCH_DENSE_MODE=row python bench.py \
+                                      > /tmp/tpu_ab/bench_row.json     2> /tmp/tpu_ab/bench_row.log
+walltime bench_w16 env BENCH_WINDOW=16 python bench.py \
+                                      > /tmp/tpu_ab/bench_w16.json     2> /tmp/tpu_ab/bench_w16.log
 python scripts/profile_radix.py       > /tmp/tpu_ab/radix.json         2>&1
 python scripts/profile_publish.py     > /tmp/tpu_ab/publish.json       2>&1
-BENCH_LATENCY_CHUNK=1 BENCH_REPS=1 python bench.py \
+walltime bench_chunk1 env BENCH_LATENCY_CHUNK=1 BENCH_REPS=1 python bench.py \
                                       > /tmp/tpu_ab/bench_chunk1.json  2> /tmp/tpu_ab/bench_chunk1.log
 python scripts/profile_rowscatter.py  > /tmp/tpu_ab/rowscatter.log     2>&1
 python scripts/profile_shard_overhead.py > /tmp/tpu_ab/shard_overhead.log 2>&1
 python scripts/cache_check.py         > /tmp/tpu_ab/cache_check.json   2>&1
+cat /tmp/tpu_ab/walltimes.log
 tail -n 1 /tmp/tpu_ab/*.json
