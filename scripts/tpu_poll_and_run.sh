@@ -21,6 +21,15 @@ probe() {
     >> "$LOG/poll.log" 2>&1
 }
 
+# Absolute budget for the launched session: a conservative estimate of
+# when the driver's own end-of-round capture bench will want the single
+# chip (round start + ~12 h, minus a 20-min buffer).  The session script
+# gates every step on the remaining budget, so a late chip return still
+# warms the cache and records the warm capture number without colliding
+# with the driver.  Override with SESSION_END_EPOCH for manual reruns.
+SESSION_END_EPOCH=${SESSION_END_EPOCH:-$(date -u -d '2026-08-18 20:18' +%s)}
+export SESSION_END_EPOCH
+
 while true; do
   echo "$(date -u +%FT%TZ) probing" >> "$LOG/poll.log"
   if probe; then
@@ -29,6 +38,15 @@ while true; do
   fi
   sleep 180
 done
+
+if [ $(( SESSION_END_EPOCH - $(date +%s) )) -lt 1500 ]; then
+  # Too close to the driver's capture window: leave the chip alone (the
+  # driver's bench.py has its own deadline/salvage machinery for a cold
+  # cache) and surface the state for a manual decision.
+  echo "$(date -u +%FT%TZ) chip UP but <1500 s before the driver window — not launching" >> "$LOG/poll.log"
+  touch "$LOG/CHIP_UP_LATE"
+  exit 0
+fi
 
 while [ -f /tmp/pytest_running ]; do
   echo "$(date -u +%FT%TZ) waiting for pytest to finish" >> "$LOG/poll.log"
