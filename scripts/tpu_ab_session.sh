@@ -13,6 +13,8 @@
 #  1. Warm driver-shaped rerun (the capture-contract number) + the
 #     payload-shrink regression check vs the 103.1M record (the shrink is
 #     always-on since round 3).             -> bench_warm.json
+#  1b. Warm entry()'s compile-check program (full-ping hash update at
+#      2^20 — its own program family).     -> graft_warm.log
 #  2. dense_mode=row A/B (largest traced line item, 0.40 ms/ping).
 #                                           -> bench_row.json
 #  3. window=16 with tuned budgets.         -> bench_w16.json
@@ -87,6 +89,12 @@ walltime bench_cold env BENCH_DEADLINE=$BD0 python bench.py \
 # number the capture contract is judged on
 need 500 bench_warm && \
 walltime bench_warm python bench.py   > /tmp/tpu_ab/bench_warm.json    2> /tmp/tpu_ab/bench_warm.log
+# warm the driver's single-chip compile-check program too: entry()'s
+# full-ping update_hash_grid at 2^20 is a DIFFERENT program family from
+# the bench's brick engine, and the driver compile-checks it on the chip
+need 900 graft_warm && \
+walltime graft_warm python -c "import __graft_entry__ as g, jax; fn, a = g.entry(); o = jax.jit(fn)(*a); jax.block_until_ready(o); print('graft entry warm ok')" \
+                                      > /tmp/tpu_ab/graft_warm.log 2>&1
 need 2400 bench_row && \
 walltime bench_row env BENCH_DENSE_MODE=row python bench.py \
                                       > /tmp/tpu_ab/bench_row.json     2> /tmp/tpu_ab/bench_row.log
