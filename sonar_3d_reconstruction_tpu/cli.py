@@ -362,6 +362,14 @@ def main(argv: Optional[List[str]] = None) -> int:
         prog="sonar_3d_reconstruction_tpu", description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter,
     )
+    parser.add_argument(
+        "--platform", default=None, metavar="NAME",
+        help="jax platform override (e.g. cpu).  On hosts whose "
+        "sitecustomize pins a remote TPU platform, a down tunnel hangs "
+        "backend acquisition indefinitely — this applies a RUNTIME config "
+        "update (env vars are too late once jax is imported at interpreter "
+        "startup).  Also honored from SONAR3D_PLATFORM.",
+    )
     sub = parser.add_subparsers(dest="cmd", required=True)
 
     sub.add_parser("selftest", help="reference __main__ scenario")
@@ -437,6 +445,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     sub.add_parser("bench", help="headline benchmark (one JSON line)")
 
     args = parser.parse_args(argv)
+    import os
+
+    platform = args.platform or os.environ.get("SONAR3D_PLATFORM")
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
     from sonar_3d_reconstruction_tpu.utils.compile_cache import enable
 
     enable()
