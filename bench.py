@@ -182,6 +182,13 @@ def _plan_key(cfg, n_pings, window, backend, dense_mode, caps, capacity,
 def _load_plan(key):
     if os.environ.get("BENCH_USE_PLAN", "1") != "1":
         return None
+    # explicit experiment knobs are consumed inside the discovery path and
+    # are NOT part of the plan key — a plan hit would silently ignore them
+    # and measure the tuned default configuration instead
+    if (os.environ.get("BENCH_BRICK_BUDGET")
+            or os.environ.get("BENCH_UNIQUE_BUDGET")
+            or os.environ.get("BENCH_TUNE_BUDGETS", "1") != "1"):
+        return None
     try:
         with open(PLAN_PATH) as f:
             plans = json.load(f)
@@ -216,11 +223,18 @@ def main():
 
     from sonar_3d_reconstruction_tpu.utils.compile_cache import (
         enable as _enable_cache,
+        guard_backend_mismatch as _guard_cache,
     )
 
     _enable_cache()
     _stage("backend-acquire")
     _acquire_backend(float(os.environ.get("BENCH_ACQUIRE_DEADLINE", "150")))
+    if _guard_cache():
+        # TPU-configured but the backend fell back to CPU: persistent cache
+        # disabled (host-specific CPU AOT entries must not pollute the
+        # shared TPU cache root); the run proceeds but is labeled
+        print("bench: configured TPU platform fell back to CPU — "
+              "persistent cache disabled for this run", file=sys.stderr)
 
     _stage("setup")
     from sonar_3d_reconstruction_tpu.config import MapperConfig

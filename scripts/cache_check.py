@@ -39,11 +39,29 @@ def main() -> int:
     if args.platform:
         env["BENCH_PLATFORM"] = args.platform
     t0 = time.monotonic()
-    proc = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, cwd=REPO, capture_output=True, text=True,
-        timeout=args.budget + 120,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, cwd=REPO, capture_output=True, text=True,
+            timeout=args.budget + 120,
+        )
+    except subprocess.TimeoutExpired:
+        # the cold/stale-cache case this script exists to detect must
+        # still produce the status JSON, not a traceback
+        wall = time.monotonic() - t0
+        print(json.dumps({
+            "status": "NOT READY",
+            "wall_s": round(wall, 1),
+            "budget_s": args.budget,
+            "problems": [
+                f"bench.py exceeded {args.budget + 120:.0f}s subprocess "
+                "timeout — compile cache is cold/stale for the capture "
+                "programs"
+            ],
+            "value": None,
+            "budget_plan": None,
+        }))
+        return 1
     wall = time.monotonic() - t0
 
     line = next(
@@ -80,6 +98,8 @@ def main() -> int:
         )
 
     status = "CAPTURE-READY" if not problems else "NOT READY"
+    # one LINE of JSON (not indent=...) so `tail -n 1` in the session
+    # script shows the whole verdict
     print(json.dumps({
         "status": status,
         "wall_s": round(wall, 1),
@@ -87,7 +107,7 @@ def main() -> int:
         "problems": problems,
         "value": parsed.get("value") if parsed else None,
         "budget_plan": (parsed or {}).get("detail", {}).get("budget_plan"),
-    }, indent=1))
+    }))
     if proc.returncode != 0 and not problems:
         print(proc.stderr[-2000:], file=sys.stderr)
         return 1

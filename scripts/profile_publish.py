@@ -124,7 +124,7 @@ def main():
         "pointcloud2_bytes": len(msg["data"]) if isinstance(msg, dict)
         else int(getattr(msg, "nbytes", 0)),
         "n_pings": args.pings,
-    }, indent=1))
+    }))  # one line: session artifact is json.loads-able
 
 
 if __name__ == "__main__":

@@ -189,7 +189,7 @@ def main():
                                           is_stable=False)[0])
     results["sort1_u32_ms"] = 1e3 * timeit(f_s1, key)
 
-    print(json.dumps(results, indent=1))
+    print(json.dumps(results))  # one line: session artifact is json.loads-able
 
 
 if __name__ == "__main__":

@@ -40,6 +40,9 @@ set -x
 # cache is shared with the live checkout)
 cd "$(dirname "$0")/.."
 mkdir -p /tmp/tpu_ab
+# fresh per-session step log (sibling artifacts all use > and overwrite;
+# a rerun must not interleave stale WALL/SKIP lines into the summary)
+: > /tmp/tpu_ab/walltimes.log
 
 # SESSION_END_EPOCH: absolute unix-time budget for this session.  The
 # round-3 failure was the driver's own end-of-round bench colliding with
@@ -102,9 +105,9 @@ need 4500 bench_w16 && \
 walltime bench_w16 env BENCH_WINDOW=16 python bench.py \
                                       > /tmp/tpu_ab/bench_w16.json     2> /tmp/tpu_ab/bench_w16.log
 need 1200 radix && \
-python scripts/profile_radix.py       > /tmp/tpu_ab/radix.json         2>&1
+python scripts/profile_radix.py       > /tmp/tpu_ab/radix.json         2> /tmp/tpu_ab/radix.log
 need 1200 publish && \
-python scripts/profile_publish.py     > /tmp/tpu_ab/publish.json       2>&1
+python scripts/profile_publish.py     > /tmp/tpu_ab/publish.json       2> /tmp/tpu_ab/publish.log
 need 2400 bench_chunk1 && \
 walltime bench_chunk1 env BENCH_LATENCY_CHUNK=1 BENCH_REPS=1 python bench.py \
                                       > /tmp/tpu_ab/bench_chunk1.json  2> /tmp/tpu_ab/bench_chunk1.log
@@ -113,7 +116,7 @@ python scripts/profile_rowscatter.py  > /tmp/tpu_ab/rowscatter.log     2>&1
 need 900 shard_overhead && \
 python scripts/profile_shard_overhead.py > /tmp/tpu_ab/shard_overhead.log 2>&1
 need 120 cache_check && \
-python scripts/cache_check.py         > /tmp/tpu_ab/cache_check.json   2>&1
+python scripts/cache_check.py         > /tmp/tpu_ab/cache_check.json   2> /tmp/tpu_ab/cache_check.log
 cat /tmp/tpu_ab/walltimes.log
 tail -n 1 /tmp/tpu_ab/*.json
 true

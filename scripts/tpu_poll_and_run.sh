@@ -48,8 +48,20 @@ if [ $(( SESSION_END_EPOCH - $(date +%s) )) -lt 1500 ]; then
   exit 0
 fi
 
-while [ -f /tmp/pytest_running ]; do
-  echo "$(date -u +%FT%TZ) waiting for pytest to finish" >> "$LOG/poll.log"
+# tests/conftest.py writes its PID into the marker at session start and
+# removes it at session end; a crashed pytest leaves a stale file, so the
+# wait only honors a marker whose PID is still alive (a forever-wait on a
+# stale marker would silently eat the whole TPU window).
+pytest_live() {
+  [ -f /tmp/pytest_running ] || return 1
+  _pid=$(cat /tmp/pytest_running 2>/dev/null)
+  case "$_pid" in
+    ''|*[!0-9]*) return 1 ;;  # legacy/empty marker: treat as stale
+  esac
+  kill -0 "$_pid" 2>/dev/null
+}
+while pytest_live; do
+  echo "$(date -u +%FT%TZ) waiting for pytest (pid $(cat /tmp/pytest_running)) to finish" >> "$LOG/poll.log"
   sleep 60
 done
 

@@ -49,6 +49,20 @@ def _host_fingerprint() -> str:
                     break
     except OSError:
         pass
+    # Even flags+model collide in practice: this round a 1-core VM loaded
+    # AOT entries some earlier multi-core host wrote (feature-mismatch
+    # E-logs citing ``+prefer-no-scatter`` — an LLVM tuning pseudo-feature
+    # derived from direct CPUID detection, invisible in /proc/cpuinfo).
+    # Salt with per-machine identity: correctness beats cross-host reuse
+    # for CPU entries (the warm-cache win that matters is same-machine
+    # suite reruns; TPU entries stay shared and host-neutral).
+    try:
+        with open("/etc/machine-id") as f:
+            parts.append("machine-id=" + f.read().strip())
+    except OSError:
+        pass
+    parts.append(f"ncpu={os.cpu_count()}")
+    parts.append("host=" + _platform.node())
     raw = f"{_platform.machine()}|" + "|".join(sorted(parts))
     return hashlib.md5(raw.encode()).hexdigest()[:12]
 
@@ -101,3 +115,30 @@ def enable(cache_dir: str | None = None) -> str:
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     return cache_dir
+
+
+def guard_backend_mismatch() -> bool:
+    """Disable the cache if a TPU-configured process actually got CPU.
+
+    Call AFTER backend acquisition.  ``enable()`` picks the cache dir from
+    the CONFIGURED platform (it must not initialize a backend); if the
+    axon plugin init *raises* quickly (instead of the retry-hang) jax can
+    fall back to the cpu backend, and host-specific XLA:CPU AOT entries
+    would then be written into the shared TPU cache root — the cross-host
+    SIGILL hazard the per-host cpu dirs exist to prevent.  Such a run is
+    anomalous anyway (TPU-shaped invocation producing CPU numbers), so the
+    persistent cache is simply switched off.  Returns True if it fired.
+    """
+    configured = _configured_platform()
+    if configured in ("", "cpu"):
+        return False
+    import jax
+
+    try:
+        actual = jax.default_backend()
+    except Exception:
+        return False
+    if actual == "cpu":
+        jax.config.update("jax_enable_compilation_cache", False)
+        return True
+    return False

@@ -32,6 +32,30 @@ import pytest  # noqa: E402
 from sonar_3d_reconstruction_tpu.config import MapperConfig  # noqa: E402
 
 
+_PYTEST_MARKER = "/tmp/pytest_running"
+
+
+def pytest_sessionstart(session):
+    """Publish a liveness marker for scripts/tpu_poll_and_run.sh.
+
+    On the 1-core TPU hosts a concurrently running suite would skew the
+    TPU session's host-side wall times, so the launcher waits while this
+    marker names a LIVE pid (a crashed pytest leaves a stale file; the
+    launcher ignores markers whose pid is gone)."""
+    try:
+        with open(_PYTEST_MARKER, "w") as f:
+            f.write(str(os.getpid()))
+    except OSError:
+        pass
+
+
+def pytest_sessionfinish(session, exitstatus):
+    try:
+        os.unlink(_PYTEST_MARKER)
+    except OSError:
+        pass
+
+
 @pytest.fixture(autouse=True, scope="module")
 def _bound_compiler_state():
     """Reset jit/compiler caches between test modules.

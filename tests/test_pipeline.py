@@ -183,9 +183,11 @@ def test_effective_budgets_reported_and_reusable(small_cfg):
         dtype=jnp.float64, window=3, effective=eff,
     )
     assert set(eff) == {
-        "unique_budget", "batch_budget", "capacity", "fan_cap", "window_cap"
+        "unique_budget", "batch_budget", "capacity", "fan_cap",
+        "window_cap", "free_cap",
     }
     assert eff["capacity"] == ref.key_hi.shape[0]
+    assert eff["free_cap"] >= 0
 
     tables = build_fan_tables(cfg, cfg.image_height, cfg.image_width)
     T = jnp.asarray(batched_sonar_to_world(positions, quats, cfg),
