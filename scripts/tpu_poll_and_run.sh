@@ -65,6 +65,13 @@ while pytest_live; do
   sleep 60
 done
 
+# a long suite can eat the window — re-check after the wait
+if [ $(( SESSION_END_EPOCH - $(date +%s) )) -lt 1500 ]; then
+  echo "$(date -u +%FT%TZ) pytest wait consumed the window — not launching" >> "$LOG/poll.log"
+  touch "$LOG/CHIP_UP_LATE"
+  exit 0
+fi
+
 rm -rf "$SNAP"
 mkdir -p "$SNAP"
 git -C "$REPO" archive HEAD | tar -x -C "$SNAP"
