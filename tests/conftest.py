@@ -50,8 +50,12 @@ def pytest_sessionstart(session):
 
 
 def pytest_sessionfinish(session, exitstatus):
+    # only remove our OWN marker — a concurrent pytest session may have
+    # overwritten it with its (still live) pid
     try:
-        os.unlink(_PYTEST_MARKER)
+        with open(_PYTEST_MARKER) as f:
+            if f.read().strip() == str(os.getpid()):
+                os.unlink(_PYTEST_MARKER)
     except OSError:
         pass
 

@@ -79,6 +79,52 @@ def test_emit_is_first_caller_wins(capsys):
     bench._EMITTED = False
 
 
+def test_plan_bypassed_by_explicit_experiment_knobs(monkeypatch):
+    """BENCH_BRICK_BUDGET / BENCH_UNIQUE_BUDGET / BENCH_TUNE_BUDGETS=0 are
+    consumed inside the discovery path and are not part of the plan key —
+    a plan hit would silently measure the tuned default configuration, so
+    any of them must force a plan miss."""
+    import bench
+
+    with open(bench.PLAN_PATH) as f:
+        key = next(iter(json.load(f)))
+
+    for name in ("BENCH_BRICK_BUDGET", "BENCH_UNIQUE_BUDGET"):
+        monkeypatch.setenv(name, "4096")
+        assert bench._load_plan(key) is None, name
+        monkeypatch.delenv(name)
+    monkeypatch.setenv("BENCH_TUNE_BUDGETS", "0")
+    assert bench._load_plan(key) is None
+    monkeypatch.delenv("BENCH_TUNE_BUDGETS")
+    assert bench._load_plan(key) is not None  # control: default env hits
+
+
+def test_cache_guard_on_backend_fallback(monkeypatch):
+    """guard_backend_mismatch(): a TPU-configured process that actually
+    initialized the CPU backend must disable the persistent cache (CPU
+    AOT entries are host-specific; the shared TPU root is not)."""
+    import jax
+
+    from sonar_3d_reconstruction_tpu.utils import compile_cache as cc
+
+    # configured cpu (the test conftest pins it): no-op
+    assert cc.guard_backend_mismatch() is False
+
+    monkeypatch.setattr(cc, "_configured_platform", lambda: "axon")
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    before = jax.config.jax_enable_compilation_cache
+    try:
+        assert cc.guard_backend_mismatch() is True
+        assert jax.config.jax_enable_compilation_cache is False
+    finally:
+        jax.config.update("jax_enable_compilation_cache", before)
+
+    # a real TPU backend keeps the cache on
+    monkeypatch.setattr(jax, "default_backend", lambda: "axon")
+    assert cc.guard_backend_mismatch() is False
+    assert jax.config.jax_enable_compilation_cache is before
+
+
 def test_committed_plan_matches_default_capture_config():
     """bench_plan.json must contain the key for the driver's default run
     (plain `python bench.py`: brick backend, 256 pings, window 8, scalar
