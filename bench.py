@@ -353,8 +353,12 @@ def main_hash(cfg, n_pings, reps, window):
             insert_budget=insert_budget,
             dedup_lane_budget=dedup_lane_budget,
         )
-        assert not bool(np.asarray(stats["overflowed"]).any())
-        return int(st.used)  # forces real completion (not just dispatch)
+        # ONE host sync for both the overflow flags and the completion
+        # read: each separate pull is a ~28 ms tunnel round trip, which at
+        # 256 pings is ~0.1 ms/ping of pure measurement overhead
+        ov, used = jax.device_get((stats["overflowed"], st.used))
+        assert not bool(np.asarray(ov).any())
+        return int(used)  # forces real completion (not just dispatch)
 
     _stage("timed-hash")
     try:
@@ -632,8 +636,11 @@ def main_brick(cfg, n_pings, reps, window):
             dense_mode=dense_mode,
             dedup_lane_budget=budgets["dedup_lane_budget"], boxes=boxes,
         )
-        assert not bool(np.asarray(stats["overflowed"]).any())
-        _ = int(st.used)  # forces real completion (not just dispatch)
+        # one host sync for flags + completion (two pulls = two ~28 ms
+        # tunnel round trips ≈ 0.1 ms/ping of overhead at 256 pings)
+        ov, used = jax.device_get((stats["overflowed"], st.used))
+        assert not bool(np.asarray(ov).any())
+        _ = int(used)  # forces real completion (not just dispatch)
         return st, stats
 
     _stage("compile-brick")

@@ -27,7 +27,7 @@ probe() {
 # gates every step on the remaining budget, so a late chip return still
 # warms the cache and records the warm capture number without colliding
 # with the driver.  Override with SESSION_END_EPOCH for manual reruns.
-SESSION_END_EPOCH=${SESSION_END_EPOCH:-$(date -u -d '2026-08-18 20:18' +%s)}
+SESSION_END_EPOCH=${SESSION_END_EPOCH:-$(date -u -d '2026-08-19 07:55' +%s)}
 export SESSION_END_EPOCH
 
 while true; do
