@@ -96,27 +96,36 @@ walltime bench_warm python bench.py   > /tmp/tpu_ab/bench_warm.json    2> /tmp/t
 # full-ping update_hash_grid at 2^20 is a DIFFERENT program family from
 # the bench's brick engine, and the driver compile-checks it on the chip
 need 900 graft_warm && \
-walltime graft_warm python -c "import __graft_entry__ as g, jax; fn, a = g.entry(); o = jax.jit(fn)(*a); jax.block_until_ready(o); print('graft entry warm ok')" \
+walltime graft_warm timeout 1800 python -c "import __graft_entry__ as g, jax; fn, a = g.entry(); o = jax.jit(fn)(*a); jax.block_until_ready(o); print('graft entry warm ok')" \
                                       > /tmp/tpu_ab/graft_warm.log 2>&1
+# A/B steps get a raised BENCH_DEADLINE: these are diagnostic runs, not
+# driver-shaped captures, and a plan MISS (or a stale plan fallback) pays a
+# discovery program family that the driver default (1200 s) would
+# salvage-kill mid-compile (the w16 apply alone has compiled >30 min)
 need 2400 bench_row && \
-walltime bench_row env BENCH_DENSE_MODE=row python bench.py \
+walltime bench_row env BENCH_DENSE_MODE=row BENCH_DEADLINE=2300 python bench.py \
                                       > /tmp/tpu_ab/bench_row.json     2> /tmp/tpu_ab/bench_row.log
 need 4500 bench_w16 && \
-walltime bench_w16 env BENCH_WINDOW=16 python bench.py \
+walltime bench_w16 env BENCH_WINDOW=16 BENCH_DEADLINE=4400 python bench.py \
                                       > /tmp/tpu_ab/bench_w16.json     2> /tmp/tpu_ab/bench_w16.log
 need 1200 radix && \
-python scripts/profile_radix.py       > /tmp/tpu_ab/radix.json         2> /tmp/tpu_ab/radix.log
+walltime radix timeout 2400 python scripts/profile_radix.py \
+                                      > /tmp/tpu_ab/radix.json         2> /tmp/tpu_ab/radix.log
 need 1200 publish && \
-python scripts/profile_publish.py     > /tmp/tpu_ab/publish.json       2> /tmp/tpu_ab/publish.log
+walltime publish timeout 2700 python scripts/profile_publish.py \
+                                      > /tmp/tpu_ab/publish.json       2> /tmp/tpu_ab/publish.log
 need 2400 bench_chunk1 && \
-walltime bench_chunk1 env BENCH_LATENCY_CHUNK=1 BENCH_REPS=1 python bench.py \
+walltime bench_chunk1 env BENCH_LATENCY_CHUNK=1 BENCH_REPS=1 BENCH_DEADLINE=2300 python bench.py \
                                       > /tmp/tpu_ab/bench_chunk1.json  2> /tmp/tpu_ab/bench_chunk1.log
 need 900 rowscatter && \
-python scripts/profile_rowscatter.py  > /tmp/tpu_ab/rowscatter.log     2>&1
+walltime rowscatter timeout 1800 python scripts/profile_rowscatter.py \
+                                      > /tmp/tpu_ab/rowscatter.log     2>&1
 need 900 shard_overhead && \
-python scripts/profile_shard_overhead.py > /tmp/tpu_ab/shard_overhead.log 2>&1
+walltime shard_overhead timeout 1800 python scripts/profile_shard_overhead.py \
+                                      > /tmp/tpu_ab/shard_overhead.log 2>&1
 need 120 cache_check && \
-python scripts/cache_check.py         > /tmp/tpu_ab/cache_check.json   2> /tmp/tpu_ab/cache_check.log
+walltime cache_check timeout 900 python scripts/cache_check.py \
+                                      > /tmp/tpu_ab/cache_check.json   2> /tmp/tpu_ab/cache_check.log
 cat /tmp/tpu_ab/walltimes.log
 tail -n 1 /tmp/tpu_ab/*.json
 true
