@@ -92,6 +92,24 @@ def _watchdog_fire(reason: str, code: int) -> None:
     os._exit(code)
 
 
+def _emit_failure(e: BaseException) -> None:
+    """Exception path: same salvage contract as the deadline watchdog.
+
+    A failure AFTER the timed run (e.g. in the streaming-latency stage)
+    must report the measured headline with an error note, not a value-0
+    error line — otherwise a late-stage exception silently discards the
+    capture number the run already earned."""
+    if _PARTIAL is not None:
+        payload = dict(_PARTIAL)
+        payload.setdefault("detail", {})["error_note"] = (
+            f"{type(e).__name__} at stage {_STAGE}: {e}; "
+            "reporting last complete result"
+        )
+        _emit(payload)
+    else:
+        _emit(_error_payload(f"{type(e).__name__}: {e}"))
+
+
 def _start_total_watchdog() -> None:
     def _watch():
         rem = _remaining()
@@ -759,5 +777,5 @@ if __name__ == "__main__":
         import traceback
 
         traceback.print_exc(file=sys.stderr)
-        _emit(_error_payload(f"{type(e).__name__}: {e}"))
+        _emit_failure(e)
         raise SystemExit(1)

@@ -53,12 +53,16 @@ fi
 # wait only honors a marker whose PID is still alive (a forever-wait on a
 # stale marker would silently eat the whole TPU window).
 pytest_live() {
+  # marker holds ONE PID PER LINE (concurrent suites append); live if any
+  # listed pid still exists — non-numeric/dead lines are stale
   [ -f /tmp/pytest_running ] || return 1
-  _pid=$(cat /tmp/pytest_running 2>/dev/null)
-  case "$_pid" in
-    ''|*[!0-9]*) return 1 ;;  # legacy/empty marker: treat as stale
-  esac
-  kill -0 "$_pid" 2>/dev/null
+  while read -r _pid; do
+    case "$_pid" in
+      ''|*[!0-9]*) continue ;;
+    esac
+    kill -0 "$_pid" 2>/dev/null && return 0
+  done < /tmp/pytest_running
+  return 1
 }
 while pytest_live; do
   echo "$(date -u +%FT%TZ) waiting for pytest (pid $(cat /tmp/pytest_running)) to finish" >> "$LOG/poll.log"

@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 from typing import Dict, List, Optional
@@ -56,7 +57,56 @@ def _parse_overrides(pairs: List[str]) -> Dict:
     return out
 
 
+def _acquire_and_guard() -> None:
+    """Initialize the jax backend under a deadline, then apply the cache
+    guard (compile_cache.guard_backend_mismatch).
+
+    The guard must run AFTER acquisition (it probes the actual backend) and
+    BEFORE any compile: a TPU-configured process that silently fell back to
+    CPU would otherwise write host-specific XLA:CPU AOT entries into the
+    shared TPU cache root — the cross-host SIGILL hazard the per-host cpu
+    dirs exist to prevent.  bench.py and __graft_entry__ carry the same
+    acquire-watchdog/guard pair; this covers the jax-touching CLI commands
+    (make-bag is numpy-only and skips it).  The deadline also means a CLI
+    run against a down tunnel fails fast with a diagnostic instead of
+    sleeping forever in the axon acquisition retry loop.
+    """
+    import threading
+
+    import jax
+
+    from sonar_3d_reconstruction_tpu.utils.compile_cache import (
+        guard_backend_mismatch,
+    )
+
+    deadline = float(os.environ.get("SONAR3D_ACQUIRE_DEADLINE", "300"))
+    done = threading.Event()
+
+    def _watch():
+        if not done.wait(deadline):
+            print(
+                f"sonar3d: jax backend acquisition exceeded {deadline:.0f}s "
+                "(tunneled TPU unreachable?) — aborting; pass --platform "
+                "cpu (or SONAR3D_PLATFORM=cpu) to run on the host CPU",
+                file=sys.stderr, flush=True,
+            )
+            os._exit(4)
+
+    threading.Thread(target=_watch, daemon=True).start()
+    try:
+        jax.devices()
+    finally:
+        done.set()
+    if guard_backend_mismatch():
+        print(
+            "sonar3d: configured TPU platform fell back to CPU — "
+            "persistent compile cache disabled for this run",
+            file=sys.stderr,
+        )
+
+
 def cmd_selftest(args: argparse.Namespace) -> int:
+    _acquire_and_guard()
     from sonar_3d_reconstruction_tpu.models import SonarMapper
 
     mapper = SonarMapper(
@@ -87,6 +137,7 @@ def cmd_selftest(args: argparse.Namespace) -> int:
 
 
 def cmd_map_bag(args: argparse.Namespace) -> int:
+    _acquire_and_guard()
     import jax.numpy as jnp
 
     from sonar_3d_reconstruction_tpu.config import load_config
@@ -282,6 +333,7 @@ def cmd_tune(args: argparse.Namespace) -> int:
     (utils/autotune.tune_sequence).  Feed the plan back with
     ``map-bag --offline --budgets PLAN.json`` — snug budgets size every
     apply-side indexed op and sort (PERFORMANCE.md; ~2x vs defaults)."""
+    _acquire_and_guard()
     import jax.numpy as jnp
 
     from sonar_3d_reconstruction_tpu.config import load_config
@@ -314,6 +366,7 @@ def cmd_tune(args: argparse.Namespace) -> int:
 def cmd_query(args: argparse.Namespace) -> int:
     """Point-query a saved map snapshot (reference SimpleOctree
     get_probability semantics: never-updated voxels answer p=0.5)."""
+    _acquire_and_guard()
     from sonar_3d_reconstruction_tpu.grid.hash import query_probability
     from sonar_3d_reconstruction_tpu.io.checkpoint import load_map
 

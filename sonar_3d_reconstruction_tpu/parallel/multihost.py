@@ -258,9 +258,14 @@ def map_ping_sequence_multihost(
     matching key layout and the fold applies to the matching table).
     Returns (state, per-frame stats dicts for all applied frames).
     """
+    from sonar_3d_reconstruction_tpu.grid import check_state_backend
     from sonar_3d_reconstruction_tpu.grid.hash import init_hash_grid, rehash
 
     cfg = cfg or MapperConfig()
+    # fail fast on a resumed state whose type contradicts the backend: the
+    # record key layout below is chosen by ``backend`` while the apply
+    # dispatches on the state type — a mismatch would corrupt silently
+    check_state_backend(state, backend)
     images = np.asarray(images)
     P = images.shape[0]
     if backend == "brick":

@@ -607,6 +607,9 @@ def map_ping_sequence(
     Returns (final_state, per-ping stats dict of (P,) arrays).
     """
     cfg = cfg or MapperConfig()
+    from sonar_3d_reconstruction_tpu.grid import check_state_backend
+
+    check_state_backend(state, backend)
     images = np.asarray(images)
     P, R, B = images.shape
     if P == 0:

@@ -181,8 +181,9 @@ class StreamingMapper:
             # frame-parallel engine (parallel/shard_frames.py) with the
             # SAME host-gated capped tables as the single-chip backends
             # (any cap exact for the gated images is exact sharded too).
-            # The compact box-key engine is single-chip-only, so sharded
-            # chunks run the wide two-word keys.
+            # Sharded chunks default to the compact box-key exchange
+            # (_run_chunk_sharded threads box_min_bits; sticky grow-only,
+            # wide two-word fallback for unpackable extents).
             from sonar_3d_reconstruction_tpu.parallel.shard import make_mesh
             from sonar_3d_reconstruction_tpu.parallel.shard_brick import (
                 init_sharded_brick_grid,

@@ -35,27 +35,59 @@ from sonar_3d_reconstruction_tpu.config import MapperConfig  # noqa: E402
 _PYTEST_MARKER = "/tmp/pytest_running"
 
 
+def _live_marker_pids(lines):
+    """Numeric pids from marker lines whose process still exists."""
+    pids = []
+    for ln in lines:
+        ln = ln.strip()
+        if not ln.isdigit():
+            continue
+        try:
+            os.kill(int(ln), 0)
+        except ProcessLookupError:
+            continue  # dead: drop the stale line
+        except OSError:
+            pass  # alive but not ours (EPERM): keep it
+        pids.append(ln)
+    return pids
+
+
 def pytest_sessionstart(session):
     """Publish a liveness marker for scripts/tpu_poll_and_run.sh.
 
     On the 1-core TPU hosts a concurrently running suite would skew the
     TPU session's host-side wall times, so the launcher waits while this
-    marker names a LIVE pid (a crashed pytest leaves a stale file; the
-    launcher ignores markers whose pid is gone)."""
+    marker names a LIVE pid.  One pid per line: a plain overwrite would
+    lose the first suite's pid when two run concurrently, letting the
+    launcher start mid-suite; dead pids (crashed pytest) are pruned here
+    and ignored by the launcher."""
     try:
+        try:
+            with open(_PYTEST_MARKER) as f:
+                pids = _live_marker_pids(f.readlines())
+        except OSError:
+            pids = []
+        me = str(os.getpid())
+        if me not in pids:
+            pids.append(me)
         with open(_PYTEST_MARKER, "w") as f:
-            f.write(str(os.getpid()))
+            f.write("\n".join(pids) + "\n")
     except OSError:
         pass
 
 
 def pytest_sessionfinish(session, exitstatus):
-    # only remove our OWN marker — a concurrent pytest session may have
-    # overwritten it with its (still live) pid
+    # remove only our OWN line — concurrent sessions keep theirs; delete
+    # the file once no live pid remains
     try:
         with open(_PYTEST_MARKER) as f:
-            if f.read().strip() == str(os.getpid()):
-                os.unlink(_PYTEST_MARKER)
+            pids = _live_marker_pids(f.readlines())
+        pids = [p for p in pids if p != str(os.getpid())]
+        if pids:
+            with open(_PYTEST_MARKER, "w") as f:
+                f.write("\n".join(pids) + "\n")
+        else:
+            os.unlink(_PYTEST_MARKER)
     except OSError:
         pass
 

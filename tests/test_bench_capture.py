@@ -79,6 +79,41 @@ def test_emit_is_first_caller_wins(capsys):
     bench._EMITTED = False
 
 
+def test_failure_after_timed_run_salvages_partial(capsys):
+    """An exception AFTER the timed run (e.g. in the latency stage) must
+    emit the measured headline with an error note — not a value-0 error
+    line that discards the capture number the run already earned."""
+    import bench
+
+    bench._EMITTED = False
+    bench._PARTIAL = {"metric": "voxel_log_odds_updates_per_sec",
+                      "value": 42.0, "detail": {"backend": "brick"}}
+    try:
+        bench._emit_failure(RuntimeError("latency stage exploded"))
+        out = capsys.readouterr().out.strip().splitlines()
+        assert len(out) == 1
+        payload = json.loads(out[0])
+        assert payload["value"] == 42.0
+        assert "latency stage exploded" in payload["detail"]["error_note"]
+    finally:
+        bench._EMITTED = False
+        bench._PARTIAL = None
+
+
+def test_failure_before_any_result_emits_error_payload(capsys):
+    import bench
+
+    bench._EMITTED = False
+    bench._PARTIAL = None
+    try:
+        bench._emit_failure(ValueError("no backend"))
+        payload = json.loads(capsys.readouterr().out.strip())
+        assert payload["value"] == 0.0
+        assert "no backend" in payload["error"]
+    finally:
+        bench._EMITTED = False
+
+
 def test_plan_bypassed_by_explicit_experiment_knobs(monkeypatch):
     """BENCH_BRICK_BUDGET / BENCH_UNIQUE_BUDGET / BENCH_TUNE_BUDGETS=0 are
     consumed inside the discovery path and are not part of the plan key —

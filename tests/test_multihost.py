@@ -206,3 +206,23 @@ def test_multihost_brick_backend_matches_one_shot(small_cfg):
     assert c.keys() == b.keys()
     for k in c:
         assert c[k] == b[k]
+
+
+def test_multihost_state_backend_mismatch_raises(small_cfg):
+    """Same fail-fast contract as pipeline.map_ping_sequence: a resumed
+    brick state under the default backend="hash" would pack hash-major
+    record keys but apply them as brick codes — must raise, not corrupt."""
+    import pytest
+
+    from sonar_3d_reconstruction_tpu.grid.brick import init_brick_grid
+    from sonar_3d_reconstruction_tpu.parallel.multihost import (
+        map_ping_sequence_multihost,
+    )
+
+    img = synthetic_ping(small_cfg.image_height, small_cfg.image_width)
+    positions, quats = circular_trajectory(1)
+    with pytest.raises(ValueError, match="does not match backend"):
+        map_ping_sequence_multihost(
+            img[None], positions, quats, small_cfg,
+            state=init_brick_grid(256, jnp.float32),
+        )

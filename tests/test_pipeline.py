@@ -342,3 +342,28 @@ def test_dedup_lane_budget_decoupled(small_cfg):
     st2, stats2 = run(snug_u, max(snug_u, max_valid // 2))
     assert bool(np.asarray(stats2["overflowed"]).any())
     assert bool(np.asarray(stats2["unique_overflow"]).any())
+
+
+def test_state_backend_mismatch_raises(small_cfg):
+    """Resuming a saved brick map without backend="brick" (or vice versa)
+    must fail fast: the record key layout is chosen by the backend string
+    while the apply dispatches on the state type — a silent mismatch would
+    write voxels through the wrong key interpretation."""
+    import pytest
+
+    from sonar_3d_reconstruction_tpu.grid.brick import init_brick_grid
+    from sonar_3d_reconstruction_tpu.grid.hash import init_hash_grid
+
+    img = synthetic_ping(small_cfg.image_height, small_cfg.image_width)
+    positions, quats = circular_trajectory(1)
+    brick_state = init_brick_grid(256, jnp.float32)
+    with pytest.raises(ValueError, match="does not match backend"):
+        map_ping_sequence(
+            img[None], positions, quats, small_cfg, state=brick_state
+        )
+    hash_state = init_hash_grid(1 << 10, jnp.float32)
+    with pytest.raises(ValueError, match="does not match backend"):
+        map_ping_sequence(
+            img[None], positions, quats, small_cfg, state=hash_state,
+            backend="brick",
+        )
