@@ -180,8 +180,6 @@ def apply_brick_records_batched(
     B, U = recs.hi.shape
     bb = state.brick_bits
     vol = state.brick_volume
-    cap = state.capacity
-    dtype = state.log_odds.dtype
     brick_mask, o = _masks(bb)
     assert B <= 16, "frame index is folded into 4 reserved key bits"
 
@@ -550,7 +548,11 @@ def apply_brick_records_compact(
         rows = []
         for k in range(B):
             acc = jnp.zeros((Lb,), jnp.uint32)
-            for j in range(B - k):
+            # shifts j >= Lb move every lane out of the window (their pads
+            # never match vox_l), and the slice below would go negative —
+            # clamp so a lane budget below the window size degrades to the
+            # normal lanes_overflow contract instead of a trace-time crash
+            for j in range(min(B - k, Lb)):
                 # frames strictly ascend within a voxel, so lane i-j has
                 # frame <= frame[i] - j; slot k (== frame[i-j]) therefore
                 # only comes from shifts j <= (B-1) - k
@@ -859,7 +861,9 @@ def touched_voxels_brick(
     n = int(counts[0])
     hi, lo, rows, touched = _pull_brick_rows(state, (s_hi, s_lo, s_slot), n)
     if n == 0:
-        return np.empty((0, 3), np.int32), np.empty((0,), rows.dtype if n else np.float32)
+        # keep the state's value dtype so an empty float64 map round-trips
+        # through io/checkpoint.py without silently becoming float32
+        return np.empty((0, 3), np.int32), np.empty((0,), rows.dtype)
     mask = _touched_bool(touched, vol)
     base = np.asarray(
         unpack_brick_keys(jnp.asarray(hi), jnp.asarray(lo), state.brick_bits)

@@ -33,7 +33,7 @@ reference's per-voxel ``sum`` is n_occ*log_odds_occupied +
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -67,7 +67,6 @@ def running_max(x: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.cummax(x, axis=0)
 
 
-_running_max = running_max  # internal alias
 
 
 def dedup_frame(

@@ -19,7 +19,9 @@ The all-ones ``hi`` word is reserved: EMPTY_HI marks empty table slots and
 invalid candidates (it sorts after every valid key).  A valid key cannot
 produce it because hi's low 12 bits come from y's HIGH bits only when x's
 20 bits are also all-ones — excluded by capping the valid x range at
-2^19 - 2 (one voxel at the far corner of a 52 km cube).
+2^19 - 2 (dropping the single outermost x-plane of the 52 km cube — a
+conservative carve-out; a corner-only exclusion would NOT be safe, since
+any x = all-ones key with all-ones high y bits collides with EMPTY_HI).
 """
 
 from __future__ import annotations
@@ -262,8 +264,6 @@ def compute_window_boxes(
     streaming callers keep STICKY bits across chunks — reusing a previous
     chunk's wider program instead of recompiling for every extent change.
     """
-    import numpy as np
-
     positions = np.asarray(positions, np.float64).reshape(-1, 3)
     P = len(positions)
     if P == 0:

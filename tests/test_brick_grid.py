@@ -661,3 +661,37 @@ def test_brick_row_dense_mode_bit_equals_scalar(small_cfg):
     assert bool(ostats["batch_overflow"][0])
     assert bool(ostats["overflowed"][0])
     assert not bool(ostats["unique_overflow"][0])
+
+
+def test_brick_row_mode_lane_budget_below_window_overflows_gracefully(
+    small_cfg,
+):
+    """lane_budget < window in dense_mode='row' used to slice negatively in
+    the row-assembly shifts and crash at trace time; it must degrade to the
+    normal growable overflow contract like the scalar path."""
+    from sonar_3d_reconstruction_tpu.grid.brick import init_brick_grid
+    from sonar_3d_reconstruction_tpu.ops.backproject import build_fan_tables
+    from sonar_3d_reconstruction_tpu.ops.packing import compute_window_boxes
+    from sonar_3d_reconstruction_tpu.pipeline import (
+        batched_sonar_to_world,
+        scan_pings_brick,
+    )
+
+    cfg = small_cfg
+    images, positions, quats = make_sequence(cfg, 3, seed=31)
+    tables = build_fan_tables(cfg, cfg.image_height, cfg.image_width)
+    T = batched_sonar_to_world(positions, quats, cfg)
+    window = 3
+    boxes = compute_window_boxes(
+        T[:, :3, 3], cfg.max_range, cfg.voxel_resolution, window, 2,
+        frame_bits=max(1, (window - 1).bit_length()),
+    )
+    assert boxes is not None
+    st, stats = scan_pings_brick(
+        init_brick_grid(1 << 12, jnp.float64), jnp.asarray(images),
+        jnp.asarray(T, jnp.float64), tables=tables, cfg=cfg,
+        dtype=jnp.float64, window=window, boxes=boxes,
+        dense_mode="row", lane_budget=2,
+    )
+    assert bool(np.asarray(stats["overflowed"]).any())
+    assert bool(np.asarray(st.poisoned))
