@@ -145,6 +145,10 @@ def main():
             msg = run_trial(seed)
         except Exception as e:  # noqa: BLE001 — report and continue
             msg = f"EXCEPTION {type(e).__name__}: {e}"
+        # every trial compiles fresh shapes; without this the in-process
+        # executable pile-up dies with LLVM "Cannot allocate memory" after
+        # ~50 trials (same pathology conftest.py bounds per test module)
+        jax.clear_caches()
         flag = "" if msg.startswith("ok") or msg.startswith("OVERFLOW") \
             else " <<<<"
         print(f"seed {seed}: {msg}{flag}", flush=True)
