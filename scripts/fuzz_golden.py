@@ -20,6 +20,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+# 8 virtual CPU devices so the sharded engines run too (no-op when jax is
+# already initialized, e.g. imported from the pytest conftest which sets
+# the same flag)
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")
@@ -119,6 +128,25 @@ def run_trial(seed: int) -> str:
             brick_state_to_dict(st) if label.startswith("brick")
             else hash_state_to_dict(st)
         )
+
+    # the frame-parallel sharded engine (records sharded over pings +
+    # all_to_all exchange, parallel/shard_frames.py) on the virtual mesh:
+    # the collectives path must hit the same oracle map bit-for-bit
+    if os.environ.get("FUZZ_SHARDED", "1") == "1" and jax.device_count() >= 4:
+        from test_shard_brick import sharded_brick_to_dict  # noqa: E402
+
+        from sonar_3d_reconstruction_tpu.parallel.shard import make_mesh
+        from sonar_3d_reconstruction_tpu.parallel.shard_frames import (
+            map_ping_sequence_sharded_frames,
+        )
+
+        sh, sstats = map_ping_sequence_sharded_frames(
+            images, positions, quats, cfg, mesh=make_mesh(),
+            dtype=jnp.float64, window=2, local_capacity=1 << 12,
+        )
+        if np.asarray(sstats["overflowed"]).any():
+            return "OVERFLOW[frames_w2]"
+        results["frames_w2"] = sharded_brick_to_dict(sh)
 
     for label, got in results.items():
         if set(got) != set(want):

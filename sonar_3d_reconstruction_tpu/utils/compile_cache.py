@@ -61,6 +61,19 @@ def _host_fingerprint() -> str:
             parts.append("machine-id=" + f.read().strip())
     except OSError:
         pass
+    # machine-id/hostname/ncpu STILL collided in the wild: this fleet's VM
+    # images clone the same machine-id and hostname ("vm"), and a later
+    # 1-core host loaded a previous 1-core host's AOT entries (E-logs:
+    # +prefer-no-gather unsupported — LLVM tuning features from CPUID
+    # detection, invisible in cpuinfo).  The boot id is unique per boot, so
+    # the CPU dir becomes per-boot: same-machine suite reruns (the warm
+    # cache win that matters) keep hitting; foreign entries become
+    # unreachable.  TPU entries stay in the shared host-neutral root.
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            parts.append("boot-id=" + f.read().strip())
+    except OSError:
+        pass
     parts.append(f"ncpu={os.cpu_count()}")
     parts.append("host=" + _platform.node())
     raw = f"{_platform.machine()}|" + "|".join(sorted(parts))
@@ -90,6 +103,33 @@ def _configured_platform() -> str:
     return configured.split(",")[0].strip().lower() if configured else ""
 
 
+def _prune_stale_cpu_dirs(root: str, keep: str, max_age_s: float = 86400.0
+                          ) -> None:
+    """Best-effort removal of per-boot cpu-* cache dirs from dead hosts.
+
+    The fingerprint is per-boot, so a dir other than ours whose latest
+    write is older than ``max_age_s`` belongs to a machine that no longer
+    exists (~100 MB each, one per round's host); anything recent is left
+    alone out of caution.  Never touches the shared TPU entries."""
+    import shutil
+    import time
+
+    try:
+        names = os.listdir(root)
+    except OSError:
+        return
+    now = time.time()
+    for name in names:
+        path = os.path.join(root, name)
+        if not name.startswith("cpu-") or path == keep:
+            continue
+        try:
+            if now - os.path.getmtime(path) > max_age_s:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            continue
+
+
 def enable(cache_dir: str | None = None) -> str:
     """Enable the persistent compilation cache (idempotent).
 
@@ -111,7 +151,9 @@ def enable(cache_dir: str | None = None) -> str:
     # foreign entry can segfault on load (module docstring).
     platform = _configured_platform()
     if platform in ("", "cpu"):
-        cache_dir = os.path.join(cache_dir, "cpu-" + _host_fingerprint())
+        root = cache_dir
+        cache_dir = os.path.join(root, "cpu-" + _host_fingerprint())
+        _prune_stale_cpu_dirs(root, keep=cache_dir)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     return cache_dir

@@ -160,6 +160,50 @@ def test_cache_guard_on_backend_fallback(monkeypatch):
     assert jax.config.jax_enable_compilation_cache is before
 
 
+def test_cpu_cache_fingerprint_is_per_boot(monkeypatch, tmp_path):
+    """The per-host CPU cache fingerprint must include the boot id: this
+    fleet's VM images clone machine-id AND hostname, and two 1-core hosts
+    collided on the salted fingerprint, cross-loading XLA:CPU AOT entries
+    with mismatched LLVM tuning features (SIGILL hazard).  A per-boot dir
+    keeps same-machine reruns warm while making foreign entries
+    unreachable; enable() also prunes sibling cpu-* dirs from dead boots."""
+    import time
+
+    from sonar_3d_reconstruction_tpu.utils import compile_cache as cc
+
+    fp = cc._host_fingerprint()
+    with open("/proc/sys/kernel/random/boot_id") as f:
+        real_boot = f.read().strip()
+    # the fingerprint must CHANGE when the boot id does (same everything
+    # else) — emulate by patching the file reads through open()
+    orig_open = open
+
+    def fake_open(path, *a, **kw):
+        if path == "/proc/sys/kernel/random/boot_id":
+            import io
+
+            return io.StringIO(real_boot[::-1])
+        return orig_open(path, *a, **kw)
+
+    monkeypatch.setattr("builtins.open", fake_open)
+    fp2 = cc._host_fingerprint()
+    monkeypatch.undo()
+    assert fp2 != fp
+
+    # pruning: a stale foreign cpu dir is removed, a fresh one is kept
+    root = str(tmp_path)
+    stale = os.path.join(root, "cpu-deadbeef0000")
+    fresh = os.path.join(root, "cpu-cafebabe0000")
+    ours = os.path.join(root, "cpu-" + fp)
+    for d in (stale, fresh, ours):
+        os.makedirs(d)
+    old = time.time() - 2 * 86400
+    os.utime(stale, (old, old))
+    cc._prune_stale_cpu_dirs(root, keep=ours)
+    assert not os.path.exists(stale)
+    assert os.path.exists(fresh) and os.path.exists(ours)
+
+
 def test_committed_plan_matches_default_capture_config():
     """bench_plan.json must contain the key for the driver's default run
     (plain `python bench.py`: brick backend, 256 pings, window 8, scalar
