@@ -609,12 +609,25 @@ def map_ping_sequence(
     cfg = cfg or MapperConfig()
     from sonar_3d_reconstruction_tpu.grid import check_state_backend
 
+    if backend not in ("hash", "brick", "dense"):
+        raise ValueError(f"unknown backend {backend!r}")
     check_state_backend(state, backend)
     images = np.asarray(images)
     P, R, B = images.shape
     if P == 0:
         empty_i = np.zeros((0,), np.int32)
         empty_b = np.zeros((0,), bool)
+        if backend == "dense":
+            # same empty-stats shape scan_pings_dense produces for P == 0,
+            # and a dense state the caller can resume/extract from
+            if state is None:
+                if dense_spec is None:
+                    reach = cfg.max_range + 2.0
+                    dense_spec = DenseGridSpec.for_world_bounds(
+                        (-reach,) * 3, (reach,) * 3, cfg.voxel_resolution
+                    )
+                state = init_dense_grid(dense_spec, dtype)
+            return state, {}
         if state is None and backend == "brick":
             from sonar_3d_reconstruction_tpu.grid.brick import init_brick_grid
 
@@ -687,6 +700,7 @@ def map_ping_sequence(
 
     if backend != "hash":
         raise ValueError(f"unknown backend {backend!r}")
+    window = max(window, 1)  # same sanitation as the brick branch
 
     from sonar_3d_reconstruction_tpu.grid.hash import (
         default_batch_budget,

@@ -28,7 +28,7 @@ from sonar_3d_reconstruction_tpu.grid.hash import (
     init_hash_grid,
     rehash,
 )
-from sonar_3d_reconstruction_tpu.io.bag import BagReader, ImageMsg, OdometryMsg
+from sonar_3d_reconstruction_tpu.io.bag import ImageMsg, OdometryMsg
 from sonar_3d_reconstruction_tpu.io.image import decode_image
 from sonar_3d_reconstruction_tpu.io.pointcloud import serialize_pointcloud2
 from sonar_3d_reconstruction_tpu.io.timesync import ApproximateTimeSync
@@ -53,6 +53,9 @@ class StreamStats:
     decode_errors: int = 0
     dropped_unsynced: int = 0
     chunks: int = 0
+    # growth EVENTS: one per retry on the single-chip backends, but at most
+    # one per chunk on brick-sharded (its wrapper converges internally) —
+    # comparable within a backend, not across backends
     grows: int = 0
     fan_cap_recompiles: int = 0
     window_cap_recompiles: int = 0
@@ -364,6 +367,20 @@ class StreamingMapper:
         n = len(self._chunk_images)
         if n == 0:
             return
+        try:
+            self._flush_chunk_inner(n)
+        except BaseException:
+            # the raising paths (range_fail, pack_overflow, retries
+            # exhausted) poison/abandon THIS chunk; the buffers must still
+            # clear, or the next ingested pair flushes chunk_size+1 frames
+            # and the pad count goes negative — masking the real error
+            for buf in (self._chunk_images, self._chunk_positions,
+                        self._chunk_quats, self._chunk_stamps,
+                        self._chunk_arrivals):
+                buf.clear()
+            raise
+
+    def _flush_chunk_inner(self, n: int) -> None:
         shape = self._chunk_images[0].shape
         stacked = np.stack(self._chunk_images)
         self._resolve_tables(shape, stacked)
@@ -605,6 +622,8 @@ class StreamingMapper:
         self._chunk_arrivals.clear()
 
     def _maybe_publish(self, now: float) -> None:
+        if self.stream_cfg.publish_rate_hz <= 0:
+            return  # rate 0 disables the publish timer (never divide by it)
         period = 1.0 / self.stream_cfg.publish_rate_hz
         if self._next_publish_t is None:
             self._next_publish_t = now
@@ -630,11 +649,15 @@ class StreamingMapper:
         else:
             points, probs = extract_occupied_hash(self.state, self.cfg)
         sec = int(stamp)
+        nanosec = int(round((stamp - sec) * 1e9))
+        if nanosec >= 1_000_000_000:  # rounding carry: nanosec must be < 1e9
+            sec += 1
+            nanosec -= 1_000_000_000
         return serialize_pointcloud2(
             points,
             probs,
             frame_id=self.stream_cfg.map_frame_id,
-            stamp=(sec, int(round((stamp - sec) * 1e9))),
+            stamp=(sec, nanosec),
         )
 
     # -- drivers ----------------------------------------------------------

@@ -367,3 +367,36 @@ def test_state_backend_mismatch_raises(small_cfg):
             img[None], positions, quats, small_cfg, state=hash_state,
             backend="brick",
         )
+
+
+def test_empty_sequence_respects_backend(small_cfg):
+    """P == 0 must return a state matching the requested backend (a dense
+    request used to get a HashGridState) and still reject unknown
+    backends."""
+    import pytest
+
+    from sonar_3d_reconstruction_tpu.grid.dense import DenseGridState
+
+    empty = np.zeros((0, small_cfg.image_height, small_cfg.image_width),
+                     np.uint8)
+    pos = np.zeros((0, 3))
+    qs = np.zeros((0, 4))
+    st, stats = map_ping_sequence(empty, pos, qs, small_cfg,
+                                  backend="dense")
+    assert isinstance(st, DenseGridState)
+    assert stats == {}
+    with pytest.raises(ValueError, match="unknown backend"):
+        map_ping_sequence(empty, pos, qs, small_cfg, backend="octreee")
+
+
+def test_hash_window_zero_sanitized(small_cfg):
+    """window=0 used to hit range(0, P, 0); it must behave as window=1
+    (same sanitation as the brick branch)."""
+    img = synthetic_ping(small_cfg.image_height, small_cfg.image_width,
+                         seed=5)
+    positions, quats = circular_trajectory(2)
+    a, _ = map_ping_sequence(np.stack([img, img]), positions, quats,
+                             small_cfg, window=0, dtype=jnp.float64)
+    b, _ = map_ping_sequence(np.stack([img, img]), positions, quats,
+                             small_cfg, window=1, dtype=jnp.float64)
+    assert hash_state_to_dict(a) == hash_state_to_dict(b)

@@ -361,3 +361,57 @@ def test_stream_free_cap_and_box_bits(tmp_path, small_cfg):
     assert a.keys() == b.keys()
     for k in a:
         assert a[k] == b[k], k
+
+
+def _pair(sm, cfg, img, pos, t):
+    from sonar_3d_reconstruction_tpu.io.bag import ImageMsg, OdometryMsg
+
+    h, w = img.shape
+    sm.on_ping(ImageMsg(t, "sonar_link", h, w, "mono8", False, w,
+                        img.tobytes()))
+    sm.on_pose(OdometryMsg(t, "camera_init", "body", pos,
+                           [0.0, 0.0, 0.0, 1.0]))
+
+
+def test_stream_recovers_after_failed_chunk(small_cfg):
+    """A chunk whose flush raises (range_fail: pose outside the packable
+    key range) must clear its buffers so the NEXT pair flushes a normal
+    chunk instead of crashing on a negative pad."""
+    import pytest
+
+    cfg = small_cfg
+    img = synthetic_ping(cfg.image_height, cfg.image_width, seed=11)
+    sm = StreamingMapper(
+        cfg, chunk_size=1, window=1, initial_capacity=1 << 12,
+        dtype=jnp.float64,
+    )
+    _pair(sm, cfg, img, [0.0, 0.0, 0.0], 1000.0)
+    with pytest.raises(ValueError, match="packable"):
+        _pair(sm, cfg, img, [1.0e7, 0.0, 0.0], 1001.0)
+    # recovered: the failed chunk's frames are dropped, later pairs map
+    _pair(sm, cfg, img, [0.1, 0.0, 0.0], 1002.0)
+    stats = sm.finish()
+    assert stats.frames_mapped == 2
+    assert int(np.asarray(sm.state.used)) > 0
+
+
+def test_stream_publish_rate_zero_disables_timer(small_cfg):
+    cfg = small_cfg
+    img = synthetic_ping(cfg.image_height, cfg.image_width, seed=12)
+    published = []
+    sm = StreamingMapper(
+        cfg, StreamConfig(publish_rate_hz=0.0), chunk_size=1,
+        initial_capacity=1 << 12, publish=published.append,
+    )
+    _pair(sm, cfg, img, [0.0, 0.0, 0.0], 1000.0)
+    sm.finish()
+    assert published == []
+
+
+def test_pointcloud_msg_nanosec_carry(small_cfg):
+    """Rounding 0.9999999996s of fraction must carry into sec, never emit
+    nanosec == 1e9 (invalid ROS builtin_interfaces/Time)."""
+    cfg = small_cfg
+    sm = StreamingMapper(cfg, chunk_size=1, initial_capacity=1 << 10)
+    msg = sm.pointcloud_msg(stamp=123.9999999996)
+    assert msg["header"]["stamp"] == {"sec": 124, "nanosec": 0}
