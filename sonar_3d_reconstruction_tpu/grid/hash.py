@@ -84,7 +84,7 @@ DEFAULT_UNIQUE_BUDGET = 1 << 17
 class HashGridState(NamedTuple):
     """Map state pytree. Capacity C is static per jitted program."""
 
-    key_rows: jnp.ndarray   # (C/8, 16) uint32: [hi x8 | lo x8] per bucket
+    key_rows: jnp.ndarray   # (C/128, 256) uint32: [hi x128 | lo x128]/bucket
     log_odds: jnp.ndarray   # (C,) dtype
     min_bounds: jnp.ndarray  # (3,)
     max_bounds: jnp.ndarray  # (3,)
@@ -143,7 +143,7 @@ def bucket_lookup(
     u_hi: jnp.ndarray,
     u_lo: jnp.ndarray,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Resolve keys against the table in ONE 16-wide row gather.
+    """Resolve keys against the table in ONE 256-wide bucket-row gather.
 
     Returns (bucket (U,), found (U,), found_slot (U,), fill (U,)) where
     ``fill`` is the bucket's current entry count (= its first empty

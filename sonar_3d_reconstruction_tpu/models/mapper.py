@@ -209,7 +209,7 @@ class SonarMapper:
         return self._tables
 
     def _grow(self) -> None:
-        new_cap = self.state.key_hi.shape[0] * 2
+        new_cap = self.state.capacity * 2
         self.state = rehash(self.state, new_capacity=new_cap)
 
     def _process_brick(self, image_dev, T_dev, tables):
@@ -217,7 +217,7 @@ class SonarMapper:
         attribution mirrors pipeline._map_ping_sequence_brick)."""
         from sonar_3d_reconstruction_tpu.grid.brick import rehash_bricks
         from sonar_3d_reconstruction_tpu.grid.hash import (
-            default_unique_budget,
+            effective_unique_budget,
         )
 
         while True:
@@ -225,9 +225,7 @@ class SonarMapper:
                 self.state, image_dev, T_dev, tables=tables, cfg=self.cfg,
                 dtype=self.dtype,
                 unique_budget=self._unique_budget
-                or default_unique_budget(
-                    tables.candidates_per_ping(self.cfg.occupied_window)
-                ),
+                or effective_unique_budget(tables, self.cfg),
                 brick_bits=self.state.brick_bits,
                 brick_budget=self._brick_budget,
             )
@@ -247,9 +245,7 @@ class SonarMapper:
             if bool(stats["unique_overflow"]):
                 self._unique_budget = 2 * (
                     self._unique_budget
-                    or default_unique_budget(
-                        tables.candidates_per_ping(self.cfg.occupied_window)
-                    )
+                    or effective_unique_budget(tables, self.cfg)
                 )
                 self.state = self.state._replace(poisoned=jnp.zeros((), bool))
             elif bool(stats["batch_overflow"]):
@@ -264,11 +260,7 @@ class SonarMapper:
                     or default_brick_budget(
                         1,
                         self._unique_budget
-                        or default_unique_budget(
-                            tables.candidates_per_ping(
-                                self.cfg.occupied_window
-                            )
-                        ),
+                        or effective_unique_budget(tables, self.cfg),
                     )
                 )
                 self.state = self.state._replace(poisoned=jnp.zeros((), bool))
@@ -325,6 +317,12 @@ class SonarMapper:
             stats = {
                 k: int(np.asarray(v)[-1]) for k, v in seq_stats.items()
             }
+            if self.track_update_counts:
+                self._record_sequence_update_counts(
+                    polar_image[None],
+                    np.asarray(robot_position, np.float64)[None],
+                    np.asarray(robot_orientation, np.float64)[None],
+                )
             return self._finish_ping(stats, t0)
 
         tables = self._tables_for(polar_image.shape)
@@ -353,7 +351,9 @@ class SonarMapper:
         else:
             # proactive growth, then replay-on-overflow as a backstop
             while True:
-                cap = self.state.key_hi.shape[0]
+                # .capacity is pure shape math; key_hi would dispatch a
+                # device slice+reshape copy of half the key table per ping
+                cap = self.state.capacity
                 if int(self.state.used) > _MAX_LOAD * cap:
                     self._grow()
                     continue
@@ -378,16 +378,12 @@ class SonarMapper:
                         # unset, the step used the snug per-geometry default,
                         # often far below DEFAULT_UNIQUE_BUDGET
                         from sonar_3d_reconstruction_tpu.grid.hash import (
-                            default_unique_budget,
+                            effective_unique_budget,
                         )
 
                         self._unique_budget = 2 * (
                             self._unique_budget
-                            or default_unique_budget(
-                                tables.candidates_per_ping(
-                                    self.cfg.occupied_window
-                                )
-                            )
+                            or effective_unique_budget(tables, self.cfg)
                         )
                         self.state = self.state._replace(
                             poisoned=jnp.zeros((), bool)
@@ -398,7 +394,10 @@ class SonarMapper:
                 self.state = new_state
                 break
 
-        if self.track_update_counts and self.backend == "hash":
+        # the emission-count recompute is map-state-independent, so it
+        # serves hash, brick AND dense identically (the brick-sharded path
+        # records via its early return above)
+        if self.track_update_counts:
             self._record_update_counts(image_dev, T_dev, tables)
         return self._finish_ping(stats, t0)
 
@@ -477,6 +476,14 @@ class SonarMapper:
         )
         if eff.get("box_bits") is not None:
             self._box_bits = eff["box_bits"]
+        # persist the budgets the sequence settled on (growth may have
+        # raised them): without this every subsequent batch would replay
+        # the same overflow -> grow -> multi-minute recompile cycle the
+        # per-ping paths avoid with their sticky budgets
+        if eff.get("unique_budget"):
+            self._unique_budget = int(eff["unique_budget"])
+        if self.backend == "brick" and eff.get("brick_budget"):
+            self._brick_budget = int(eff["brick_budget"])
         if self.track_update_counts:
             self._record_sequence_update_counts(images, positions,
                                                 quaternions)
@@ -512,7 +519,9 @@ class SonarMapper:
         voxel — per frame and accumulated over the run.  Recomputes the
         frame's unique records — roughly doubles per-ping cost, so it is
         opt-in like the reference's debug prints."""
-        from sonar_3d_reconstruction_tpu.grid.hash import default_unique_budget
+        from sonar_3d_reconstruction_tpu.grid.hash import (
+            effective_unique_budget,
+        )
         from sonar_3d_reconstruction_tpu.ops.packing import unpack_keys
         from sonar_3d_reconstruction_tpu.ops.records import frame_records
 
@@ -522,8 +531,8 @@ class SonarMapper:
                 frame_records,
                 static_argnames=("tables", "cfg", "unique_budget", "dtype"),
             )
-        budget = self._unique_budget or default_unique_budget(
-            tables.candidates_per_ping(self.cfg.occupied_window)
+        budget = self._unique_budget or effective_unique_budget(
+            tables, self.cfg
         )
         while True:  # a too-small budget would silently truncate the counts
             rec, _ = _frame_records_jit(
@@ -776,7 +785,7 @@ class SonarMapper:
                 int(self.state.brick_bits),
             )
         else:
-            self.state = init_hash_grid(self.state.key_hi.shape[0], self.dtype)
+            self.state = init_hash_grid(self.state.capacity, self.dtype)
         self.frame_count = 0
         self.processed_frame_count = 0
         self.total_processing_time = 0.0

@@ -6,7 +6,7 @@ import jax.numpy as jnp
 from sonar_3d_reconstruction_tpu.golden import GoldenMapper
 from sonar_3d_reconstruction_tpu.models import SonarMapper
 
-from conftest import synthetic_ping
+from conftest import circular_trajectory, synthetic_ping
 
 
 def test_selftest_scenario_matches_golden(small_cfg):
@@ -256,3 +256,35 @@ def test_point_query_boundary_quantization_f32_map(small_cfg):
     inside = [[2 * res + eps, eps, eps]]  # voxel 2 under f32 flooring
     assert float(query_log_odds(st, below, cfg)[0]) == 0.0
     assert float(query_log_odds(st, inside, cfg)[0]) == 1.5
+
+
+def test_update_count_tracking_brick_backend(small_cfg):
+    """track_update_counts was silently ignored by process_sonar_image on
+    the non-hash backends; the emission-count recompute is map-state-
+    independent and must serve brick identically."""
+    cfg = small_cfg
+    m = SonarMapper(cfg, backend="brick", initial_capacity=1 << 13,
+                    dtype=jnp.float64, track_update_counts=True)
+    g = GoldenMapper(cfg)
+    img = synthetic_ping(cfg.image_height, cfg.image_width, seed=34)
+    m.process_sonar_image(img, [0, 0, 0], [0, 0, 0, 1])
+    g.process_ping(img, [0, 0, 0], [0, 0, 0, 1])
+    assert m.frame_update_counts == g.last_frame_counts
+    assert m.voxel_update_counts == g.last_frame_counts
+
+
+def test_map_sequence_persists_grown_budgets(small_cfg):
+    """A batch whose frames overflow the unique budget grows it INSIDE
+    map_ping_sequence; the mapper must persist the grown value or every
+    later batch replays the same overflow/recompile cycle."""
+    cfg = small_cfg
+    m = SonarMapper(cfg, backend="brick", dtype=jnp.float64)
+    m._unique_budget = 64  # deliberately too small for a real ping
+    images = np.stack([
+        synthetic_ping(cfg.image_height, cfg.image_width, seed=35 + i)
+        for i in range(2)
+    ])
+    positions, quats = circular_trajectory(2)
+    stats = m.map_sequence(images, positions, quats)
+    assert not np.asarray(stats["overflowed"]).any()
+    assert m._unique_budget > 64
