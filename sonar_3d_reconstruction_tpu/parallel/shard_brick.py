@@ -448,11 +448,16 @@ def map_ping_sequence_sharded_brick(
             insert_budget = 2 * insert_budget
 
     def grow_batch():
-        nonlocal brick_budget
+        nonlocal brick_budget, lane_budget
         ub = unique_budget or default_unique_budget(
             tables.candidates_per_ping(cfg.occupied_window)
         )
         brick_budget = 2 * (brick_budget or default_brick_budget(window, ub))
+        if lane_budget is not None:
+            # lanes_overflow reports through the same merged channel; a
+            # snug lane budget would never recover from doubling bricks —
+            # drop to the derived full-width default (sufficient)
+            lane_budget = None
 
     out = run_grow_replay(
         st=st, images_dev=images_dev, T_dev=T_dev, n_frames=P_,
@@ -484,51 +489,62 @@ def rehash_sharded_bricks(
     of the brick code, so entries never migrate between shards) and clear
     ``poisoned`` for replay; doubles again until every bucket fits."""
     while True:
-        def grow_block(blk):
-            local = _local_brick(blk)
-            hi, lo = local.key_hi, local.key_lo
-            occupied = hi != EMPTY_HI
-            fresh = empty_key_rows(new_local_capacity)
-            bucket, found, _, fill = bucket_lookup(fresh, hi, lo)
-            nrows, slots, overflowed, _ = insert_unique(
-                fresh, hi, lo, occupied & ~found, bucket, fill
-            )
-            slots = jnp.minimum(slots, new_local_capacity)
-            nlod = jnp.zeros(
-                (new_local_capacity, local.brick_volume),
-                local.log_odds.dtype,
-            ).at[slots].set(local.log_odds, mode="drop")
-            ntouched = jnp.zeros(
-                (new_local_capacity, local.touched.shape[1]), jnp.uint32
-            ).at[slots].set(local.touched, mode="drop")
-            any_ovf = jax.lax.psum(
-                overflowed.astype(jnp.int32), axis_name
-            ) > 0
-            return (
-                _wrap_blk(BrickGridState(
-                    key_rows=nrows,
-                    log_odds=nlod,
-                    touched=ntouched,
-                    min_bounds=local.min_bounds,
-                    max_bounds=local.max_bounds,
-                    used=local.used,
-                    poisoned=jnp.zeros((), bool),
-                )),
-                any_ovf,
-            )
-
-        grown, overflowed = jax.jit(
-            shard_map(
-                grow_block,
-                mesh=mesh,
-                in_specs=(_state_specs(axis_name),),
-                out_specs=(_state_specs(axis_name), P()),
-                check_vma=False,
-            )
-        )(st)
+        grown, overflowed = _grow_prog(mesh, axis_name, new_local_capacity)(
+            st
+        )
         if not bool(overflowed):
             return grown
         new_local_capacity *= 2
+
+
+@functools.lru_cache(maxsize=32)
+def _grow_prog(mesh: Mesh, axis_name: str, new_local_capacity: int):
+    """Cached jitted grow program (same convention as the window builders
+    above): rebuilding jit(shard_map(...)) per growth event would retrace
+    — and on the remote TPU toolchain recompile — every time."""
+
+    def grow_block(blk):
+        local = _local_brick(blk)
+        hi, lo = local.key_hi, local.key_lo
+        occupied = hi != EMPTY_HI
+        fresh = empty_key_rows(new_local_capacity)
+        bucket, found, _, fill = bucket_lookup(fresh, hi, lo)
+        nrows, slots, overflowed, _ = insert_unique(
+            fresh, hi, lo, occupied & ~found, bucket, fill
+        )
+        slots = jnp.minimum(slots, new_local_capacity)
+        nlod = jnp.zeros(
+            (new_local_capacity, local.brick_volume),
+            local.log_odds.dtype,
+        ).at[slots].set(local.log_odds, mode="drop")
+        ntouched = jnp.zeros(
+            (new_local_capacity, local.touched.shape[1]), jnp.uint32
+        ).at[slots].set(local.touched, mode="drop")
+        any_ovf = jax.lax.psum(
+            overflowed.astype(jnp.int32), axis_name
+        ) > 0
+        return (
+            _wrap_blk(BrickGridState(
+                key_rows=nrows,
+                log_odds=nlod,
+                touched=ntouched,
+                min_bounds=local.min_bounds,
+                max_bounds=local.max_bounds,
+                used=local.used,
+                poisoned=jnp.zeros((), bool),
+            )),
+            any_ovf,
+        )
+
+    return jax.jit(
+        shard_map(
+            grow_block,
+            mesh=mesh,
+            in_specs=(_state_specs(axis_name),),
+            out_specs=(_state_specs(axis_name), P()),
+            check_vma=False,
+        )
+    )
 
 
 def local_brick_states(state: ShardedBrickState) -> "list[BrickGridState]":
@@ -556,7 +572,7 @@ def default_local_capacity(initial_capacity: int, n_shards: int) -> int:
     (the SonarMapper/StreamingMapper ``initial_capacity`` contract):
     bricks ~ capacity >> 4, split across shards, floored at 128 and
     rounded up to the power of two init_sharded_brick_grid requires."""
-    local = max(128, max(128, initial_capacity >> 4) // n_shards)
+    local = max(128, (initial_capacity >> 4) // n_shards)
     return 1 << (local - 1).bit_length()
 
 

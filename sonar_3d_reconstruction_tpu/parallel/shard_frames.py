@@ -529,8 +529,19 @@ def map_ping_sequence_sharded_frames(
     if use_boxes:
         gbits = max(1, (max(S - 1, 1)).bit_length())
         f_bits = max(1, (window - 1).bit_length())
+        # size the boxes over the ACTIVE poses only: frames past `stop`
+        # are masked in-scan but their poses would still widen the static
+        # box bits (a zero-pose pad far from the survey can blow the u32
+        # budget and silently force the wide fallback) — repeat the last
+        # active pose over the pad instead, like stream.py's chunk pad
+        pos3 = T[:, :3, 3]
+        if stop is not None and 0 < stop < P_:
+            pos3 = np.concatenate(
+                [pos3[:stop], np.repeat(pos3[stop - 1 : stop],
+                                        P_ - stop, axis=0)]
+            )
         boxes = compute_window_boxes(
-            T[:, :3, 3], cfg.max_range, cfg.voxel_resolution, window,
+            pos3, cfg.max_range, cfg.voxel_resolution, window,
             brick_bits, frame_bits=max(f_bits, 1 + gbits),
             min_bits=box_min_bits,
         )
@@ -555,8 +566,14 @@ def map_ping_sequence_sharded_frames(
     def grow_unique():
         nonlocal unique_budget, xchg_budget, brick_budget
         unique_budget = 2 * _default_ub()
-        xchg_budget = None  # re-derive from the grown unique budget
-        brick_budget = None
+        if xchg_budget is not None:
+            # keep any exchange growth already proven necessary (it was
+            # driven by ownership skew, which growing U does not address),
+            # but let the re-derived default win if it is larger
+            xchg_budget = max(
+                xchg_budget, default_xchg_budget(unique_budget, S)
+            )
+        brick_budget = None  # monotone: its default scales with the new U
 
     def grow_xchg():
         nonlocal xchg_budget
@@ -570,7 +587,7 @@ def map_ping_sequence_sharded_frames(
             insert_budget = 2 * insert_budget
 
     def grow_batch():
-        nonlocal brick_budget, vox_budget
+        nonlocal brick_budget, vox_budget, lane_budget
         ux = xchg_budget or default_xchg_budget(_default_ub(), S)
         brick_budget = 2 * (
             brick_budget or default_brick_budget(window, ux * S) // S
@@ -579,6 +596,11 @@ def map_ping_sequence_sharded_frames(
             # row-mode distinct-voxel budget reports through the same
             # batch_overflow channel (apply_brick_records_compact)
             vox_budget *= 2
+        if lane_budget is not None:
+            # lanes_overflow is folded into the same channel too; a snug
+            # lane budget would otherwise never recover — drop to the
+            # derived full-width default (guaranteed sufficient)
+            lane_budget = None
 
     out = run_grow_replay(
         st=st, images_dev=images_dev, T_dev=T_dev, n_frames=P_,
@@ -599,7 +621,7 @@ def map_ping_sequence_sharded_frames(
         effective.update(
             unique_budget=unique_budget, xchg_budget=xchg_budget,
             brick_budget=brick_budget, lane_budget=lane_budget,
-            insert_budget=insert_budget,
+            insert_budget=insert_budget, vox_budget=vox_budget,
             # named like the input param so stateful callers can splat
             # the dict straight back (sticky grow-only bits)
             box_min_bits=None if boxes is None else boxes[1],
