@@ -824,6 +824,24 @@ def extract_classified_hash(
     return out
 
 
+def touched_voxels_hash(
+    state: HashGridState,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Every touched voxel as (keys (N, 3) int32, log_odds (N,)) — the
+    layout-independent dump io/checkpoint.py snapshots (hash twin of
+    grid/brick.touched_voxels_brick).  Device-side compaction: pulling
+    ``state.keys`` to host and masking there is O(capacity) through the
+    slow device->host path; this transfers O(touched)."""
+    touched = state.key_hi != EMPTY_HI
+    s_hi, s_lo, s_val, counts = _compact_by_class(
+        state.key_rows, state.log_odds,
+        jnp.where(touched, 0, 1).astype(jnp.int32),
+    )
+    n = int(counts[0])
+    hi, lo, val = _pull_prefix((s_hi, s_lo, s_val), n)
+    return _unpack_np(hi, lo).reshape(-1, 3), val
+
+
 # ---------------------------------------------------------------------------
 # Point queries (reference SimpleOctree.get_log_odds / get_probability,
 # 3d_mapper.py:117-126, and the world_to_key / key_to_world pair :53-81) —

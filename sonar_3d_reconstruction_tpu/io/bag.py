@@ -340,8 +340,11 @@ class BagWriter:
         self._counts: Dict[str, int] = {}
         self._t_min: Optional[int] = None
         self._t_max = 0
+        self._closed = False
 
     def add_topic(self, name: str, typ: str) -> int:
+        if name in self._topic_ids:  # idempotent (see McapWriter.add_topic)
+            return self._topic_ids[name]
         tid = len(self._topic_ids) + 1
         self.conn.execute(
             "INSERT INTO topics VALUES (?, ?, ?, 'cdr', ?)",
@@ -368,6 +371,9 @@ class BagWriter:
         self._t_max = max(self._t_max, t_ns)
 
     def close(self) -> None:
+        if self._closed:  # idempotent: with-block + explicit close
+            return
+        self._closed = True
         # rosbag2_bagfile_information blob (metadata_version 5) — `ros2 bag
         # info` reads this; keys/structure per rosbag2_storage's YAML
         t0 = self._t_min or 0
@@ -441,6 +447,18 @@ def load_bag_sequence(
         # the pairing backends require sorted streams
         img_blobs = [b for _, b in sorted(img_t, key=lambda x: x[0])]
         odo_blobs = [b for _, b in sorted(odo_t, key=lambda x: x[0])]
+        if not img_blobs or not odo_blobs:
+            # same precise diagnosability as the sqlite branch: name the
+            # missing topic/type and what the file actually holds
+            available = r.topic_names()
+            for want, typ_want in (
+                (sonar_topic, IMAGE_TYPE), (odometry_topic, ODOMETRY_TYPE),
+            ):
+                if available.get(want) != typ_want:
+                    raise ValueError(
+                        f"topic {want!r} ({typ_want}) not in {path}; "
+                        f"available: {available}"
+                    )
     else:
         conn = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
         topic_ids = {

@@ -22,7 +22,6 @@ from sonar_3d_reconstruction_tpu.grid.hash import (
     bucket_lookup,
     init_hash_grid,
     insert_unique,
-    occupied_key_mask,
 )
 from sonar_3d_reconstruction_tpu.ops.packing import pack_keys
 
@@ -42,11 +41,8 @@ def save_map(path: str, state, cfg: MapperConfig) -> None:
         BrickGridState,
         touched_voxels_brick,
     )
-    from sonar_3d_reconstruction_tpu.grid.hash import EMPTY
-    from sonar_3d_reconstruction_tpu.parallel.shard import (
-        ShardedHashState,
-        gather_sharded_state,
-    )
+    from sonar_3d_reconstruction_tpu.grid.hash import touched_voxels_hash
+    from sonar_3d_reconstruction_tpu.parallel.shard import ShardedHashState
     from sonar_3d_reconstruction_tpu.parallel.shard_brick import (
         ShardedBrickState,
         gather_sharded_brick_state,
@@ -60,14 +56,22 @@ def save_map(path: str, state, cfg: MapperConfig) -> None:
         keys, lo = gather_sharded_brick_state(state)
         min_bounds, max_bounds = min_bounds[0], max_bounds[0]  # replicated
     elif isinstance(state, ShardedHashState):
-        keys, lo = gather_sharded_state(state)
-        mask = keys[:, 0] != EMPTY
-        keys, lo = keys[mask], lo[mask]
+        # per-shard device compaction (shards hold disjoint voxels), so
+        # only O(touched) crosses to the host instead of all S*C slots
+        parts = [
+            touched_voxels_hash(HashGridState(
+                key_rows=state.key_rows[s], log_odds=state.log_odds[s],
+                min_bounds=state.min_bounds[s],
+                max_bounds=state.max_bounds[s],
+                used=state.used[s], poisoned=state.poisoned[s],
+            ))
+            for s in range(state.key_rows.shape[0])
+        ]
+        keys = np.concatenate([p[0] for p in parts])
+        lo = np.concatenate([p[1] for p in parts])
         min_bounds, max_bounds = min_bounds[0], max_bounds[0]
     else:
-        mask = occupied_key_mask(state)
-        keys = np.asarray(state.keys)[mask]
-        lo = np.asarray(state.log_odds)[mask]
+        keys, lo = touched_voxels_hash(state)
     np.savez_compressed(
         path,
         format=np.asarray(_FORMAT),
@@ -80,10 +84,12 @@ def save_map(path: str, state, cfg: MapperConfig) -> None:
 
 
 def load_map(
-    path: str, capacity: Optional[int] = None, dtype=jnp.float32
+    path: str, capacity: Optional[int] = None, dtype=None
 ) -> Tuple[HashGridState, MapperConfig]:
     """Restore a snapshot into a fresh hash grid (capacity auto-sized to
-    keep load <= 0.25 unless given)."""
+    keep load <= 0.25 unless given).  ``dtype`` defaults to the SNAPSHOT's
+    value dtype, so a float64 map round-trips at float64 (the f64-parity
+    invariant) instead of silently downcasting."""
     with np.load(path, allow_pickle=False) as z:
         assert str(z["format"]) == _FORMAT, f"unknown snapshot format in {path}"
         keys = z["keys"]
@@ -91,6 +97,8 @@ def load_map(
         min_bounds = z["min_bounds"]
         max_bounds = z["max_bounds"]
         cfg = config_from_dict(json.loads(str(z["config"])))
+    if dtype is None:
+        dtype = lo.dtype  # numpy dtype is a valid jax dtype argument
 
     n = len(keys)
     if capacity is None:
@@ -127,11 +135,12 @@ def load_map(
 def load_map_brick(
     path: str,
     capacity: Optional[int] = None,
-    dtype=jnp.float32,
+    dtype=None,
     brick_bits: Optional[int] = None,
 ):
     """Restore a snapshot into a fresh BRICK grid (grid/brick.py) — the
     snapshot format is backend-independent, so hash-saved maps load too.
+    ``dtype`` defaults to the snapshot's value dtype (see ``load_map``).
     Returns (BrickGridState, MapperConfig)."""
     from sonar_3d_reconstruction_tpu.grid.brick import (
         DEFAULT_BRICK_BITS,
@@ -145,6 +154,8 @@ def load_map_brick(
         min_bounds = z["min_bounds"]
         max_bounds = z["max_bounds"]
         cfg = config_from_dict(json.loads(str(z["config"])))
+    if dtype is None:
+        dtype = lo.dtype
     state = load_voxels_brick(
         keys, lo, capacity=capacity, dtype=dtype,
         brick_bits=brick_bits or DEFAULT_BRICK_BITS,

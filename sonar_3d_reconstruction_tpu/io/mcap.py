@@ -104,6 +104,13 @@ def _decode_chunk(payload: memoryview) -> memoryview:
     (rec_len,) = struct.unpack_from("<Q", payload, pos)
     pos += 8
     records = payload[pos : pos + rec_len]
+    if len(records) != rec_len:
+        # memoryview slicing clamps silently; presenting a truncated chunk
+        # as complete is exactly what _records' guard exists to prevent
+        raise ValueError(
+            f"corrupt mcap chunk: records field claims {rec_len} bytes, "
+            f"chunk payload holds {len(records)}"
+        )
     if compression == "":
         _check_crc(records)
         return records
@@ -212,9 +219,18 @@ class McapReader:
     def messages(
         self, topic_names: Optional[List[str]] = None
     ) -> Iterator[Tuple[str, float, object]]:
-        """Yield (topic, log_time_sec, decoded_msg) in file order, decoding
-        Image/Odometry only."""
-        for topic, typ, ts, blob in self.raw_messages(topic_names):
+        """Yield (topic, log_time_sec, decoded_msg) in LOG-TIME order,
+        decoding Image/Odometry only.
+
+        File order is NOT enough: chunked recordings may group messages
+        per channel / out of log-time order, and the streaming
+        synchronizer downstream (queue depth 10) silently evicts on
+        disordered arrival — the same hazard io/bag.load_bag_sequence
+        documents and sorts around.  The whole file is already resident
+        (``__init__`` reads it), so the sort adds index cost only; use
+        ``raw_messages`` for file order."""
+        entries = sorted(self.raw_messages(topic_names), key=lambda e: e[2])
+        for topic, typ, ts, blob in entries:
             if typ == IMAGE_TYPE:
                 yield topic, ts, decode_image_msg(blob)
             elif typ == ODOMETRY_TYPE:
@@ -277,6 +293,7 @@ class McapWriter:
         self._msg_counts: Dict[int, int] = {}  # channel -> count
         self._msg_t0: Optional[int] = None
         self._msg_t1 = 0
+        self._closed = False
 
     @staticmethod
     def _str(s: str) -> bytes:
@@ -361,6 +378,11 @@ class McapWriter:
         self._chunk_msg_offsets = {}
 
     def add_topic(self, name: str, typ: str) -> int:
+        if name in self._channel_ids:
+            # idempotent: re-adding must NOT mint a new id — len()+1
+            # arithmetic would otherwise hand the NEXT topic a live
+            # channel id, silently attributing its messages elsewhere
+            return self._channel_ids[name]
         if typ not in self._schema_ids:
             sid = len(self._schema_ids) + 1
             self._schema_ids[typ] = sid
@@ -399,6 +421,9 @@ class McapWriter:
         )
 
     def close(self) -> None:
+        if self._closed:  # idempotent: with-block + explicit close
+            return
+        self._closed = True
         self._flush_chunk()
         self._write(OP_DATA_END, struct.pack("<I", 0))
 

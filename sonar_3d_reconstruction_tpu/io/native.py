@@ -216,11 +216,20 @@ def compress(name: str, data: bytes) -> bytes:
 
 
 def pack_xyzi(points: np.ndarray, intensities: np.ndarray) -> bytes:
-    """Native PointCloud2 XYZI float32 packing (reference node:437-442)."""
+    """Native PointCloud2 XYZI float32 packing (reference node:437-442).
+
+    Available as a GIL-free alternative; the production publish path
+    (io/pointcloud.serialize_pointcloud2) uses an equally-vectorized
+    numpy pack, so this binding is exercised by tests/benchmarks rather
+    than wired in by default."""
     lib = _load()
     assert lib is not None, "native library not built (io.native.build())"
     points = np.ascontiguousarray(points, np.float64).reshape(-1, 3)
     intensities = np.ascontiguousarray(intensities, np.float64)
+    if len(intensities) != len(points):
+        raise ValueError(
+            f"{len(points)} points but {len(intensities)} intensities"
+        )
     out = np.empty((len(points), 4), np.float32)
     lib.pack_xyzi(points.reshape(-1), intensities, len(points), out.reshape(-1))
     return out.tobytes()

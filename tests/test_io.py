@@ -792,3 +792,46 @@ def test_pair_streams_unsorted_inputs():
     b_sorted = pair_streams(ping_t[ps], pose_t[qs], slop=0.3)
     b = sorted((int(ps[i]), int(qs[j])) for i, j in b_sorted)
     assert sorted(a) == b
+
+
+def test_mcap_messages_time_ordered(tmp_path):
+    """McapReader.messages must yield log-time order even when the file's
+    record order is interleaved per channel (chunked rosbag2 recordings
+    group messages out of log-time order; the streaming synchronizer's
+    10-deep queues silently evict on disordered arrival)."""
+    from sonar_3d_reconstruction_tpu.io.bag import (
+        IMAGE_TYPE, ODOMETRY_TYPE, ImageMsg, OdometryMsg,
+    )
+    from sonar_3d_reconstruction_tpu.io.mcap import McapReader, McapWriter
+
+    path = str(tmp_path / "ooo.mcap")
+    img = np.zeros((4, 4), np.uint8)
+    with McapWriter(path) as w:
+        w.add_topic("/img", IMAGE_TYPE)
+        w.add_topic("/odo", ODOMETRY_TYPE)
+        # all images first, then all odometry: file order != log-time order
+        for t in (3.0, 1.0, 2.0):
+            w.write("/img", t, ImageMsg(t, "f", 4, 4, "mono8", False, 4,
+                                        img.tobytes()))
+        for t in (2.5, 0.5):
+            w.write("/odo", t, OdometryMsg(t, "map", "base", [0, 0, 0],
+                                           [0, 0, 0, 1]))
+    with McapReader(path) as r:
+        stamps = [ts for _, ts, _ in r.messages(["/img", "/odo"])]
+    assert stamps == sorted(stamps) == [0.5, 1.0, 2.0, 2.5, 3.0]
+
+
+def test_writers_close_idempotent(tmp_path):
+    from sonar_3d_reconstruction_tpu.io.bag import BagWriter, IMAGE_TYPE
+    from sonar_3d_reconstruction_tpu.io.mcap import McapWriter
+
+    p1 = str(tmp_path / "a.db3")
+    with BagWriter(p1) as w:
+        tid = w.add_topic("/a", IMAGE_TYPE)
+        assert w.add_topic("/a", IMAGE_TYPE) == tid  # idempotent re-add
+        w.close()  # explicit close inside the with-block must not crash
+    p2 = str(tmp_path / "a.mcap")
+    with McapWriter(p2) as w:
+        cid = w.add_topic("/a", IMAGE_TYPE)
+        assert w.add_topic("/a", IMAGE_TYPE) == cid
+        w.close()

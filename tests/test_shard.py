@@ -401,3 +401,45 @@ def test_sharded_cold_warm_insert_schedule(small_cfg):
     assert d.keys() == a.keys()
     for k in a:
         assert a[k] == d[k]
+
+
+def test_sharded_hash_checkpoint_roundtrip(tmp_path, small_cfg):
+    """save_map on a ShardedHashState (per-shard device compaction,
+    O(touched) host transfer) must produce the identical snapshot content
+    as saving the equivalent single-chip map."""
+    from sonar_3d_reconstruction_tpu.io.checkpoint import load_map, save_map
+
+    cfg = small_cfg
+    n = 3
+    images = np.stack(
+        [synthetic_ping(cfg.image_height, cfg.image_width, seed=75 + i)
+         for i in range(n)]
+    )
+    positions, quats = circular_trajectory(n, radius=0.8)
+    T = batched_sonar_to_world(positions, quats, cfg)
+
+    mesh = make_mesh()
+    tables = build_fan_tables(cfg, cfg.image_height, cfg.image_width)
+    st = init_sharded_hash_grid(mesh, local_capacity=1 << 13,
+                                dtype=jnp.float64)
+    st, stats = scan_pings_sharded(
+        st, jnp.asarray(images), jnp.asarray(T, jnp.float64), mesh, tables,
+        cfg, dtype=jnp.float64,
+    )
+    assert not np.asarray(stats["overflowed"]).any()
+    single, _ = map_ping_sequence(
+        images, positions, quats, cfg, initial_capacity=1 << 14,
+        dtype=jnp.float64,
+    )
+
+    spath, hpath = str(tmp_path / "s.npz"), str(tmp_path / "h.npz")
+    save_map(spath, st, cfg)
+    save_map(hpath, single, cfg)
+    rs, _ = load_map(spath)
+    rh, _ = load_map(hpath)
+    # dtype inferred from the snapshot (float64 map stays float64)
+    assert rs.log_odds.dtype == jnp.float64
+    a, b = single_to_dict(rs), single_to_dict(rh)
+    assert a.keys() == b.keys()
+    for k in a:
+        assert a[k] == b[k]
