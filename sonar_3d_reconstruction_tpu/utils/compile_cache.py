@@ -61,14 +61,20 @@ def _host_fingerprint() -> str:
             parts.append("machine-id=" + f.read().strip())
     except OSError:
         pass
-    # machine-id/hostname/ncpu STILL collided in the wild: this fleet's VM
-    # images clone the same machine-id and hostname ("vm"), and a later
-    # 1-core host loaded a previous 1-core host's AOT entries (E-logs:
-    # +prefer-no-gather unsupported — LLVM tuning features from CPUID
-    # detection, invisible in cpuinfo).  The boot id is unique per boot, so
-    # the CPU dir becomes per-boot: same-machine suite reruns (the warm
-    # cache win that matters) keep hitting; foreign entries become
-    # unreachable.  TPU entries stay in the shared host-neutral root.
+    # machine-id/hostname/ncpu can collide across this fleet's cloned VM
+    # images, so the boot id joins the salt: the CPU dir becomes per-boot —
+    # same-machine suite reruns (the warm-cache win that matters) keep
+    # hitting; entries from dead hosts become unreachable.  TPU entries
+    # stay in the shared host-neutral root.
+    #
+    # NOTE on the cpu_aot_loader E-logs citing +prefer-no-scatter /
+    # +prefer-no-gather: measured (two processes, same host, same boot,
+    # fresh dir) these fire even when loading entries THIS host wrote —
+    # XLA records LLVM tuning pseudo-features in the entry but omits them
+    # from its load-time host-detection list, a benign self-mismatch.  The
+    # warning alone therefore does NOT prove foreign entries; the round-3
+    # cross-host SEGFAULT (real ISA mismatch) is what this fingerprint
+    # guards against.
     try:
         with open("/proc/sys/kernel/random/boot_id") as f:
             parts.append("boot-id=" + f.read().strip())

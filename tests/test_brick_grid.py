@@ -19,6 +19,8 @@ def brick_state_to_dict(state):
     hi = np.asarray(state.key_hi)
     lo = np.asarray(state.key_lo)
     occ = hi != np.uint32(EMPTY_HI)
+    if not occ.any():  # numpy reshape(0, -1) rejects empty arrays
+        return {}
     rows = np.asarray(state.log_odds)[occ]
     touched = np.asarray(state.touched)[occ]
     vol = state.brick_volume
