@@ -34,6 +34,10 @@ import threading
 import time
 
 BASELINE_UPDATES_PER_SEC = 1e9
+# Capture-default window; measured fastest with tuned budgets (round-4
+# session: 124.3 M at 16 vs 115.1 M at 8).  Tests assert bench_plan.json
+# carries this window's key so the driver's run is always a plan HIT.
+DEFAULT_WINDOW = 16
 PLAN_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "bench_plan.json")
 
@@ -264,9 +268,12 @@ def main():
     # budget growth.  PERFORMANCE.md carries both scale points.
     n_pings = int(os.environ.get("BENCH_PINGS", "256"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
-    # batched-apply engine (one table interaction per 8 pings) measures
-    # consistently fastest: 43-45 pings/s vs 25-34 for per-ping dispatch
-    window = int(os.environ.get("BENCH_WINDOW", "8"))
+    # batched-apply engine (one table interaction per window) measures
+    # consistently fastest; window 16 with tuned budgets measured +8% over
+    # window 8 in the round-4 TPU session (124.3 vs 115.1 M updates/s —
+    # PERFORMANCE.md "Round-4 measured results") and is the bench default;
+    # library/streaming defaults stay 8 where latency matters
+    window = int(os.environ.get("BENCH_WINDOW", str(DEFAULT_WINDOW)))
     # "brick" (default) = sparse-of-dense brick table (grid/brick.py) —
     # measured fastest; "hash" = the per-voxel bucketized table.  See
     # PERFORMANCE.md for the comparison; both are bit-identical in output.
@@ -449,20 +456,34 @@ def measure_stream_latency(
     batch_budget, backend="hash",
 ):
     """p50/p95 arrival->state-committed latency through StreamingMapper in
-    the LOW-LATENCY configuration (chunk == window), back-to-back arrivals.
-    Reuses the timed run's snug budgets/capacity so the programs come from
-    the same compile cache family.
+    the PER-PING FLUSH configuration (chunk == window == 1, the deployment
+    low-latency mode and the honest reading of the BASELINE "p50 ping->map
+    latency" metric), back-to-back arrivals.  Reuses the timed run's SAFE
+    budgets/capacity so the programs come from the warmed cache family
+    (identical across bench windows: the safe budgets are
+    window-independent, bench_plan.json).
 
     ``BENCH_LATENCY_CHUNK`` overrides the stream's chunk==window size —
-    chunk=1 measures the per-ping latency FLOOR (each ping flushes its own
-    device step instead of batching 8), at the cost of a separate compiled
-    program family; leave unset for capture runs."""
+    e.g. 8 measures the batched chunk-8 configuration (round-4 session:
+    p50 134.7 ms vs 54.4 ms at the chunk=1 default).
+
+    ``BENCH_LATENCY_PINGS`` caps how many of the survey's pings the two
+    latency passes stream (default 96): every chunk=1 flush pays a
+    host<->device round trip, and through the ~28 ms tunnel the full
+    2x256-ping stream is both slow (minutes of pure RTT) and
+    variance-dominated — 96 samples bound the capture cost while keeping
+    p50/p95 meaningful."""
     import jax.numpy as jnp
 
     from sonar_3d_reconstruction_tpu.io.bag import ImageMsg, OdometryMsg
     from sonar_3d_reconstruction_tpu.stream import StreamingMapper
 
-    window = int(os.environ.get("BENCH_LATENCY_CHUNK", str(window)))
+    window = int(os.environ.get("BENCH_LATENCY_CHUNK", "1"))
+    n_lat = min(images.shape[0],
+                int(os.environ.get("BENCH_LATENCY_PINGS", "96")))
+    images = images[:n_lat]
+    positions = positions[:n_lat]
+    quats = quats[:n_lat]
 
     if backend == "brick":
         # streaming brick capacity arg counts voxel-equivalents (>> 4 split

@@ -29,8 +29,10 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--budget", type=float, default=300.0,
-                    help="max warm wall time in seconds")
+    ap.add_argument("--budget", type=float, default=480.0,
+                    help="max warm wall time in seconds (tunnel-RTT "
+                         "variance on the shared chip swings a warm run "
+                         "107-330 s — round-4 measurements)")
     ap.add_argument("--platform", default=None,
                     help="BENCH_PLATFORM override (e.g. cpu for dev)")
     args = ap.parse_args()

@@ -17,13 +17,14 @@
 #      2^20 — its own program family).     -> graft_warm.log
 #  2. dense_mode=row A/B (largest traced line item, 0.40 ms/ping).
 #                                           -> bench_row.json
-#  3. window=16 with tuned budgets.         -> bench_w16.json
+#  3. window=8 A/B (the pre-round-4 default; 16 is the default now).
+#                                           -> bench_w8.json
 #  4. Radix/binned dedup verdict at bench shapes (verdict item 4).
 #                                           -> radix.json
 #  5. Publish tick: extraction + serialization at 2^22 (verdict item 5).
 #                                           -> publish.json
-#  6. chunk=1 streaming latency floor (verdict item 8).
-#                                           -> bench_chunk1.json
+#  6. chunk=8 batched streaming latency (chunk=1 is the default now).
+#                                           -> bench_chunk8.json
 #  7. Row/value-op microcosts (capacity sweep, full-table-pass check).
 #                                           -> rowscatter.log
 #  8. S=1 sharding-machinery overhead.      -> shard_overhead.log
@@ -105,18 +106,18 @@ walltime graft_warm timeout 1800 python -c "import __graft_entry__ as g, jax; fn
 need 2400 bench_row && \
 walltime bench_row env BENCH_DENSE_MODE=row BENCH_DEADLINE=2300 python bench.py \
                                       > /tmp/tpu_ab/bench_row.json     2> /tmp/tpu_ab/bench_row.log
-need 4500 bench_w16 && \
-walltime bench_w16 env BENCH_WINDOW=16 BENCH_DEADLINE=4400 python bench.py \
-                                      > /tmp/tpu_ab/bench_w16.json     2> /tmp/tpu_ab/bench_w16.log
+need 2400 bench_w8 && \
+walltime bench_w8 env BENCH_WINDOW=8 BENCH_DEADLINE=2300 python bench.py \
+                                      > /tmp/tpu_ab/bench_w8.json      2> /tmp/tpu_ab/bench_w8.log
 need 1200 radix && \
 walltime radix timeout 2400 python scripts/profile_radix.py \
                                       > /tmp/tpu_ab/radix.json         2> /tmp/tpu_ab/radix.log
 need 1200 publish && \
 walltime publish timeout 2700 python scripts/profile_publish.py \
                                       > /tmp/tpu_ab/publish.json       2> /tmp/tpu_ab/publish.log
-need 2400 bench_chunk1 && \
-walltime bench_chunk1 env BENCH_LATENCY_CHUNK=1 BENCH_REPS=1 BENCH_DEADLINE=2300 python bench.py \
-                                      > /tmp/tpu_ab/bench_chunk1.json  2> /tmp/tpu_ab/bench_chunk1.log
+need 2400 bench_chunk8 && \
+walltime bench_chunk8 env BENCH_LATENCY_CHUNK=8 BENCH_REPS=1 BENCH_DEADLINE=2300 python bench.py \
+                                      > /tmp/tpu_ab/bench_chunk8.json  2> /tmp/tpu_ab/bench_chunk8.log
 need 900 rowscatter && \
 walltime rowscatter timeout 1800 python scripts/profile_rowscatter.py \
                                       > /tmp/tpu_ab/rowscatter.log     2>&1

@@ -232,7 +232,8 @@ def test_formulas_match_committed_bench_plan():
         required_free_cap(images, cfg, cfg.image_height),
     )
     plan = plans[
-        bench._plan_key(cfg, 256, 8, "brick", "scalar", caps, 1 << 16, 0)
+        bench._plan_key(cfg, 256, bench.DEFAULT_WINDOW, "brick", "scalar",
+                        caps, 1 << 16, 0)
     ]
     # reconstruct the stats the discovery warmup measured via a fresh run
     # at the plan's own budgets (bit-identical emissions by design)
@@ -241,11 +242,12 @@ def test_formulas_match_committed_bench_plan():
     effective = {}
     _, stats = map_ping_sequence(
         images, positions, quats, cfg, backend="brick", dtype=jnp.float32,
-        window=8, effective=effective,
+        window=bench.DEFAULT_WINDOW, effective=effective,
         state=init_brick_grid(1 << 16, jnp.float32),
     )
     rebuilt = snug_budgets_brick(
-        stats, 8, effective["unique_budget"], effective["brick_budget"],
+        stats, bench.DEFAULT_WINDOW, effective["unique_budget"],
+        effective["brick_budget"],
     )
     for k in ("unique_budget", "brick_budget", "lane_budget",
               "insert_budget", "dedup_lane_budget", "safe_unique_budget",
