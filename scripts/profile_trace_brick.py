@@ -39,7 +39,8 @@ from profile_trace import parse_xplane_top_ops  # raw-proto xplane reader
 OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sonar3d_trace_brick"
 
 cfg = MapperConfig()
-N = 16
+WINDOW = int(os.environ.get("TRACE_WINDOW", "16"))
+N = max(16, 2 * WINDOW)
 images, positions, quats = make_inputs(cfg, 64)
 fan_cap = required_fan_cap(images, cfg, cfg.image_height)
 window_cap = required_window_cap(images, cfg, cfg.image_height)
@@ -54,7 +55,6 @@ imgs = jnp.asarray(images)
 from sonar_3d_reconstruction_tpu.grid.brick import DEFAULT_BRICK_BITS
 from sonar_3d_reconstruction_tpu.ops.packing import compute_window_boxes
 
-WINDOW = 8
 boxes = compute_window_boxes(
     T_host[:, :3, 3], cfg.max_range, cfg.voxel_resolution, WINDOW,
     DEFAULT_BRICK_BITS, frame_bits=max(1, (WINDOW - 1).bit_length()),
@@ -62,14 +62,22 @@ boxes = compute_window_boxes(
 print("boxes:", None if boxes is None else boxes[1], flush=True)
 print("device:", jax.devices()[0].platform, flush=True)
 
-# the bench's measured snug budgets (BENCH_r03 conditions);
+# the bench's measured snug budgets per window size (bench_plan.json —
+# keep in sync so the traced step is the exact capture-path program);
 # TRACE_DENSE_MODE=row traces the row-structured dense build
+_PLAN_BUDGETS = {
+    8: dict(unique_budget=94208, brick_budget=7168, lane_budget=729088,
+            insert_budget=[6144, 4096], dedup_lane_budget=229376),
+    16: dict(unique_budget=94208, brick_budget=9216, lane_budget=1343488,
+             insert_budget=[9216, 6144], dedup_lane_budget=229376),
+}
+# windows without a committed plan trace at safe (untuned) budgets
+_SAFE = dict(unique_budget=131072, brick_budget=174762, lane_budget=None,
+             insert_budget=None, dedup_lane_budget=0)
 kw = dict(
-    tables=tables, cfg=cfg, dtype=jnp.float32,
-    unique_budget=94208, window=WINDOW, brick_budget=7168,
-    lane_budget=729088, insert_budget=[6144, 4096],
-    dedup_lane_budget=229376, boxes=boxes,
+    tables=tables, cfg=cfg, dtype=jnp.float32, window=WINDOW, boxes=boxes,
     dense_mode=os.environ.get("TRACE_DENSE_MODE", "scalar"),
+    **_PLAN_BUDGETS.get(WINDOW, _SAFE),
 )
 if kw["dense_mode"] == "row":
     kw["vox_budget"] = int(os.environ.get("TRACE_VOX_BUDGET", "212992"))
