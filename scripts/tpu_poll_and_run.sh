@@ -26,9 +26,13 @@ probe() {
 # chip (round start + ~12 h, minus a 20-min buffer).  The session script
 # gates every step on the remaining budget, so a late chip return still
 # warms the cache and records the warm capture number without colliding
-# with the driver.  Override with SESSION_END_EPOCH for manual reruns.
-SESSION_END_EPOCH=${SESSION_END_EPOCH:-$(date -u -d '2026-08-19 07:55' +%s)}
+# with the driver.  ALWAYS pass SESSION_END_EPOCH explicitly (the
+# fallback is a conservative now+6h for a launch whose round start is
+# unknown).  SESSION_SCRIPT selects which session to run from the
+# snapshot (default: the round-4 A/B suite).
+SESSION_END_EPOCH=${SESSION_END_EPOCH:-$(date -u -d 'now + 6 hours' +%s)}
 export SESSION_END_EPOCH
+SESSION_SCRIPT=${SESSION_SCRIPT:-scripts/tpu_ab_session.sh}
 
 while true; do
   echo "$(date -u +%FT%TZ) probing" >> "$LOG/poll.log"
@@ -83,7 +87,7 @@ git -C "$REPO" rev-parse HEAD > "$LOG/session_head.txt"
 
 # share the live warm cache so the driver's end-of-round bench hits it
 export SONAR3D_COMPILE_CACHE="$REPO/.jax_cache"
-echo "$(date -u +%FT%TZ) launching session from $SNAP @ $(cat "$LOG/session_head.txt")" >> "$LOG/poll.log"
-sh "$SNAP/scripts/tpu_ab_session.sh" > "$LOG/session.log" 2>&1
+echo "$(date -u +%FT%TZ) launching $SESSION_SCRIPT from $SNAP @ $(cat "$LOG/session_head.txt")" >> "$LOG/poll.log"
+sh "$SNAP/$SESSION_SCRIPT" > "$LOG/session.log" 2>&1
 echo "$(date -u +%FT%TZ) session finished rc=$?" >> "$LOG/poll.log"
 touch "$LOG/SESSION_DONE"

@@ -292,13 +292,18 @@ def _apply_window_tail(
     *,
     lanes_overflow, brick_overflow, pack_overflow, frame_overflow,
     auxs, rec_valid, rec_occ, n_unique, n_valid_lanes,
-    insert_budget, fail_reduce,
+    insert_budget, fail_reduce, dense_order: str = "bvf",
 ) -> Tuple[BrickGridState, Dict[str, jnp.ndarray]]:
     """Shared second half of the window apply: table interaction at NB
     compacted-brick lanes, dense sequential chain evaluation, all-or-nothing
     commit and stats — identical for global-key and compact box-key fronts.
+
+    ``dense_order`` names the dense buffer's frame-axis position:
+    ``"bvf"`` = (NB, vol, B) (scalar/row modes), ``"bfv"`` = (NB, B, vol).
+    ``n_unique=None`` computes the window's distinct-voxel stat from the
+    chain's touched-union popcount (bfv mode — see the compact front).
     """
-    B = dense.shape[2]
+    B = dense.shape[2] if dense_order == "bvf" else dense.shape[1]
     vol = state.brick_volume
     cap = state.capacity
     dtype = state.log_odds.dtype
@@ -341,7 +346,7 @@ def _apply_window_tail(
     v = rows_cur
     upd_mask = jnp.zeros((NB, vol), bool)  # touched-this-window accumulator
     for f in range(B):
-        d = dense[:, :, f]
+        d = dense[:, :, f] if dense_order == "bvf" else dense[:, f, :]
         cnt_f = (d >> 16).astype(dtype)
         occ_f = (d & jnp.uint32(0xFFFF)).astype(dtype)
         lo_sum = occ_f * occL + (cnt_f - occ_f) * freL
@@ -349,6 +354,12 @@ def _apply_window_tail(
         v = finalize_voxel_updates(v, lo_sum, cnt_f, occ_f > 0, cfg)
 
     bits = _pack_touched(upd_mask)
+    if n_unique is None:
+        # exact when nothing overflowed (every record scattered); budget-
+        # clipped under overflow, where the window is rejected anyway
+        n_unique = jnp.sum(
+            jnp.where(valid_b[:, None], jax.lax.population_count(bits), 0)
+        ).astype(jnp.int32)
     touched_new = touched_cur | bits
     n_new = jnp.sum(
         jnp.where(
@@ -436,10 +447,26 @@ def apply_brick_records_compact(
     shared table/chain tail.
 
     ``dense_mode`` selects how record payloads reach the dense
-    (NB, vol, B) chain buffer (both bit-identical):
+    chain buffer (all bit-identical):
 
     * ``"scalar"`` — one u32 scatter at the Lb lane prefix (one index
-      entry per record lane, valid or not; measured ~4.6 ns/entry).
+      entry per record lane, valid or not; measured ~4.6 ns/entry) into
+      a (NB, vol, B) buffer.
+    * ``"bfv"`` — same scatter, but the flat sort key packs the FRAME
+      field between brick and offset ((brick, frame, offset) ascending
+      instead of (brick, offset, frame)), so the sorted+unique scatter
+      writes a (NB, B, vol) buffer whose per-frame chain slices
+      ``dense[:, f, :]`` are contiguous per brick row.  Motivation: the
+      round-4 w16 op trace showed the scalar buffer paying a 0.11
+      ms/ping pure RELAYOUT copy ({2,1,0} -> {1,0,2}) between the
+      scatter's row-major output and the chain evaluation's preferred
+      frame-major tiling — bfv hands the chain eval its layout directly.
+      Brick compaction is unchanged (brick ids occupy the same high bits
+      in both packings); the window-unique-voxel stat is computed from
+      the chain's touched-union popcount instead of the sort adjacency
+      (records of one voxel are no longer adjacent across frames), so
+      under a budget overflow ``batch_n_unique`` reports the
+      budget-clipped count — fine, nothing grows from it in this mode.
     * ``"row"`` — records of one voxel are CONTIGUOUS after the big sort
       (frame is the key's low field), so the window's whole per-voxel
       frame row (B payloads) is assembled elementwise from backward
@@ -472,8 +499,18 @@ def apply_brick_records_compact(
     frame = jnp.repeat(
         jnp.arange(B, dtype=jnp.uint32), U
     )
-    # (voxel, frame) flat key; valid keys stay < 2^31 (V + f_bits <= 31)
-    flat = jnp.where(rec_valid_flat, (key << f_bits) | frame, EMPTY32)
+    if dense_mode == "bfv":
+        # (brick, FRAME, offset) flat key — same total width, frame field
+        # moved between brick and offset; valid keys stay < 2^31
+        o_mask = jnp.uint32((1 << o) - 1)
+        flat = jnp.where(
+            rec_valid_flat,
+            ((key >> o) << (o + f_bits)) | (frame << o) | (key & o_mask),
+            EMPTY32,
+        )
+    else:
+        # (voxel, frame) flat key; valid keys stay < 2^31 (V + f_bits <= 31)
+        flat = jnp.where(rec_valid_flat, (key << f_bits) | frame, EMPTY32)
     # dedup_frame_compact pre-packs (count<<16 | n_occ) and detects the
     # unrepresentable 2^16+ case itself, budget-independently — no
     # count-width check needed here (contrast apply_brick_records_batched)
@@ -494,19 +531,61 @@ def apply_brick_records_compact(
     )
     n_bricks = jnp.sum(new_brick & seg_valid).astype(jnp.int32)
     brick_overflow = n_bricks > NB
-    vox_id = s_flat >> f_bits
-    new_vox = jnp.concatenate(
-        [jnp.ones((1,), bool), vox_id[1:] != vox_id[:-1]]
-    )
-    n_unique = jnp.sum(new_vox & seg_valid).astype(jnp.int32)
+    if dense_mode == "bfv":
+        # a voxel's records across frames are not adjacent in
+        # (brick, frame, offset) order — the exact window-unique count is
+        # computed in the tail from the touched-union popcount instead
+        n_unique = None
+    else:
+        vox_id = s_flat >> f_bits
+        new_vox = jnp.concatenate(
+            [jnp.ones((1,), bool), vox_id[1:] != vox_id[:-1]]
+        )
+        n_unique = jnp.sum(new_vox & seg_valid).astype(jnp.int32)
 
     s_flat_l = s_flat[:Lb]
     valid_l = seg_valid[:Lb]
-    frame_l = (s_flat_l & jnp.uint32((1 << f_bits) - 1)).astype(jnp.int32)
+    if dense_mode == "bfv":
+        frame_l = (
+            (s_flat_l >> o) & jnp.uint32((1 << f_bits) - 1)
+        ).astype(jnp.int32)
+    else:
+        frame_l = (
+            s_flat_l & jnp.uint32((1 << f_bits) - 1)
+        ).astype(jnp.int32)
     lane_l = jnp.arange(Lb, dtype=jnp.int32)
     vox_overflow = jnp.zeros((), bool)
 
-    if dense_mode == "scalar":
+    if dense_mode == "bfv":
+        brick_seg = jnp.cumsum(new_brick.astype(jnp.int32)) - 1
+
+        # ---- dense record scatter at the Lb prefix: (brick, frame,
+        # offset) sorted order makes frame-mid flat indices ascending, so
+        # the scatter stays sorted+unique and lands directly in the
+        # (NB, B, vol) layout the chain eval slices
+        offset_l = (s_flat_l & jnp.uint32((1 << o) - 1)).astype(jnp.int32)
+        didx = brick_seg[:Lb] * (vol * B) + frame_l * vol + offset_l
+        didx = jnp.where(valid_l, didx, NB * vol * B + lane_l)
+        dense = (
+            jnp.zeros((NB * vol * B,), jnp.uint32)
+            .at[didx]
+            .set(s_pay[:Lb], mode="drop", unique_indices=True,
+                 indices_are_sorted=True)
+            .reshape(NB, B, vol)
+        )
+
+        # ---- brick compaction identical to scalar mode (brick ids occupy
+        # the same high bits in both packings)
+        c_bid = jnp.where(new_brick[:Lb] & valid_l, brick_id[:Lb], EMPTY32)
+        (c_bid,) = jax.lax.sort((c_bid,), num_keys=1, is_stable=False)
+
+        if NB > Lb:
+            c_bid = jnp.concatenate(
+                [c_bid, jnp.full((NB - Lb,), EMPTY32, jnp.uint32)]
+            )
+        else:
+            c_bid = c_bid[:NB]
+    elif dense_mode == "scalar":
         brick_seg = jnp.cumsum(new_brick.astype(jnp.int32)) - 1
 
         # ---- dense record scatter at the Lb prefix (sorted + unique)
@@ -665,6 +744,7 @@ def apply_brick_records_compact(
         auxs=auxs, rec_valid=rec_valid, rec_occ=rec_valid & (recs.n_occ > 0),
         n_unique=n_unique, n_valid_lanes=n_valid_lanes,
         insert_budget=insert_budget, fail_reduce=fail_reduce,
+        dense_order="bfv" if dense_mode == "bfv" else "bvf",
     )
 
 

@@ -590,10 +590,12 @@ def test_unique_overflow_reports_growable_cause_not_pack_overflow(small_cfg):
 
 def test_brick_row_dense_mode_bit_equals_scalar(small_cfg):
     """dense_mode='row' (per-voxel (B,)-row scatter at vox_budget index
-    entries) is bit-identical to dense_mode='scalar' (per-record u32
-    scatter at Lb entries) — states, bounds, and every stat; a snug
-    vox_budget reproduces it and a one-too-small budget reports through
-    the growable batch_overflow channel."""
+    entries) and dense_mode='bfv' ((brick, frame, offset) sort order,
+    frame-mid dense buffer) are bit-identical to dense_mode='scalar'
+    (per-record u32 scatter at Lb entries) — states, bounds, and every
+    stat incl. the bfv popcount-derived batch_n_unique; a snug vox_budget
+    reproduces row mode and a one-too-small budget reports through the
+    growable batch_overflow channel."""
     from sonar_3d_reconstruction_tpu.grid.brick import init_brick_grid
     from sonar_3d_reconstruction_tpu.ops.backproject import (
         build_fan_tables,
@@ -630,23 +632,26 @@ def test_brick_row_dense_mode_bit_equals_scalar(small_cfg):
         return st, stats
 
     outs = {}
-    for mode in ("scalar", "row"):
+    for mode in ("scalar", "bfv", "row"):
         st, stats = run(dense_mode=mode)
         assert not bool(np.asarray(stats["overflowed"]).any()), mode
         outs[mode] = (brick_state_to_dict(st), stats, st)
-    a, b = outs["scalar"][0], outs["row"][0]
-    assert a.keys() == b.keys()
-    for k in a:
-        assert a[k] == b[k], k
-    for k in outs["scalar"][1]:
+    a = outs["scalar"][0]
+    for mode in ("bfv", "row"):
+        b = outs[mode][0]
+        assert a.keys() == b.keys()
+        for k in a:
+            assert a[k] == b[k], (mode, k)
+        for k in outs["scalar"][1]:
+            np.testing.assert_array_equal(
+                np.asarray(outs["scalar"][1][k]),
+                np.asarray(outs[mode][1][k]),
+                err_msg=f"{mode}:{k}",
+            )
         np.testing.assert_array_equal(
-            np.asarray(outs["scalar"][1][k]), np.asarray(outs["row"][1][k]),
-            err_msg=k,
+            np.asarray(outs["scalar"][2].min_bounds),
+            np.asarray(outs[mode][2].min_bounds),
         )
-    np.testing.assert_array_equal(
-        np.asarray(outs["scalar"][2].min_bounds),
-        np.asarray(outs["row"][2].min_bounds),
-    )
 
     # snug vox budget (exactly the measured requirement) stays exact
     uv = int(np.asarray(outs["row"][1]["batch_n_unique"]).max())
@@ -689,11 +694,12 @@ def test_brick_row_mode_lane_budget_below_window_overflows_gracefully(
         frame_bits=max(1, (window - 1).bit_length()),
     )
     assert boxes is not None
-    st, stats = scan_pings_brick(
-        init_brick_grid(1 << 12, jnp.float64), jnp.asarray(images),
-        jnp.asarray(T, jnp.float64), tables=tables, cfg=cfg,
-        dtype=jnp.float64, window=window, boxes=boxes,
-        dense_mode="row", lane_budget=2,
-    )
-    assert bool(np.asarray(stats["overflowed"]).any())
-    assert bool(np.asarray(st.poisoned))
+    for mode in ("row", "bfv"):
+        st, stats = scan_pings_brick(
+            init_brick_grid(1 << 12, jnp.float64), jnp.asarray(images),
+            jnp.asarray(T, jnp.float64), tables=tables, cfg=cfg,
+            dtype=jnp.float64, window=window, boxes=boxes,
+            dense_mode=mode, lane_budget=2,
+        )
+        assert bool(np.asarray(stats["overflowed"]).any()), mode
+        assert bool(np.asarray(st.poisoned)), mode

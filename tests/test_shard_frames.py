@@ -133,14 +133,15 @@ def test_sharded_frames_wide_and_row_modes_match(small_cfg):
     for k in got:
         assert got[k] == want[k], ("wide", k)
 
-    row, _ = map_ping_sequence_sharded_frames(
-        images, positions, quats, cfg, mesh=mesh, dtype=jnp.float64,
-        window=4, local_capacity=1 << 10, dense_mode="row",
-    )
-    got = sharded_brick_to_dict(row)
-    assert got.keys() == want.keys()
-    for k in got:
-        assert got[k] == want[k], ("row", k)
+    for mode in ("row", "bfv"):
+        alt, _ = map_ping_sequence_sharded_frames(
+            images, positions, quats, cfg, mesh=mesh, dtype=jnp.float64,
+            window=4, local_capacity=1 << 10, dense_mode=mode,
+        )
+        got = sharded_brick_to_dict(alt)
+        assert got.keys() == want.keys()
+        for k in got:
+            assert got[k] == want[k], (mode, k)
 
     # a deliberately tiny row-mode vox budget must GROW (its truncated
     # brick list once misreported as fatal range_fail) to the exact map
