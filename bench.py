@@ -38,6 +38,10 @@ BASELINE_UPDATES_PER_SEC = 1e9
 # session: 124.3 M at 16 vs 115.1 M at 8).  Tests assert bench_plan.json
 # carries this window's key so the driver's run is always a plan HIT.
 DEFAULT_WINDOW = 16
+# Capture-default dense mode for the brick window apply (grid/brick.py
+# dense_mode); flipped only on a measured TPU win, with bench_plan.json
+# carrying the matching entries (tests follow this constant).
+DEFAULT_DENSE_MODE = "scalar"
 PLAN_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "bench_plan.json")
 
@@ -571,7 +575,7 @@ def main_brick(cfg, n_pings, reps, window):
     )
     # dense_mode="row" scatters one (window,)-wide row per distinct voxel
     # instead of one u32 per record lane (grid/brick.py dense_mode)
-    dense_mode = os.environ.get("BENCH_DENSE_MODE", "scalar")
+    dense_mode = os.environ.get("BENCH_DENSE_MODE", DEFAULT_DENSE_MODE)
     init_capacity = int(os.environ.get("BENCH_BRICK_CAPACITY", str(1 << 16)))
     plan_key = _plan_key(
         cfg, n_pings, window, "brick", dense_mode,

@@ -207,8 +207,8 @@ def test_cpu_cache_fingerprint_is_per_boot(monkeypatch, tmp_path):
 def test_committed_plan_matches_default_capture_config():
     """bench_plan.json must contain the key for the driver's default run
     (plain `python bench.py`: brick backend, 256 pings, the default
-    window (bench.DEFAULT_WINDOW), scalar dense mode, default
-    capacity/seed)."""
+    window (bench.DEFAULT_WINDOW), the default dense mode
+    (bench.DEFAULT_DENSE_MODE), default capacity/seed)."""
     import bench
     from sonar_3d_reconstruction_tpu.config import MapperConfig
     from sonar_3d_reconstruction_tpu.ops.backproject import (
@@ -225,7 +225,7 @@ def test_committed_plan_matches_default_capture_config():
         required_free_cap(images, cfg, cfg.image_height),
     )
     key = bench._plan_key(cfg, 256, bench.DEFAULT_WINDOW, "brick",
-                          "scalar", caps, 1 << 16, 0)
+                          bench.DEFAULT_DENSE_MODE, caps, 1 << 16, 0)
     with open(bench.PLAN_PATH) as f:
         plans = json.load(f)
     assert key in plans, (
