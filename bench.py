@@ -41,7 +41,10 @@ DEFAULT_WINDOW = 16
 # Capture-default dense mode for the brick window apply (grid/brick.py
 # dense_mode); flipped only on a measured TPU win, with bench_plan.json
 # carrying the matching entries (tests follow this constant).
-DEFAULT_DENSE_MODE = "scalar"
+# bfv adopted 2026-08-19: 129.5/129.6 M updates/s vs scalar's 118.4-126.6 M
+# across six same-host runs, AND a far safer warm capture wall (118 s vs
+# scalar's 397-906 s) — PERFORMANCE.md "Round-4b bfv A/B".
+DEFAULT_DENSE_MODE = "bfv"
 PLAN_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "bench_plan.json")
 
