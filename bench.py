@@ -45,6 +45,10 @@ DEFAULT_WINDOW = 16
 # across six same-host runs, AND a far safer warm capture wall (118 s vs
 # scalar's 397-906 s) — PERFORMANCE.md "Round-4b bfv A/B".
 DEFAULT_DENSE_MODE = "bfv"
+# Frames per vmapped group in the window records computation (1 = the
+# sequential lax.map); flipped only on a measured TPU win (budget-neutral,
+# so bench_plan.json entries are unaffected by this knob).
+DEFAULT_RECORDS_BATCH = 1
 PLAN_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "bench_plan.json")
 
@@ -579,6 +583,11 @@ def main_brick(cfg, n_pings, reps, window):
     # dense_mode="row" scatters one (window,)-wide row per distinct voxel
     # instead of one u32 per record lane (grid/brick.py dense_mode)
     dense_mode = os.environ.get("BENCH_DENSE_MODE", DEFAULT_DENSE_MODE)
+    # groups the per-frame records computation inside the window program
+    # (pipeline.scan_pings_brick records_batch) — budget-neutral, so it is
+    # deliberately NOT part of the plan key
+    records_batch = int(os.environ.get("BENCH_RECORDS_BATCH",
+                                       str(DEFAULT_RECORDS_BATCH)))
     init_capacity = int(os.environ.get("BENCH_BRICK_CAPACITY", str(1 << 16)))
     plan_key = _plan_key(
         cfg, n_pings, window, "brick", dense_mode,
@@ -681,6 +690,7 @@ def main_brick(cfg, n_pings, reps, window):
             vox_budget=budgets["vox_budget"],
             dense_mode=dense_mode,
             dedup_lane_budget=budgets["dedup_lane_budget"], boxes=boxes,
+            records_batch=records_batch,
         )
         # one host sync for flags + completion (two pulls = two ~28 ms
         # tunnel round trips ≈ 0.1 ms/ping of overhead at 256 pings)

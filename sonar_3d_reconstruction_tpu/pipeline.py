@@ -17,6 +17,7 @@ replay reuses the same compiled program (frames before ``start`` are no-ops).
 
 from __future__ import annotations
 
+import math
 from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
@@ -345,6 +346,7 @@ def _apply_brick(
         "tables", "cfg", "dtype", "unique_budget", "window",
         "dedup_lane_budget", "brick_bits", "box_bits", "brick_budget",
         "lane_budget", "insert_budget", "vox_budget", "dense_mode",
+        "records_batch",
     ),
 )
 def _window_step_brick_compact(
@@ -369,13 +371,25 @@ def _window_step_brick_compact(
     insert_budget=None,
     vox_budget=None,
     dense_mode: str = "scalar",
+    records_batch: int = 1,
 ):
     """Records + apply for one window in ONE program (compact box-key
     path).  Functionally identical to _records_window followed by an
     apply_brick_records_compact dispatch; fusing them halves the
     per-window dispatches and keeps the records intermediates entirely
     inside the program (bench-neutral on the tunneled chip — dispatches
-    overlap — but strictly less dispatch traffic)."""
+    overlap — but strictly less dispatch traffic).
+
+    ``records_batch`` (static) groups the per-frame records computation:
+    1 keeps today's sequential ``lax.map`` over frames (byte-identical
+    HLO — the warm-cache contract); B > 1 vmaps the records body over
+    groups of B frames, shrinking the loop's per-iteration overhead (the
+    w16 trace attributes ~0.17 ms/ping to the while-loop's own
+    machinery) and batching the per-frame sorts, at B× the records
+    intermediates in HBM.  ``window % records_batch == 0`` required.
+    Results are identical either way: the body is per-frame pure and
+    every op in it (sorts, scans, gathers) is row-independent under
+    vmap."""
     from sonar_3d_reconstruction_tpu.grid.brick import (
         apply_brick_records_compact,
     )
@@ -392,7 +406,23 @@ def _window_step_brick_compact(
             box_min=box_min, box_bits=box_bits,
         )
 
-    recs, auxs = jax.lax.map(body, jnp.arange(window, dtype=jnp.int32))
+    if records_batch == 1:
+        recs, auxs = jax.lax.map(body, jnp.arange(window, dtype=jnp.int32))
+    else:
+        assert window % records_batch == 0, (
+            f"records_batch {records_batch} must divide window {window}"
+        )
+        groups = jnp.arange(window, dtype=jnp.int32).reshape(
+            window // records_batch, records_batch
+        )
+        if groups.shape[0] == 1:
+            recs, auxs = jax.vmap(body)(groups[0])
+        else:
+            recs, auxs = jax.lax.map(jax.vmap(body), groups)
+            # (G, B, ...) -> (window, ...), frame order preserved
+            recs, auxs = jax.tree_util.tree_map(
+                lambda x: x.reshape((window,) + x.shape[2:]), (recs, auxs)
+            )
     return apply_brick_records_compact(
         state, recs, auxs, cfg, box_min, box_bits,
         brick_budget=brick_budget, lane_budget=lane_budget,
@@ -420,6 +450,7 @@ def scan_pings_brick(
     dense_mode: str = "scalar",
     dedup_lane_budget=0,
     boxes=None,
+    records_batch: int = 1,
 ):
     """Whole ping sequence -> brick map (host-driven window engine; the
     brick backend is window-batched by construction — grid/brick.py — and
@@ -443,6 +474,9 @@ def scan_pings_brick(
     start = jnp.int32(0) if start is None else jnp.asarray(start, jnp.int32)
     stop = jnp.int32(P) if stop is None else jnp.asarray(stop, jnp.int32)
     window = min(window, P)
+    # records_batch must divide the (possibly clamped) window; snap to the
+    # gcd so short sequences never fail on a perf-only knob
+    records_batch = max(1, math.gcd(int(records_batch), window))
     if unique_budget is None:
         unique_budget = default_unique_budget(
             tables.candidates_per_ping(cfg.occupied_window)
@@ -478,6 +512,7 @@ def scan_pings_brick(
                 box_bits=box_bits, brick_budget=brick_budget,
                 lane_budget=lane_budget, insert_budget=ib,
                 vox_budget=vox_budget, dense_mode=dense_mode,
+                records_batch=records_batch,
             )
         else:
             recs, auxs = _records_window(

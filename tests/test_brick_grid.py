@@ -703,3 +703,61 @@ def test_brick_row_mode_lane_budget_below_window_overflows_gracefully(
         )
         assert bool(np.asarray(stats["overflowed"]).any()), mode
         assert bool(np.asarray(st.poisoned)), mode
+
+
+def test_brick_records_batch_bit_equals_sequential(small_cfg):
+    """records_batch > 1 (vmapped per-frame records groups inside the
+    fused window program — pipeline._window_step_brick_compact) is
+    bit-identical to the sequential lax.map default, for full-window vmap
+    (B == window), grouped map (1 < B < window), a non-dividing B (snapped
+    to gcd), and both dense modes."""
+    from sonar_3d_reconstruction_tpu.grid.brick import init_brick_grid
+    from sonar_3d_reconstruction_tpu.ops.backproject import (
+        build_fan_tables,
+        required_fan_cap,
+        required_window_cap,
+    )
+    from sonar_3d_reconstruction_tpu.ops.packing import compute_window_boxes
+    from sonar_3d_reconstruction_tpu.pipeline import (
+        batched_sonar_to_world,
+        scan_pings_brick,
+    )
+
+    cfg = small_cfg
+    images, positions, quats = make_sequence(cfg, 9, seed=55)
+    R, Bw = cfg.image_height, cfg.image_width
+    tables = build_fan_tables(
+        cfg, R, Bw, fan_cap=required_fan_cap(images, cfg, R),
+        window_cap=required_window_cap(images, cfg, R),
+    )
+    T = batched_sonar_to_world(positions, quats, cfg)
+    window = 4
+    boxes = compute_window_boxes(
+        T[:, :3, 3], cfg.max_range, cfg.voxel_resolution, window, 2,
+        frame_bits=max(1, (window - 1).bit_length()),
+    )
+    assert boxes is not None
+
+    def run(**kw):
+        st, stats = scan_pings_brick(
+            init_brick_grid(1 << 12, jnp.float64), jnp.asarray(images),
+            jnp.asarray(T, jnp.float64), tables=tables, cfg=cfg,
+            dtype=jnp.float64, window=window, boxes=boxes, **kw,
+        )
+        assert not bool(np.asarray(stats["overflowed"]).any()), kw
+        return brick_state_to_dict(st), stats
+
+    for mode in ("bfv", "scalar"):
+        ref_state, ref_stats = run(dense_mode=mode, records_batch=1)
+        # 4 = full-window vmap; 2 = grouped lax.map of vmapped pairs;
+        # 3 does not divide window=4 -> gcd snaps it to 1 (the reference)
+        for rb in (4, 2, 3):
+            st, stats = run(dense_mode=mode, records_batch=rb)
+            assert st.keys() == ref_state.keys()
+            for k in ref_state:
+                assert ref_state[k] == st[k], (mode, rb, k)
+            for k in ref_stats:
+                np.testing.assert_array_equal(
+                    np.asarray(ref_stats[k]), np.asarray(stats[k]),
+                    err_msg=f"{mode}:rb={rb}:{k}",
+                )
