@@ -336,6 +336,12 @@ def main_hash(cfg, n_pings, reps, window):
     )
     capacity = effective["capacity"]
     total_updates = int(np.asarray(stats["num_candidates"]).sum())
+    # reference update_voxel-call count: one per unique voxel per frame
+    # (see main_brick's total_unique note)
+    total_unique = int(
+        (np.asarray(stats["num_occupied"])
+         + np.asarray(stats["num_free"])).sum()
+    )
     # force the warmup's trailing work to settle before timing
     _ = int(st.used)
 
@@ -425,6 +431,8 @@ def main_hash(cfg, n_pings, reps, window):
             "pings_per_sec": n_pings / best,
             "mean_ping_latency_ms": 1e3 * best / n_pings,
             "updates_per_ping": total_updates / n_pings,
+            "unique_voxel_updates_per_sec": total_unique / best,
+            "unique_voxel_updates_per_ping": total_unique / n_pings,
             "candidates_per_ping": tables.candidates_per_ping(
                 cfg.occupied_window
             ),
@@ -724,6 +732,15 @@ def main_brick(cfg, n_pings, reps, window):
             )
             st_last, stats = run(0)
     total_updates = int(np.asarray(stats["num_candidates"]).sum())
+    # VERDICT r4 item 2: the headline counts candidate EMISSIONS applied
+    # (the reference's per-item work at scripts/3d_mapper.py:542-551);
+    # also report the reference's update_voxel call count — one per UNIQUE
+    # voxel per frame (:557-567) = the per-frame unique records
+    # (num_occupied + num_free are exactly those records, split by type)
+    total_unique = int(
+        (np.asarray(stats["num_occupied"])
+         + np.asarray(stats["num_free"])).sum()
+    )
 
     _stage("timed-brick")
     best = float("inf")
@@ -758,6 +775,10 @@ def main_brick(cfg, n_pings, reps, window):
             "pings_per_sec": n_pings / best,
             "mean_ping_latency_ms": 1e3 * best / n_pings,
             "updates_per_ping": total_updates / n_pings,
+            # the reference-update_voxel-call-equivalent series (one per
+            # unique voxel per frame) alongside the emission headline
+            "unique_voxel_updates_per_sec": total_unique / best,
+            "unique_voxel_updates_per_ping": total_unique / n_pings,
             "device": jax.devices()[0].platform,
             "n_pings": n_pings,
             "window": window,

@@ -293,6 +293,7 @@ def _apply_window_tail(
     lanes_overflow, brick_overflow, pack_overflow, frame_overflow,
     auxs, rec_valid, rec_occ, n_unique, n_valid_lanes,
     insert_budget, fail_reduce, dense_order: str = "bvf",
+    pallas_bin=None,
 ) -> Tuple[BrickGridState, Dict[str, jnp.ndarray]]:
     """Shared second half of the window apply: table interaction at NB
     compacted-brick lanes, dense sequential chain evaluation, all-or-nothing
@@ -302,8 +303,11 @@ def _apply_window_tail(
     ``"bvf"`` = (NB, vol, B) (scalar/row modes), ``"bfv"`` = (NB, B, vol).
     ``n_unique=None`` computes the window's distinct-voxel stat from the
     chain's touched-union popcount (bfv mode — see the compact front).
+    ``pallas_bin`` (dense_mode="pallas"): ``dense`` is None and the dict
+    carries (s_flat, s_pay, starts, f_bits, o) for the fused
+    pallas/bin_kernel.py binning + chain-eval kernel.
     """
-    B = dense.shape[2] if dense_order == "bvf" else dense.shape[1]
+    B = rec_valid.shape[0]
     vol = state.brick_volume
     cap = state.capacity
     dtype = state.log_odds.dtype
@@ -341,17 +345,33 @@ def _apply_window_tail(
     # all-zero by the never-removed invariant
 
     # ---- dense sequential chain evaluation: B masked elementwise passes
-    occL = jnp.asarray(cfg.log_odds_occupied, dtype)
-    freL = jnp.asarray(cfg.log_odds_free, dtype)
-    v = rows_cur
-    upd_mask = jnp.zeros((NB, vol), bool)  # touched-this-window accumulator
-    for f in range(B):
-        d = dense[:, :, f] if dense_order == "bvf" else dense[:, f, :]
-        cnt_f = (d >> 16).astype(dtype)
-        occ_f = (d & jnp.uint32(0xFFFF)).astype(dtype)
-        lo_sum = occ_f * occL + (cnt_f - occ_f) * freL
-        upd_mask = upd_mask | (d != 0)
-        v = finalize_voxel_updates(v, lo_sum, cnt_f, occ_f > 0, cfg)
+    # (or the fused Pallas binning kernel, which subsumes the dense buffer)
+    if pallas_bin is not None:
+        from sonar_3d_reconstruction_tpu.pallas.bin_kernel import (
+            pallas_bin_apply,
+        )
+
+        v, upd_mask = pallas_bin_apply(
+            pallas_bin["s_flat"], pallas_bin["s_pay"],
+            pallas_bin["starts"], rows_cur,
+            B=B, vol=vol, f_bits=pallas_bin["f_bits"], o=pallas_bin["o"],
+            cfg=cfg, TB=pallas_bin["tb"], CHUNK=pallas_bin["chunk"],
+            # Mosaic needs the real TPU; everywhere else (CPU tests,
+            # virtual meshes) the interpreter preserves exact semantics
+            interpret=jax.devices()[0].platform != "tpu",
+        )
+    else:
+        occL = jnp.asarray(cfg.log_odds_occupied, dtype)
+        freL = jnp.asarray(cfg.log_odds_free, dtype)
+        v = rows_cur
+        upd_mask = jnp.zeros((NB, vol), bool)  # touched-this-window accum
+        for f in range(B):
+            d = dense[:, :, f] if dense_order == "bvf" else dense[:, f, :]
+            cnt_f = (d >> 16).astype(dtype)
+            occ_f = (d & jnp.uint32(0xFFFF)).astype(dtype)
+            lo_sum = occ_f * occL + (cnt_f - occ_f) * freL
+            upd_mask = upd_mask | (d != 0)
+            v = finalize_voxel_updates(v, lo_sum, cnt_f, occ_f > 0, cfg)
 
     bits = _pack_touched(upd_mask)
     if n_unique is None:
@@ -467,6 +487,18 @@ def apply_brick_records_compact(
       (records of one voxel are no longer adjacent across frames), so
       under a budget overflow ``batch_n_unique`` reports the
       budget-clipped count — fine, nothing grows from it in this mode.
+    * ``"pallas"`` — the bfv front (same frame-mid flat keys, window sort,
+      and brick compaction — the compaction additionally carries each
+      brick's record-range START position), but NO dense buffer at all:
+      the sorted (key, payload) records and the per-brick ranges go to
+      the fused Pallas binning kernel (pallas/bin_kernel.py), which bins
+      records into VMEM accumulators with MXU one-hot matmuls and runs
+      the per-frame chain eval against the pipelined value rows in one
+      kernel.  Replaces the dense record scatter — the single largest
+      traced op (PERFORMANCE.md w16 trace) — plus the dense buffer's HBM
+      round trips.  Bit-identical (asserted in interpret mode,
+      tests/test_pallas_bin.py); adoption is strictly by measured A/B
+      (VERDICT r4 item 1).
     * ``"row"`` — records of one voxel are CONTIGUOUS after the big sort
       (frame is the key's low field), so the window's whole per-voxel
       frame row (B payloads) is assembled elementwise from backward
@@ -499,7 +531,13 @@ def apply_brick_records_compact(
     frame = jnp.repeat(
         jnp.arange(B, dtype=jnp.uint32), U
     )
-    if dense_mode == "bfv":
+    # "pallas" accepts static tuning suffixes: "pallas-tb16-c512" sets the
+    # kernel's bricks-per-tile / records-per-chunk (defaults 8 / 1024).
+    # They ride in the dense_mode STRING so they stay part of every jit
+    # static-arg key up the stack (an env knob would silently be ignored
+    # by a same-shape cached trace).
+    is_pallas = dense_mode.startswith("pallas")
+    if dense_mode == "bfv" or is_pallas:
         # (brick, FRAME, offset) flat key — same total width, frame field
         # moved between brick and offset; valid keys stay < 2^31
         o_mask = jnp.uint32((1 << o) - 1)
@@ -531,7 +569,7 @@ def apply_brick_records_compact(
     )
     n_bricks = jnp.sum(new_brick & seg_valid).astype(jnp.int32)
     brick_overflow = n_bricks > NB
-    if dense_mode == "bfv":
+    if dense_mode == "bfv" or is_pallas:
         # a voxel's records across frames are not adjacent in
         # (brick, frame, offset) order — the exact window-unique count is
         # computed in the tail from the touched-union popcount instead
@@ -545,7 +583,7 @@ def apply_brick_records_compact(
 
     s_flat_l = s_flat[:Lb]
     valid_l = seg_valid[:Lb]
-    if dense_mode == "bfv":
+    if dense_mode == "bfv" or is_pallas:
         frame_l = (
             (s_flat_l >> o) & jnp.uint32((1 << f_bits) - 1)
         ).astype(jnp.int32)
@@ -555,8 +593,51 @@ def apply_brick_records_compact(
         ).astype(jnp.int32)
     lane_l = jnp.arange(Lb, dtype=jnp.int32)
     vox_overflow = jnp.zeros((), bool)
+    pallas_bin = None
+    dense = None
 
-    if dense_mode == "bfv":
+    if is_pallas:
+        # ---- NO dense buffer (see docstring): the brick compaction sort
+        # additionally carries each start's lane POSITION (2 arrays where
+        # bfv's carries 1) — the Lb-lane dense scatter it buys off is ~4x
+        # the extra payload's sort bytes.  Ranges of the compacted bricks
+        # tile the valid lane prefix contiguously, so brick i's records
+        # are [starts[i], starts[i+1]).
+        c_key = jnp.where(new_brick[:Lb] & valid_l, brick_id[:Lb], EMPTY32)
+        c_bid, c_pos = jax.lax.sort(
+            (c_key, lane_l.astype(jnp.uint32)), num_keys=1, is_stable=False
+        )
+        if NB > Lb:
+            c_bid = jnp.concatenate(
+                [c_bid, jnp.full((NB - Lb,), EMPTY32, jnp.uint32)]
+            )
+            c_pos = jnp.concatenate(
+                [c_pos, jnp.zeros((NB - Lb,), jnp.uint32)]
+            )
+        else:
+            c_bid = c_bid[:NB]
+            c_pos = c_pos[:NB]
+        # empty/tail bricks get the end sentinel (empty ranges); under a
+        # brick/lane overflow the ranges are garbage-but-bounded and the
+        # window is rejected all-or-nothing anyway
+        n_val_c = jnp.minimum(n_valid_lanes, jnp.int32(Lb))
+        lane_nb = jnp.arange(NB, dtype=jnp.int32)
+        starts = jnp.where(
+            (lane_nb < n_bricks) & (c_bid != EMPTY32),
+            c_pos.astype(jnp.int32), n_val_c,
+        )
+        starts = jnp.concatenate([starts, n_val_c[None]])
+        tb, chunk = 8, 1024
+        for part in dense_mode.split("-")[1:]:
+            if part.startswith("tb"):
+                tb = int(part[2:])
+            elif part.startswith("c"):
+                chunk = int(part[1:])
+        pallas_bin = dict(
+            s_flat=s_flat_l, s_pay=s_pay[:Lb], starts=starts,
+            f_bits=f_bits, o=o, tb=tb, chunk=chunk,
+        )
+    elif dense_mode == "bfv":
         brick_seg = jnp.cumsum(new_brick.astype(jnp.int32)) - 1
 
         # ---- dense record scatter at the Lb prefix: (brick, frame,
@@ -744,7 +825,8 @@ def apply_brick_records_compact(
         auxs=auxs, rec_valid=rec_valid, rec_occ=rec_valid & (recs.n_occ > 0),
         n_unique=n_unique, n_valid_lanes=n_valid_lanes,
         insert_budget=insert_budget, fail_reduce=fail_reduce,
-        dense_order="bfv" if dense_mode == "bfv" else "bvf",
+        dense_order="bfv" if (dense_mode == "bfv" or is_pallas) else "bvf",
+        pallas_bin=pallas_bin,
     )
 
 
