@@ -49,6 +49,10 @@ DEFAULT_DENSE_MODE = "bfv"
 # sequential lax.map); flipped only on a measured TPU win (budget-neutral,
 # so bench_plan.json entries are unaffected by this knob).
 DEFAULT_RECORDS_BATCH = 1
+# Windows chained per dispatched program (pipeline window_group): divides
+# the fixed per-window host-chain + dispatch cost (VERDICT r4 item 3).
+# Budget-neutral like records_batch; flipped only on a measured TPU win.
+DEFAULT_WINDOW_GROUP = 1
 PLAN_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "bench_plan.json")
 
@@ -596,6 +600,8 @@ def main_brick(cfg, n_pings, reps, window):
     # deliberately NOT part of the plan key
     records_batch = int(os.environ.get("BENCH_RECORDS_BATCH",
                                        str(DEFAULT_RECORDS_BATCH)))
+    window_group = int(os.environ.get("BENCH_WINDOW_GROUP",
+                                      str(DEFAULT_WINDOW_GROUP)))
     init_capacity = int(os.environ.get("BENCH_BRICK_CAPACITY", str(1 << 16)))
     plan_key = _plan_key(
         cfg, n_pings, window, "brick", dense_mode,
@@ -698,7 +704,7 @@ def main_brick(cfg, n_pings, reps, window):
             vox_budget=budgets["vox_budget"],
             dense_mode=dense_mode,
             dedup_lane_budget=budgets["dedup_lane_budget"], boxes=boxes,
-            records_batch=records_batch,
+            records_batch=records_batch, window_group=window_group,
         )
         # one host sync for flags + completion (two pulls = two ~28 ms
         # tunnel round trips ≈ 0.1 ms/ping of overhead at 256 pings)
@@ -791,6 +797,7 @@ def main_brick(cfg, n_pings, reps, window):
             # dense_mode only takes effect in the compact box-key branch;
             # report what actually ran
             "dense_mode": dense_mode if boxes is not None else "scalar",
+            "window_group": window_group if boxes is not None else 1,
             "compact_boxes": boxes is not None,
             "dedup_lane_budget": budgets["dedup_lane_budget"],
             "fan_cap": tables.nvo_cap,

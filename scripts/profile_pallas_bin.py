@@ -140,7 +140,8 @@ def _bench_setup(jax, window, dense_mode_for_plan="bfv"):
     return cfg, n_pings, images, T_host, tables, plan, boxes
 
 
-def _make_run(jax, cfg, images, T_host, tables, plan, boxes, window):
+def _make_run(jax, cfg, images, T_host, tables, plan, boxes, window,
+              **scan_extra):
     import jax.numpy as jnp
 
     from sonar_3d_reconstruction_tpu.grid.brick import init_brick_grid
@@ -161,6 +162,7 @@ def _make_run(jax, cfg, images, T_host, tables, plan, boxes, window):
             insert_budget=plan["insert_budget"],
             vox_budget=plan["vox_budget"], dense_mode=mode,
             dedup_lane_budget=plan["dedup_lane_budget"], boxes=boxes,
+            **scan_extra,
         )
         ov, used = jax.device_get((stats["overflowed"], st.used))
         assert not bool(np.asarray(ov).any()), f"{mode}: overflow"

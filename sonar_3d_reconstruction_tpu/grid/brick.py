@@ -884,12 +884,17 @@ def rehash_bricks(state: BrickGridState, new_capacity: int) -> BrickGridState:
 
 @jax.jit
 def _compact_bricks_by_class(key_rows, class_key):
+    # (class, hi, lo) keys: selected bricks come out in CANONICAL
+    # ascending-key order — extraction output is then deterministic across
+    # table capacities/layouts, and the incremental host view
+    # (BrickHostView, sorted by the same keys) reproduces it byte-for-byte
     hi = key_rows[:, :BUCKET_SLOTS].reshape(-1)
     lo = key_rows[:, BUCKET_SLOTS:].reshape(-1)
     counts = jnp.bincount(class_key, length=4)
     slot = jnp.arange(hi.shape[0], dtype=jnp.int32)
     _, s_hi, s_lo, s_slot = jax.lax.sort(
-        (class_key.astype(jnp.uint32), hi, lo, slot), num_keys=1
+        (class_key.astype(jnp.uint32), hi, lo, slot), num_keys=3,
+        is_stable=False,
     )
     return s_hi, s_lo, s_slot, counts
 
@@ -1107,6 +1112,135 @@ def load_voxels_brick(
         touched=jnp.asarray(tb),
         used=jnp.asarray(n, jnp.int32),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental publish extraction (VERDICT r4 item 4).
+#
+# The full-table extraction above is O(capacity) on device and O(occupied)
+# across the host link EVERY tick (measured 356-402 ms at a 515k-voxel
+# survey through the tunnel — PERFORMANCE.md round-4 table), which strains
+# the reference's 10 Hz publish contract (3d_mapper_node.py:227-231) as
+# maps grow.  The incremental path keeps a HOST-side view of the published
+# map and per tick pulls only bricks inside the DIRTY REGION — the union
+# of the chunk pose boxes mapped since the last tick.  Every candidate
+# emission lies within max_range of its ping's sonar origin (the same
+# host-provable coverage guarantee the compact box-key engine is built
+# on, ops/packing.py), so the pose-derived boxes are a proven superset of
+# the touched bricks: the pull is conservative, the content exact, and —
+# crucially — NO compiled engine program changes (the warm capture
+# family is untouched; dirty tracking is pure host bookkeeping).
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnames=("brick_bits",))
+def _select_bricks_in_boxes(key_rows, box_lo, box_hi, *, brick_bits):
+    """Class-compact the occupied bricks whose corner key lies in ANY of
+    the (K, 3) inclusive [box_lo, box_hi] bounds (pre-expanded by the
+    caller so corner-containment covers brick overlap)."""
+    hi = key_rows[:, :BUCKET_SLOTS].reshape(-1)
+    lo = key_rows[:, BUCKET_SLOTS:].reshape(-1)
+    occ = hi != EMPTY_HI
+    corner = unpack_brick_keys(hi, lo, brick_bits)  # garbage on empty slots
+    inb = jnp.any(
+        jnp.all(
+            (corner[:, None, :] >= box_lo[None])
+            & (corner[:, None, :] <= box_hi[None]),
+            axis=-1,
+        ),
+        axis=-1,
+    )
+    class_key = jnp.where(occ & inb, 0, 1).astype(jnp.int32)
+    return _compact_bricks_by_class(key_rows, class_key)
+
+
+def pull_bricks_in_boxes(state: BrickGridState, boxes):
+    """Pull the rows of every brick intersecting any box to the host.
+
+    ``boxes``: (K, 2, 3) int32 — per box inclusive [lo, hi] VOXEL-key
+    bounds.  K is padded to a power of two with never-matching boxes so
+    tick-to-tick K variation reuses a handful of compiled programs.
+    Returns host ``(hi, lo, rows, touched)`` (empty arrays for K=0).
+    """
+    boxes = np.asarray(boxes, np.int32).reshape(-1, 2, 3)
+    K = len(boxes)
+    if K == 0:
+        vol = state.brick_volume
+        return (
+            np.empty((0,), np.uint32), np.empty((0,), np.uint32),
+            np.empty((0, vol)), np.empty((0, state.touched.shape[1]),
+                                         np.uint32),
+        )
+    brick = 1 << state.brick_bits
+    lo_b = boxes[:, 0] - (brick - 1)  # corner-containment covers overlap
+    hi_b = boxes[:, 1].copy()
+    Kp = 1 << (K - 1).bit_length()
+    if Kp != K:
+        pad_lo = np.ones((Kp - K, 3), np.int32)
+        pad_hi = np.zeros((Kp - K, 3), np.int32)  # lo > hi: never matches
+        lo_b = np.concatenate([lo_b, pad_lo])
+        hi_b = np.concatenate([hi_b, pad_hi])
+    s_hi, s_lo, s_slot, counts = _select_bricks_in_boxes(
+        state.key_rows, jnp.asarray(lo_b), jnp.asarray(hi_b),
+        brick_bits=state.brick_bits,
+    )
+    n = int(counts[0])
+    return _pull_brick_rows(state, (s_hi, s_lo, s_slot), n)
+
+
+def pull_all_touched_bricks(state: BrickGridState):
+    """Pull every occupied brick's rows to the host (the incremental
+    view's initial seed; also a checkpoint-resume reseed)."""
+    class_key = jnp.where(state.key_hi != EMPTY_HI, 0, 1).astype(jnp.int32)
+    sel = _compact_bricks_by_class(state.key_rows, class_key)
+    n = int(sel[3][0])
+    return _pull_brick_rows(state, sel[:3], n)
+
+
+class BrickHostView:
+    """Host-side copy of the published map, merged incrementally from
+    pulled brick rows and extracted with the exact float64 math of
+    extract_occupied_brick (same point ORDER too: bricks ascend by
+    (hi, lo) — the device class sort's order — and voxels by offset, so
+    the serialized PointCloud2 is byte-identical to the full path's)."""
+
+    def __init__(self):
+        self._store = {}  # (hi, lo) -> (row (vol,), touched (words,))
+
+    def __len__(self):
+        return len(self._store)
+
+    def merge(self, hi, lo, rows, touched) -> None:
+        store = self._store
+        for h, l, r, t in zip(
+            np.asarray(hi).tolist(), np.asarray(lo).tolist(), rows, touched
+        ):
+            store[(h, l)] = (r, t)
+
+    def extract_occupied(self, cfg: MapperConfig, brick_bits: int):
+        from sonar_3d_reconstruction_tpu.ops.logodds import (
+            probability_to_log_odds,
+        )
+
+        if not self._store:
+            return np.empty((0, 3)), np.empty((0,))
+        keys = np.fromiter(
+            (k for kk in sorted(self._store) for k in kk),
+            np.uint32, count=2 * len(self._store),
+        ).reshape(-1, 2)
+        hi, lo = keys[:, 0], keys[:, 1]
+        rows = np.stack([self._store[(h, l)][0] for h, l in keys.tolist()])
+        touched = np.stack(
+            [self._store[(h, l)][1] for h, l in keys.tolist()]
+        )
+        vol = rows.shape[1]
+        thr = probability_to_log_odds(cfg.min_probability, cfg)
+        mask = _touched_bool(touched, vol) & (rows.astype(np.float64) > thr)
+        points = _brick_voxel_points(
+            hi, lo, vol, brick_bits, cfg.voxel_resolution
+        )[mask]
+        probs = 1.0 / (1.0 + np.exp(-rows.astype(np.float64)[mask]))
+        return points.reshape(-1, 3), probs
 
 
 # ---------------------------------------------------------------------------

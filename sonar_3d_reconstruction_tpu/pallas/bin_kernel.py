@@ -62,7 +62,7 @@ def _bin_kernel(
     starts_ref,            # (NBp+1,) i32 scalar-prefetch record-range starts
     key_hbm, pay_hbm,      # (KC, 1, CHUNK) u32, stay in HBM (manual DMA)
     rows_ref,              # (TB, vol) dtype current value rows (pipelined)
-    v_ref, upd_ref,        # (TB, vol) outputs: new rows, touched u32 0/1
+    v_ref, upd_ref,        # (TB, vol) outputs: new rows, touched i32 0/1
     kbuf, pbuf,            # (2, 1, CHUNK) u32 double buffers
     acc_cnt, acc_occ,      # (B*TB, vol) dtype accumulators
     sems,                  # (2, 2) DMA semaphores [slot, key/pay]
@@ -127,8 +127,10 @@ def _bin_kernel(
 
         m = (iota_col == col).astype(dtype)           # (B*TB, CHUNK)
         oh = (iota_off == off).astype(dtype)          # (vol, CHUNK)
-        cnt = (pay >> 16).astype(dtype)               # (1, CHUNK), <= 2^16
-        occ = (pay & jnp.uint32(0xFFFF)).astype(dtype)
+        # Mosaic has no u32 -> float cast; values are < 2^16, so the
+        # int32 hop is exact
+        cnt = (pay >> 16).astype(jnp.int32).astype(dtype)  # (1, CHUNK)
+        occ = (pay & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(dtype)
         # one record per (brick, frame, offset) slot -> each accumulator
         # element receives at most ONE nonzero term: exact in f32
         acc_cnt[:] += jax.lax.dot_general(
@@ -154,7 +156,7 @@ def _bin_kernel(
         upd = upd | (cnt_f != 0)
         v = finalize_voxel_updates(v, lo_sum, cnt_f, occ_f > 0, cfg)
     v_ref[:] = v
-    upd_ref[:] = upd.astype(jnp.uint32)
+    upd_ref[:] = upd.astype(jnp.int32)
 
 
 @functools.partial(
@@ -244,7 +246,7 @@ def pallas_bin_apply(
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((NBp, vol), dtype),
-            jax.ShapeDtypeStruct((NBp, vol), jnp.uint32),
+            jax.ShapeDtypeStruct((NBp, vol), jnp.int32),
         ),
         interpret=interpret,
     )(starts, key3, pay3, rows_cur)

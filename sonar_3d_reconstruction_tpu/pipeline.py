@@ -340,16 +340,7 @@ def _apply_brick(
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "tables", "cfg", "dtype", "unique_budget", "window",
-        "dedup_lane_budget", "brick_bits", "box_bits", "brick_budget",
-        "lane_budget", "insert_budget", "vox_budget", "dense_mode",
-        "records_batch",
-    ),
-)
-def _window_step_brick_compact(
+def _window_body_brick_compact(
     state,
     images,
     transforms,
@@ -373,12 +364,9 @@ def _window_step_brick_compact(
     dense_mode: str = "scalar",
     records_batch: int = 1,
 ):
-    """Records + apply for one window in ONE program (compact box-key
-    path).  Functionally identical to _records_window followed by an
-    apply_brick_records_compact dispatch; fusing them halves the
-    per-window dispatches and keeps the records intermediates entirely
-    inside the program (bench-neutral on the tunneled chip — dispatches
-    overlap — but strictly less dispatch traffic).
+    """Records + apply for one window (compact box-key path) — the traced
+    BODY shared by the one-window program (_window_step_brick_compact)
+    and the multi-window group program (_multi_window_step_brick_compact).
 
     ``records_batch`` (static) groups the per-frame records computation:
     1 keeps today's sequential ``lax.map`` over frames (byte-identical
@@ -431,6 +419,63 @@ def _window_step_brick_compact(
     )
 
 
+_WINDOW_STEP_STATICS = (
+    "tables", "cfg", "dtype", "unique_budget", "window",
+    "dedup_lane_budget", "brick_bits", "box_bits", "brick_budget",
+    "lane_budget", "insert_budget", "vox_budget", "dense_mode",
+    "records_batch",
+)
+
+
+@partial(jax.jit, static_argnames=_WINDOW_STEP_STATICS)
+def _window_step_brick_compact(
+    state, images, transforms, w_start, start, stop, box_min, **kw
+):
+    """One window in ONE program — see _window_body_brick_compact.
+    Fusing records + apply halves the per-window dispatches and keeps the
+    records intermediates inside the program (bench-neutral on the
+    tunneled chip — dispatches overlap — but strictly less traffic)."""
+    return _window_body_brick_compact(
+        state, images, transforms, w_start, start, stop, box_min, **kw
+    )
+
+
+@partial(jax.jit, static_argnames=_WINDOW_STEP_STATICS + ("group",))
+def _multi_window_step_brick_compact(
+    state, images, transforms, w_start, start, stop, box_mins, *,
+    group: int, **kw,
+):
+    """``group`` consecutive windows chained inside ONE program (VERDICT
+    r4 item 3: the fixed per-window host-chain + dispatch cost — measured
+    1.8 ms/window through the tunnel — does not shard and caps the
+    projected scaling; amortizing it over G windows divides it by G).
+
+    ``box_mins`` is (group, 3) — one box origin per sub-window, indexed
+    statically.  State flows window -> window exactly as the chained
+    dispatches would: the all-or-nothing poison contract is unchanged (a
+    failed window poisons the state; later windows in the same program
+    see the poison and apply nothing).  Whether XLA's in-program aliasing
+    of the big table buffers hits the slow in-place scatter path
+    (pipeline.py design note) is exactly what the A/B measures
+    (scripts/profile_dispatch.py).
+    """
+    window = kw["window"]
+    # insert_budget may be per-sub-window (a static tuple: the cold first
+    # window of a fresh map inserts nearly all its uniques)
+    ib = kw.pop("insert_budget", None)
+    all_stats = []
+    for g in range(group):
+        state, stats = _window_body_brick_compact(
+            state, images, transforms, w_start + jnp.int32(g * window),
+            start, stop, box_mins[g],
+            insert_budget=ib[g] if isinstance(ib, tuple) else ib, **kw,
+        )
+        all_stats.append(stats)
+    return state, {
+        k: jnp.concatenate([s[k] for s in all_stats]) for k in all_stats[0]
+    }
+
+
 def scan_pings_brick(
     state,
     images: jnp.ndarray,
@@ -451,11 +496,19 @@ def scan_pings_brick(
     dedup_lane_budget=0,
     boxes=None,
     records_batch: int = 1,
+    window_group: int = 1,
 ):
     """Whole ping sequence -> brick map (host-driven window engine; the
     brick backend is window-batched by construction — grid/brick.py — and
     window=1 degenerates to per-ping apply).  Budgets/overflow contract
     mirror scan_pings_hash.
+
+    ``window_group`` > 1 (compact box-key path only) chains G consecutive
+    windows inside ONE compiled program
+    (_multi_window_step_brick_compact), dividing the fixed per-window
+    host-chain + dispatch cost by G.  Results are identical: state flows
+    window -> window exactly as chained dispatches, including the poison
+    contract.  A short tail (< G windows) runs a smaller group program.
 
     ``boxes``: optional ``(box_mins (n_windows, 3) int32, (ax, ay, az))``
     from ops/packing.compute_window_boxes (the host gate proves coverage)
@@ -492,13 +545,49 @@ def scan_pings_brick(
         np.asarray(boxes[0], np.int32), tuple(boxes[1])
     )
 
-    window_stats = []
-    for wi, w in enumerate(range(0, P, window)):
-        ib = (
+    def _ib(wi):
+        return (
             insert_budget[min(wi, len(insert_budget) - 1)]
             if isinstance(insert_budget, (list, tuple))
             else insert_budget
         )
+
+    common = dict(
+        tables=tables, cfg=cfg, dtype=dtype, unique_budget=unique_budget,
+        window=window, dedup_lane_budget=dedup_lane_budget, brick_bits=bb,
+        box_bits=box_bits, brick_budget=brick_budget,
+        lane_budget=lane_budget, vox_budget=vox_budget,
+        dense_mode=dense_mode, records_batch=records_batch,
+    )
+    wins = list(range(0, P, window))
+    if box_bits is not None and window_group > 1:
+        window_stats = []
+        wi = 0
+        while wi < len(wins):
+            g = min(window_group, len(wins) - wi)
+            if g > 1:
+                state, stats = _multi_window_step_brick_compact(
+                    state, images_dev, T_dev, jnp.int32(wins[wi]), start,
+                    stop, jnp.asarray(box_mins[wi:wi + g]), group=g,
+                    insert_budget=tuple(_ib(wi + k) for k in range(g)),
+                    **common,
+                )
+            else:
+                state, stats = _window_step_brick_compact(
+                    state, images_dev, T_dev, jnp.int32(wins[wi]), start,
+                    stop, jnp.asarray(box_mins[wi]),
+                    insert_budget=_ib(wi), **common,
+                )
+            window_stats.append(stats)
+            wi += g
+        return state, {
+            k: jnp.concatenate([s[k] for s in window_stats])[:P]
+            for k in window_stats[0]
+        }
+
+    window_stats = []
+    for wi, w in enumerate(wins):
+        ib = _ib(wi)
         box_min = (
             None if box_mins is None else jnp.asarray(box_mins[wi])
         )
@@ -506,13 +595,7 @@ def scan_pings_brick(
             # fused records+apply: one dispatch per window
             state, stats = _window_step_brick_compact(
                 state, images_dev, T_dev, jnp.int32(w), start, stop,
-                box_min, tables=tables, cfg=cfg, dtype=dtype,
-                unique_budget=unique_budget, window=window,
-                dedup_lane_budget=dedup_lane_budget, brick_bits=bb,
-                box_bits=box_bits, brick_budget=brick_budget,
-                lane_budget=lane_budget, insert_budget=ib,
-                vox_budget=vox_budget, dense_mode=dense_mode,
-                records_batch=records_batch,
+                box_min, insert_budget=ib, **common,
             )
         else:
             recs, auxs = _records_window(

@@ -761,3 +761,61 @@ def test_brick_records_batch_bit_equals_sequential(small_cfg):
                     np.asarray(ref_stats[k]), np.asarray(stats[k]),
                     err_msg=f"{mode}:rb={rb}:{k}",
                 )
+
+
+def test_brick_window_group_bit_equals_chained(small_cfg):
+    """window_group > 1 (G windows chained inside ONE program —
+    pipeline._multi_window_step_brick_compact) is bit-identical to the
+    per-window dispatch chain, including a non-dividing group (tail runs
+    the single-window program) and per-window cold/warm insert budgets
+    (static tuple inside the group program)."""
+    from sonar_3d_reconstruction_tpu.grid.brick import init_brick_grid
+    from sonar_3d_reconstruction_tpu.ops.backproject import (
+        build_fan_tables,
+        required_fan_cap,
+        required_window_cap,
+    )
+    from sonar_3d_reconstruction_tpu.ops.packing import compute_window_boxes
+    from sonar_3d_reconstruction_tpu.pipeline import (
+        batched_sonar_to_world,
+        scan_pings_brick,
+    )
+
+    cfg = small_cfg
+    images, positions, quats = make_sequence(cfg, 9, seed=56)
+    R, Bw = cfg.image_height, cfg.image_width
+    tables = build_fan_tables(
+        cfg, R, Bw, fan_cap=required_fan_cap(images, cfg, R),
+        window_cap=required_window_cap(images, cfg, R),
+    )
+    T = batched_sonar_to_world(positions, quats, cfg)
+    window = 4
+    boxes = compute_window_boxes(
+        T[:, :3, 3], cfg.max_range, cfg.voxel_resolution, window, 2,
+        frame_bits=max(1, (window - 1).bit_length()),
+    )
+    assert boxes is not None
+
+    def run(**kw):
+        st, stats = scan_pings_brick(
+            init_brick_grid(1 << 12, jnp.float64), jnp.asarray(images),
+            jnp.asarray(T, jnp.float64), tables=tables, cfg=cfg,
+            dtype=jnp.float64, window=window, boxes=boxes, **kw,
+        )
+        assert not bool(np.asarray(stats["overflowed"]).any()), kw
+        return brick_state_to_dict(st), stats
+
+    for ib in (None, [8192, 4096]):
+        ref_state, ref_stats = run(insert_budget=ib, window_group=1)
+        # 9 pings / window 4 = 3 windows: group 2 = one pair + single
+        # tail; group 3 = all three in one program; group 8 clamps
+        for wg in (2, 3, 8):
+            st, stats = run(insert_budget=ib, window_group=wg)
+            assert st.keys() == ref_state.keys()
+            for k in ref_state:
+                assert ref_state[k] == st[k], (ib, wg, k)
+            for k in ref_stats:
+                np.testing.assert_array_equal(
+                    np.asarray(ref_stats[k]), np.asarray(stats[k]),
+                    err_msg=f"ib={ib}:wg={wg}:{k}",
+                )

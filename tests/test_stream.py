@@ -415,3 +415,34 @@ def test_pointcloud_msg_nanosec_carry(small_cfg):
     sm = StreamingMapper(cfg, chunk_size=1, initial_capacity=1 << 10)
     msg = sm.pointcloud_msg(stamp=123.9999999996)
     assert msg["header"]["stamp"] == {"sec": 124, "nanosec": 0}
+
+
+def test_stream_incremental_publish_byte_identical(tmp_path, small_cfg):
+    """Incremental publish (default for the brick backend: host view +
+    pose-derived dirty-region pulls, grid/brick.py incremental section)
+    produces BYTE-identical PointCloud2 messages to the full O(capacity)
+    extraction at every tick, including under growth pressure and on a
+    final post-stream tick."""
+    cfg = small_cfg
+    path, *_ = make_bag(tmp_path, cfg, 8, seed=777, rate_hz=2.0)
+
+    def run(inc):
+        published = []
+        sm = StreamingMapper(
+            cfg, StreamConfig(publish_rate_hz=2.0), chunk_size=2, window=2,
+            initial_capacity=1 << 8, dtype=jnp.float64, backend="brick",
+            publish=published.append, incremental_publish=inc,
+        )
+        sm.run_bag(path)
+        published.append(sm.pointcloud_msg(stamp=999.0))
+        return published, sm
+
+    a, sma = run(True)
+    b, smb = run(False)
+    assert sma.incremental_publish and not smb.incremental_publish
+    assert sma.stats.grows > 0  # tiny capacity: growth exercised
+    assert len(a) == len(b) >= 3
+    for i, (ma, mb) in enumerate(zip(a, b)):
+        assert ma == mb, f"publish {i} differs"
+    # ticks after the seed pulled only dirty regions, not the full table
+    assert sma._host_view is not None and len(sma._host_view) > 0
