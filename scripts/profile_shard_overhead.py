@@ -134,3 +134,24 @@ for name, fn in (
         f"{name:20s} {best*1e3:8.1f} ms  {best*1e3/PINGS:6.2f} ms/ping",
         flush=True,
     )
+
+# VERDICT r4 item 6: attribute the ~5.5 ms/ping S=1 machinery cost with a
+# device trace of the sharded step vs the plain step (TRACE=1).
+if os.environ.get("TRACE", "0") == "1":
+    import glob
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from profile_trace import parse_xplane_top_ops
+
+    for name, fn in (("sharded", run_sharded), ("plain", run_plain)):
+        out = f"/tmp/shard_s1_trace_{name}"
+        with jax.profiler.trace(out):
+            fn(97)
+        paths = sorted(
+            glob.glob(os.path.join(out, "**", "*.xplane.pb"),
+                      recursive=True),
+            key=os.path.getmtime,
+        )
+        print(f"== top ops: {name} (per-ping over {PINGS}) ==", flush=True)
+        for op, ps in parse_xplane_top_ops(paths[-1], top=30):
+            print(f"{ps/1e9/PINGS:9.4f} ms/ping  {op}", flush=True)

@@ -172,6 +172,14 @@ def cmd_map_bag(args: argparse.Namespace) -> int:
         # tuned for window W needs chunk >= W to run as tuned
         args.chunk = max(args.chunk, int(plan["window"]))
 
+    published = {"n": 0, "points": 0, "bytes": 0}
+    pub_cb = None
+    if getattr(args, "publish", False):
+        def pub_cb(msg):
+            published["n"] += 1
+            published["points"] = msg["width"]
+            published["bytes"] += len(msg["data"])
+
     mapper = StreamingMapper(
         cfg,
         stream_cfg,
@@ -180,6 +188,7 @@ def cmd_map_bag(args: argparse.Namespace) -> int:
         dtype=jnp.float32,
         backend=args.backend,
         budgets=plan,
+        publish=pub_cb,
     )
     t0 = time.perf_counter()
     stats = mapper.run_bag(args.bag)
@@ -187,6 +196,10 @@ def cmd_map_bag(args: argparse.Namespace) -> int:
     s = stats.summary()
     s["wall_time"] = wall
     s["pings_per_sec"] = stats.frames_mapped / wall if wall else 0.0
+    if pub_cb is not None:
+        s["publishes"] = published["n"]
+        s["last_publish_points"] = published["points"]
+        s["publish_bytes"] = published["bytes"]
     print(json.dumps(s, default=float))
 
     if args.save_map:
@@ -460,6 +473,13 @@ def main(argv: Optional[List[str]] = None) -> int:
         "--budgets", default=None, metavar="PLAN.json",
         help="deployment budget plan from `tune` (--offline path); snug "
         "budgets size every apply-side op — stale plans fall back safely",
+    )
+    p.add_argument(
+        "--publish", action="store_true",
+        help="streaming path: attach a counting publish sink at the "
+        "config's publish_rate_hz (the reference node's 10 Hz tick, "
+        "node:227-231) — the summary then reports publishes / "
+        "last_publish_points / publish_bytes",
     )
 
     p = sub.add_parser(
