@@ -44,7 +44,12 @@ DEFAULT_WINDOW = 16
 # bfv adopted 2026-08-19: 129.5/129.6 M updates/s vs scalar's 118.4-126.6 M
 # across six same-host runs, AND a far safer warm capture wall (118 s vs
 # scalar's 397-906 s) — PERFORMANCE.md "Round-4b bfv A/B".
-DEFAULT_DENSE_MODE = "bfv"
+# pallas adopted 2026-08-20 (round 5): the fused Pallas binning kernel
+# (pallas/bin_kernel.py) replaces the dense record scatter + chain eval —
+# measured 165.7 M updates/s (tb8) / 173.2 M (tb16) vs 130.9 M bfv in the
+# same session (+26/+32%, 1.013 vs 1.341 ms/ping; smoke bit-exact on
+# chip) — PERFORMANCE.md "Round-5 Pallas binning kernel A/B".
+DEFAULT_DENSE_MODE = "pallas-tb16"
 # Frames per vmapped group in the window records computation (1 = the
 # sequential lax.map); flipped only on a measured TPU win (budget-neutral,
 # so bench_plan.json entries are unaffected by this knob).

@@ -45,6 +45,11 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--window", type=int, default=16)
     ap.add_argument("--md", action="store_true", help="markdown table")
+    ap.add_argument(
+        "--fixed-ms", type=float, default=FIXED_MS_PER_WINDOW,
+        help="fixed host+dispatch ms/window (round-5 window_group\n"
+        "amortization divides the measured 1.8 by the group size)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -109,7 +114,7 @@ def main() -> int:
         a2a_ms = 1e3 * a2a_bytes / ICI_BYTES_PER_S
         t_records = RECORDS_MS_PER_WINDOW * F / window
         t_apply = APPLY_MS_PER_WINDOW / S
-        t_win = t_records + t_apply + a2a_ms + FIXED_MS_PER_WINDOW
+        t_win = t_records + t_apply + a2a_ms + args.fixed_ms
         t_dev = t_records + t_apply + a2a_ms
         ping_ms = t_win / window
         rows.append((S, F, rec_lanes, comp_lanes, apply_lanes, bricks,
