@@ -494,7 +494,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p.add_argument("--backend", choices=("hash", "brick"), default="brick")
     p.add_argument("--window", type=int, default=8)
     p.add_argument(
-        "--dense-mode", choices=("scalar", "bfv", "row"), default="scalar",
+        "--dense-mode", choices=("scalar", "bfv", "row", "pallas"),
+        default="bfv",
         help="brick dense-scatter structure the plan budgets for",
     )
     p.add_argument("--out", default=None, metavar="PLAN.json")

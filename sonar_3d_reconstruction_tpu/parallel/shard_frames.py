@@ -106,7 +106,7 @@ def make_window_scan_sharded_frames(
     insert_budget=None,
     brick_bits: int = DEFAULT_BRICK_BITS,
     box_bits: Optional[Tuple[int, int, int]] = None,
-    dense_mode: str = "scalar",
+    dense_mode: str = "bfv",  # library default, round 5 — see pipeline.scan_pings_brick
     vox_budget: Optional[int] = None,
 ):
     """Frame-parallel sharded window-engine sequence runner:
@@ -471,7 +471,7 @@ def map_ping_sequence_sharded_frames(
     window_cap="auto",
     free_cap="auto",
     box_min_bits=None,
-    dense_mode: str = "scalar",
+    dense_mode: str = "bfv",  # library default, round 5 — see pipeline.scan_pings_brick
     vox_budget: Optional[int] = None,
     use_boxes: bool = True,
 ) -> Tuple[ShardedBrickState, Dict[str, np.ndarray]]:

@@ -492,7 +492,11 @@ def scan_pings_brick(
     lane_budget=None,
     insert_budget=None,
     vox_budget=None,
-    dense_mode: str = "scalar",
+    # "bfv" library default (round 5): the round-5 S=1 trace showed the
+    # scalar mode paying a ~2.3 ms/ping dense-buffer RELAYOUT copy at
+    # library-default (untuned) brick budgets — bfv writes the chain
+    # layout directly (r4b mechanism) and is bit-identical by test
+    dense_mode: str = "bfv",
     dedup_lane_budget=0,
     boxes=None,
     records_batch: int = 1,
@@ -983,7 +987,7 @@ def _map_ping_sequence_brick(
             "lane_budget": budgets.get("lane_budget"),
             "insert_budget": budgets.get("insert_budget"),
             "vox_budget": budgets.get("vox_budget"),
-            "dense_mode": budgets.get("dense_mode", "scalar"),
+            "dense_mode": budgets.get("dense_mode", "bfv"),
             "dedup_lane_budget": budgets.get("dedup_lane_budget") or 0,
         }
         plan_active = True
@@ -1034,7 +1038,7 @@ def _map_ping_sequence_brick(
             # budgets before any growth (keep dense_mode — it is a
             # representation choice, not a size)
             plan_active = False
-            extras = {"dense_mode": extras.get("dense_mode", "scalar")}
+            extras = {"dense_mode": extras.get("dense_mode", "bfv")}
             unique_budget = int(
                 budgets.get("safe_unique_budget") or unique_budget * 2
             )

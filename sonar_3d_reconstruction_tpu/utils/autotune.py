@@ -134,7 +134,7 @@ def tune_sequence(
     *,
     backend: str = "brick",
     window: int = 8,
-    dense_mode: str = "scalar",
+    dense_mode: str = "bfv",
     dtype=None,
     initial_capacity: Optional[int] = None,
 ) -> Dict[str, Any]:
