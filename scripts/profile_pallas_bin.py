@@ -165,13 +165,17 @@ def _make_run(jax, cfg, images, T_host, tables, plan, boxes, window,
     jax.block_until_ready((images_dev, T_dev))
 
     def run(mode, rep):
+        # raw-candidate modes bypass the per-frame dedup: the lane budget
+        # must cover VALID CANDIDATES (not compacted records) — run at
+        # full lattice width first; snug from measured batch_n_lanes later
+        raw = "raw" in mode.split("-")
         imgs = images_dev.at[0, 0, 0].set(np.uint8(rep % 251))
         st = init_brick_grid(plan["capacity"], jnp.float32)
         st, stats = scan_pings_brick(
             st, imgs, T_dev, tables=tables, cfg=cfg, dtype=jnp.float32,
             unique_budget=plan["unique_budget"], window=window,
             brick_budget=plan["brick_budget"],
-            lane_budget=plan["lane_budget"],
+            lane_budget=None if raw else plan["lane_budget"],
             insert_budget=plan["insert_budget"],
             vox_budget=plan["vox_budget"], dense_mode=mode,
             dedup_lane_budget=plan["dedup_lane_budget"], boxes=boxes,
@@ -209,6 +213,7 @@ def ab():
             "ms_per_ping": 1e3 * best / n_pings,
             "pings_per_sec": n_pings / best,
             "first_run_s": round(compile_s, 1),
+            "max_lanes": int(np.asarray(stats["batch_n_lanes"]).max()),
             "n_pings": n_pings, "window": window,
         }), flush=True)
 

@@ -346,20 +346,26 @@ def _apply_window_tail(
 
     # ---- dense sequential chain evaluation: B masked elementwise passes
     # (or the fused Pallas binning kernel, which subsumes the dense buffer)
+    k_occ = k_free = None
     if pallas_bin is not None:
         from sonar_3d_reconstruction_tpu.pallas.bin_kernel import (
             pallas_bin_apply,
         )
 
-        v, upd_mask = pallas_bin_apply(
+        out = pallas_bin_apply(
             pallas_bin["s_flat"], pallas_bin["s_pay"],
             pallas_bin["starts"], rows_cur,
             B=B, vol=vol, f_bits=pallas_bin["f_bits"], o=pallas_bin["o"],
             cfg=cfg, TB=pallas_bin["tb"], CHUNK=pallas_bin["chunk"],
+            stats_out=pallas_bin["raw"],
             # Mosaic needs the real TPU; everywhere else (CPU tests,
             # virtual meshes) the interpreter preserves exact semantics
             interpret=jax.devices()[0].platform != "tpu",
         )
+        if pallas_bin["raw"]:
+            v, upd_mask, k_occ, k_free = out
+        else:
+            v, upd_mask = out
     else:
         occL = jnp.asarray(cfg.log_odds_occupied, dtype)
         freL = jnp.asarray(cfg.log_odds_free, dtype)
@@ -441,6 +447,12 @@ def _apply_window_tail(
         "pack_overflow": jnp.broadcast_to(pack_overflow, (B,)),
         "range_fail": auxs.range_fail,
     }
+    if k_occ is not None:
+        # raw-candidate mode: the rec arrays count CANDIDATES, not unique
+        # voxels — the kernel's per-frame popcounts are the reference
+        # num_occupied/num_free (unique voxels by type)
+        stats["num_occupied"] = jnp.where(failed, zeroB, k_occ)
+        stats["num_free"] = jnp.where(failed, zeroB, k_free)
     return new_state, stats
 
 
@@ -627,15 +639,20 @@ def apply_brick_records_compact(
             c_pos.astype(jnp.int32), n_val_c,
         )
         starts = jnp.concatenate([starts, n_val_c[None]])
-        tb, chunk = 8, 1024
+        tb, chunk, raw = 8, 1024, False
         for part in dense_mode.split("-")[1:]:
-            if part.startswith("tb"):
+            if part == "raw":
+                # records are RAW candidates (ops/records raw mode): the
+                # kernel's summing accumulator computes the aggregates,
+                # and the per-frame unique stats come from the kernel
+                raw = True
+            elif part.startswith("tb"):
                 tb = int(part[2:])
             elif part.startswith("c"):
                 chunk = int(part[1:])
         pallas_bin = dict(
             s_flat=s_flat_l, s_pay=s_pay[:Lb], starts=starts,
-            f_bits=f_bits, o=o, tb=tb, chunk=chunk,
+            f_bits=f_bits, o=o, tb=tb, chunk=chunk, raw=raw,
         )
     elif dense_mode == "bfv":
         brick_seg = jnp.cumsum(new_brick.astype(jnp.int32)) - 1

@@ -63,12 +63,15 @@ def _bin_kernel(
     key_hbm, pay_hbm,      # (KC, 1, CHUNK) u32, stay in HBM (manual DMA)
     rows_ref,              # (TB, vol) dtype current value rows (pipelined)
     v_ref, upd_ref,        # (TB, vol) outputs: new rows, touched i32 0/1
-    kbuf, pbuf,            # (2, 1, CHUNK) u32 double buffers
-    acc_cnt, acc_occ,      # (B*TB, vol) dtype accumulators
-    sems,                  # (2, 2) DMA semaphores [slot, key/pay]
-    *,
-    B, vol, f_bits, o, TB, CHUNK, cfg, dtype,
+    *refs,                 # [occ_ref, free_ref (B, 1) if stats_out] + scratch
+    B, vol, f_bits, o, TB, CHUNK, cfg, dtype, stats_out=False,
 ):
+    if stats_out:
+        occ_ref, free_ref = refs[0], refs[1]
+        kbuf, pbuf, acc_cnt, acc_occ, sems = refs[2:]
+    else:
+        kbuf, pbuf, acc_cnt, acc_occ, sems = refs
+
     j = pl.program_id(0)
     base = starts_ref[j * TB]
     end = starts_ref[(j + 1) * TB]
@@ -158,16 +161,34 @@ def _bin_kernel(
     v_ref[:] = v
     upd_ref[:] = upd.astype(jnp.int32)
 
+    if stats_out:
+        # per-frame UNIQUE voxel counts by type over this tile (the
+        # reference's num_occupied/num_free stats — needed when records
+        # arrive as RAW candidates and the rec arrays no longer count
+        # uniques).  acc rows are frame-major blocks of TB, so the (B,
+        # TB*vol) reshape groups each frame's slots contiguously.
+        cnt_nz = acc_cnt[:].reshape(B, TB * vol) != 0
+        occ_nz = acc_occ[:].reshape(B, TB * vol) > 0
+        occ_ref[:] = jnp.sum(
+            occ_nz.astype(jnp.int32), axis=1, keepdims=True
+        )
+        free_ref[:] = jnp.sum(
+            (cnt_nz & jnp.logical_not(occ_nz)).astype(jnp.int32),
+            axis=1, keepdims=True,
+        )
+
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "B", "vol", "f_bits", "o", "cfg", "TB", "CHUNK", "interpret"
+        "B", "vol", "f_bits", "o", "cfg", "TB", "CHUNK", "interpret",
+        "stats_out",
     ),
 )
 def pallas_bin_apply(
     s_flat,     # (L,) u32 (brick, frame, offset)-sorted bfv flat keys
-    s_pay,      # (L,) u32 count<<16 | n_occ
+    s_pay,      # (L,) u32 count<<16 | n_occ (records need NOT be unique:
+                # the accumulator SUMS per slot — raw-candidate mode)
     starts,     # (NB+1,) i32 per-compacted-brick record-range starts
     rows_cur,   # (NB, vol) dtype gathered value rows, compacted-brick order
     *,
@@ -179,10 +200,13 @@ def pallas_bin_apply(
     TB: int = DEFAULT_TB,
     CHUNK: int = DEFAULT_CHUNK,
     interpret: bool = False,
+    stats_out: bool = False,
 ):
     """Returns (new rows (NB, vol) dtype, touched-this-window (NB, vol)
     bool) — the chain-evaluated replacement for the XLA dense scatter +
-    per-frame masked passes (grid/brick._apply_window_tail)."""
+    per-frame masked passes (grid/brick._apply_window_tail).  With
+    ``stats_out`` additionally returns per-frame unique-voxel counts
+    (occupied-typed (B,), free-typed (B,)) summed over tiles."""
     L = s_flat.shape[0]
     NB = rows_cur.shape[0]
     dtype = rows_cur.dtype
@@ -208,27 +232,32 @@ def pallas_bin_apply(
         )
     starts = starts.astype(jnp.int32)
 
+    tile_spec = pl.BlockSpec(
+        (TB, vol), lambda j, starts: (j, 0), memory_space=pltpu.VMEM
+    )
+    out_specs = [tile_spec, tile_spec]
+    out_shape = [
+        jax.ShapeDtypeStruct((NBp, vol), dtype),
+        jax.ShapeDtypeStruct((NBp, vol), jnp.int32),
+    ]
+    if stats_out:
+        stat_spec = pl.BlockSpec(
+            (B, 1), lambda j, starts: (j, 0), memory_space=pltpu.VMEM
+        )
+        out_specs += [stat_spec, stat_spec]
+        out_shape += [
+            jax.ShapeDtypeStruct((NT * B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((NT * B, 1), jnp.int32),
+        ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(NT,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(
-                (TB, vol), lambda j, starts: (j, 0),
-                memory_space=pltpu.VMEM,
-            ),
+            tile_spec,
         ],
-        out_specs=(
-            pl.BlockSpec(
-                (TB, vol), lambda j, starts: (j, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (TB, vol), lambda j, starts: (j, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ),
+        out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((2, 1, CHUNK), jnp.uint32),
             pltpu.VMEM((2, 1, CHUNK), jnp.uint32),
@@ -239,15 +268,20 @@ def pallas_bin_apply(
     )
     kern = functools.partial(
         _bin_kernel, B=B, vol=vol, f_bits=f_bits, o=o, TB=TB, CHUNK=CHUNK,
-        cfg=cfg, dtype=dtype,
+        cfg=cfg, dtype=dtype, stats_out=stats_out,
     )
-    v, upd = pl.pallas_call(
+    out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((NBp, vol), dtype),
-            jax.ShapeDtypeStruct((NBp, vol), jnp.int32),
-        ),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(starts, key3, pay3, rows_cur)
+    if stats_out:
+        v, upd, occ_u, free_u = out
+        return (
+            v[:NB], upd[:NB] != 0,
+            occ_u.reshape(NT, B).sum(axis=0),
+            free_u.reshape(NT, B).sum(axis=0),
+        )
+    v, upd = out
     return v[:NB], upd[:NB] != 0

@@ -383,6 +383,11 @@ def _window_body_brick_compact(
     )
     from sonar_3d_reconstruction_tpu.ops.records import frame_records
 
+    # "...-raw" (Pallas binning apply only): per-frame dedup skipped —
+    # the kernel's summing accumulator reproduces the aggregates exactly
+    # (ops/records.frame_records raw docstring)
+    raw = "raw" in dense_mode.split("-")
+
     def body(i):
         idx = w_start + i
         image = jax.lax.dynamic_index_in_dim(images, idx, 0, keepdims=False)
@@ -391,7 +396,7 @@ def _window_body_brick_compact(
         return frame_records(
             image, T, tables, cfg, unique_budget, dtype, frame_on=frame_on,
             dedup_lane_budget=dedup_lane_budget, brick_bits=brick_bits,
-            box_min=box_min, box_bits=box_bits,
+            box_min=box_min, box_bits=box_bits, raw=raw,
         )
 
     if records_batch == 1:
