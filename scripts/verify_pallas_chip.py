@@ -47,7 +47,9 @@ def main():
             st, images_dev, T_dev, tables=tables, cfg=cfg,
             dtype=jnp.float32, unique_budget=plan["unique_budget"],
             window=window, brick_budget=plan["brick_budget"],
-            lane_budget=plan["lane_budget"],
+            # raw modes: the lane budget must cover candidates, not records
+            lane_budget=(None if "raw" in mode.split("-")
+                         else plan["lane_budget"]),
             insert_budget=plan["insert_budget"],
             vox_budget=plan["vox_budget"], dense_mode=mode,
             dedup_lane_budget=plan["dedup_lane_budget"], boxes=boxes,
