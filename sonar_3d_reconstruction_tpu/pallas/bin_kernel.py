@@ -158,24 +158,19 @@ def _bin_kernel(
         lo_sum = occ_f * occL + (cnt_f - occ_f) * freL
         upd = upd | (cnt_f != 0)
         v = finalize_voxel_updates(v, lo_sum, cnt_f, occ_f > 0, cfg)
+        if stats_out:
+            # per-frame UNIQUE voxel counts by type over this tile (the
+            # reference's num_occupied/num_free — needed when records
+            # arrive as RAW candidates and the rec arrays no longer count
+            # uniques).  Scalar reduce into the SMEM stat blocks (Mosaic
+            # rejects the (B, TB*vol) reshape a vector variant would need).
+            o_nz = occ_f > 0
+            occ_ref[f, 0] = jnp.sum(o_nz.astype(jnp.int32))
+            free_ref[f, 0] = jnp.sum(
+                ((cnt_f != 0) & jnp.logical_not(o_nz)).astype(jnp.int32)
+            )
     v_ref[:] = v
     upd_ref[:] = upd.astype(jnp.int32)
-
-    if stats_out:
-        # per-frame UNIQUE voxel counts by type over this tile (the
-        # reference's num_occupied/num_free stats — needed when records
-        # arrive as RAW candidates and the rec arrays no longer count
-        # uniques).  acc rows are frame-major blocks of TB, so the (B,
-        # TB*vol) reshape groups each frame's slots contiguously.
-        cnt_nz = acc_cnt[:].reshape(B, TB * vol) != 0
-        occ_nz = acc_occ[:].reshape(B, TB * vol) > 0
-        occ_ref[:] = jnp.sum(
-            occ_nz.astype(jnp.int32), axis=1, keepdims=True
-        )
-        free_ref[:] = jnp.sum(
-            (cnt_nz & jnp.logical_not(occ_nz)).astype(jnp.int32),
-            axis=1, keepdims=True,
-        )
 
 
 @functools.partial(
@@ -242,7 +237,7 @@ def pallas_bin_apply(
     ]
     if stats_out:
         stat_spec = pl.BlockSpec(
-            (B, 1), lambda j, starts: (j, 0), memory_space=pltpu.VMEM
+            (B, 1), lambda j, starts: (j, 0), memory_space=pltpu.SMEM
         )
         out_specs += [stat_spec, stat_spec]
         out_shape += [
