@@ -1219,43 +1219,92 @@ class BrickHostView:
     pulled brick rows and extracted with the exact float64 math of
     extract_occupied_brick (same point ORDER too: bricks ascend by
     (hi, lo) — the device class sort's order — and voxels by offset, so
-    the serialized PointCloud2 is byte-identical to the full path's)."""
+    the serialized PointCloud2 is byte-identical to the full path's).
+
+    Storage is ARRAY-based (append-only rows + a key->row dict index),
+    so a steady-state tick costs one vectorized row assignment for the
+    re-pulled bricks, a small append for new ones, and a cached-order
+    vectorized extraction — the first array-of-dict implementation
+    rebuilt every array per tick and its Python-loop cost exceeded the
+    full O(capacity) extraction at survey scale (r5f measurement)."""
 
     def __init__(self):
-        self._store = {}  # (hi, lo) -> (row (vol,), touched (words,))
+        self._index = {}  # (hi, lo) -> row into the arrays below
+        self._hi = np.empty((0,), np.uint32)
+        self._lo = np.empty((0,), np.uint32)
+        self._rows = None      # (N, vol)
+        self._touched = None   # (N, words) uint32
+        self._centers = None   # (N, vol, 3) float64 voxel centers (cached)
+        self._order = None     # cached argsort by (hi, lo)
 
     def __len__(self):
-        return len(self._store)
+        return len(self._index)
 
     def merge(self, hi, lo, rows, touched) -> None:
-        store = self._store
-        for h, l, r, t in zip(
-            np.asarray(hi).tolist(), np.asarray(lo).tolist(), rows, touched
-        ):
-            store[(h, l)] = (r, t)
+        hi = np.asarray(hi, np.uint32)
+        lo = np.asarray(lo, np.uint32)
+        rows = np.asarray(rows)
+        touched = np.asarray(touched, np.uint32)
+        if len(hi) == 0:
+            return
+        idx = np.fromiter(
+            (self._index.get(k, -1) for k in zip(hi.tolist(), lo.tolist())),
+            np.int64, count=len(hi),
+        )
+        old = idx >= 0
+        if old.any() and self._rows is not None:
+            self._rows[idx[old]] = rows[old]
+            self._touched[idx[old]] = touched[old]
+        new = ~old
+        if new.any():
+            base = len(self._hi)
+            nh, nl = hi[new], lo[new]
+            for j, k in enumerate(zip(nh.tolist(), nl.tolist())):
+                self._index[k] = base + j
+            self._hi = np.concatenate([self._hi, nh])
+            self._lo = np.concatenate([self._lo, nl])
+            nr, nt = rows[new], touched[new]
+            self._rows = (
+                nr.copy() if self._rows is None
+                else np.concatenate([self._rows, nr])
+            )
+            self._touched = (
+                nt.copy() if self._touched is None
+                else np.concatenate([self._touched, nt])
+            )
+            self._order = None
 
     def extract_occupied(self, cfg: MapperConfig, brick_bits: int):
         from sonar_3d_reconstruction_tpu.ops.logodds import (
             probability_to_log_odds,
         )
 
-        if not self._store:
+        if not self._index:
             return np.empty((0, 3)), np.empty((0,))
-        keys = np.fromiter(
-            (k for kk in sorted(self._store) for k in kk),
-            np.uint32, count=2 * len(self._store),
-        ).reshape(-1, 2)
-        hi, lo = keys[:, 0], keys[:, 1]
-        rows = np.stack([self._store[(h, l)][0] for h, l in keys.tolist()])
-        touched = np.stack(
-            [self._store[(h, l)][1] for h, l in keys.tolist()]
-        )
+        # centers depend only on keys and the arrays are append-only:
+        # compute just the new tail (the first call computes everything)
+        n = len(self._hi)
+        done = 0 if self._centers is None else len(self._centers)
+        if done < n:
+            nc = _brick_voxel_points(
+                self._hi[done:], self._lo[done:], self._rows.shape[1],
+                brick_bits, cfg.voxel_resolution,
+            )
+            self._centers = (
+                nc if self._centers is None
+                else np.concatenate([self._centers, nc])
+            )
+        if self._order is None:
+            self._order = np.lexsort((self._lo, self._hi))
+        o = self._order
+        rows = self._rows[o]
         vol = rows.shape[1]
         thr = probability_to_log_odds(cfg.min_probability, cfg)
-        mask = _touched_bool(touched, vol) & (rows.astype(np.float64) > thr)
-        points = _brick_voxel_points(
-            hi, lo, vol, brick_bits, cfg.voxel_resolution
-        )[mask]
+        mask = (
+            _touched_bool(self._touched[o], vol)
+            & (rows.astype(np.float64) > thr)
+        )
+        points = self._centers[o][mask]
         probs = 1.0 / (1.0 + np.exp(-rows.astype(np.float64)[mask]))
         return points.reshape(-1, 3), probs
 
