@@ -134,8 +134,9 @@ def _bin_kernel(
         # int32 hop is exact
         cnt = (pay >> 16).astype(jnp.int32).astype(dtype)  # (1, CHUNK)
         occ = (pay & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(dtype)
-        # one record per (brick, frame, offset) slot -> each accumulator
-        # element receives at most ONE nonzero term: exact in f32
+        # dedup records: one per (brick, frame, offset) slot -> at most
+        # ONE nonzero term per accumulator element.  Raw-candidate mode:
+        # many count<=2^16 integer terms sum exactly in f32 (< 2^24).
         acc_cnt[:] += jax.lax.dot_general(
             m, oh * cnt, dn, preferred_element_type=acc_cnt.dtype
         )
