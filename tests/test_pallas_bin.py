@@ -132,3 +132,74 @@ def test_pallas_raw_candidates_match_bfv(small_cfg):
         small_cfg, images, positions, quats, jnp.float32,
         pallas_mode="pallas-raw-tb3-c256", skip_keys=("batch_n_lanes",),
     )
+
+
+def test_pallas_kernel_direct_fuzz_vs_numpy():
+    """pallas_bin_apply (interpret) vs a NumPy reconstruction on random
+    record patterns: empty bricks, single-record bricks, saturated
+    bricks, duplicate records (raw-mode summing), large counts, and the
+    stats_out per-frame unique counts."""
+    import jax.numpy as jnp
+
+    from sonar_3d_reconstruction_tpu.config import MapperConfig
+    from sonar_3d_reconstruction_tpu.ops.logodds import (
+        finalize_voxel_updates,
+    )
+    from sonar_3d_reconstruction_tpu.pallas.bin_kernel import (
+        pallas_bin_apply,
+    )
+
+    cfg = MapperConfig()
+    B, vol, o, f_bits = 8, 64, 6, 3
+    for seed, NB, n, dup in ((1, 16, 300, False), (2, 5, 2000, False),
+                             (3, 32, 1, False), (4, 16, 0, False),
+                             (5, 12, 800, True)):
+        rng = np.random.default_rng(seed)
+        if n:
+            combos = rng.choice(NB * B * vol, size=n, replace=dup)
+            combos.sort()
+        else:
+            combos = np.empty((0,), np.int64)
+        brick = combos // (B * vol)
+        frame = (combos // vol) % B
+        off = combos % vol
+        key = ((brick.astype(np.uint32) << (o + f_bits))
+               | (frame.astype(np.uint32) << o) | off.astype(np.uint32))
+        cnt = rng.integers(1, 0xFFFF if seed == 2 else 40,
+                           size=n).astype(np.uint32)
+        occ = np.minimum(rng.integers(0, 50, size=n).astype(np.uint32), cnt)
+        pay = (cnt << 16) | occ
+        starts = np.searchsorted(brick, np.arange(NB + 1)).astype(np.int32)
+        rows = rng.normal(size=(NB, vol)).astype(np.float32)
+
+        out = pallas_bin_apply(
+            jnp.asarray(key), jnp.asarray(pay), jnp.asarray(starts),
+            jnp.asarray(rows), B=B, vol=vol, f_bits=f_bits, o=o, cfg=cfg,
+            TB=3, CHUNK=256, interpret=True, stats_out=True,
+        )
+        v, upd, occ_u, free_u = [np.asarray(x) for x in out]
+
+        dcnt = np.zeros((NB, B, vol), np.float64)
+        docc = np.zeros((NB, B, vol), np.float64)
+        np.add.at(dcnt, (brick, frame, off), cnt.astype(np.float64))
+        np.add.at(docc, (brick, frame, off), occ.astype(np.float64))
+        ref = jnp.asarray(rows)
+        occL = np.float32(cfg.log_odds_occupied)
+        freL = np.float32(cfg.log_odds_free)
+        for f in range(B):
+            c = jnp.asarray(dcnt[:, f, :], jnp.float32)
+            q = jnp.asarray(docc[:, f, :], jnp.float32)
+            ref = finalize_voxel_updates(
+                ref, q * occL + (c - q) * freL, c, q > 0, cfg
+            )
+        np.testing.assert_array_equal(v, np.asarray(ref), err_msg=str(seed))
+        np.testing.assert_array_equal(
+            upd, dcnt.sum(axis=1) > 0, err_msg=str(seed)
+        )
+        np.testing.assert_array_equal(
+            occ_u, (docc > 0).sum(axis=(0, 2)), err_msg=str(seed)
+        )
+        np.testing.assert_array_equal(
+            free_u, ((dcnt > 0) & (docc == 0)).sum(axis=(0, 2)),
+            err_msg=str(seed),
+        )
