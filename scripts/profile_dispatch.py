@@ -92,6 +92,7 @@ def main():
         run = _make_run(
             jax, cfg, images, T_host, tables, plan, boxes, window,
             window_group=g,
+            records_batch=int(os.environ.get("RECORDS_BATCH", "1")),
         )
         t0 = time.perf_counter()
         stats = run(mode, 0)

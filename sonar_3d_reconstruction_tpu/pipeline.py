@@ -399,7 +399,18 @@ def _window_body_brick_compact(
             box_min=box_min, box_bits=box_bits, raw=raw,
         )
 
-    if records_batch == 1:
+    if records_batch == 0:
+        # FULL UNROLL (round-5 A/B): 16 copies of the per-frame body in
+        # one program — no while machinery (the w16 trace attributes
+        # ~0.28 ms/ping to it) and no vmapped-sort padding (the
+        # records_batch>1 trade-off).  The price is compile time (the
+        # body is compiled per frame instead of once) — measured, not
+        # assumed, like every knob here.
+        outs = [body(jnp.int32(i)) for i in range(window)]
+        recs, auxs = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs), *outs
+        )
+    elif records_batch == 1:
         recs, auxs = jax.lax.map(body, jnp.arange(window, dtype=jnp.int32))
     else:
         assert window % records_batch == 0, (
@@ -537,8 +548,10 @@ def scan_pings_brick(
     stop = jnp.int32(P) if stop is None else jnp.asarray(stop, jnp.int32)
     window = min(window, P)
     # records_batch must divide the (possibly clamped) window; snap to the
-    # gcd so short sequences never fail on a perf-only knob
-    records_batch = max(1, math.gcd(int(records_batch), window))
+    # gcd so short sequences never fail on a perf-only knob (0 = full
+    # unroll, passed through unchanged)
+    if records_batch != 0:
+        records_batch = max(1, math.gcd(int(records_batch), window))
     if unique_budget is None:
         unique_budget = default_unique_budget(
             tables.candidates_per_ping(cfg.occupied_window)

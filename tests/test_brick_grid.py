@@ -750,8 +750,9 @@ def test_brick_records_batch_bit_equals_sequential(small_cfg):
     for mode in ("bfv", "scalar"):
         ref_state, ref_stats = run(dense_mode=mode, records_batch=1)
         # 4 = full-window vmap; 2 = grouped lax.map of vmapped pairs;
-        # 3 does not divide window=4 -> gcd snaps it to 1 (the reference)
-        for rb in (4, 2, 3):
+        # 3 does not divide window=4 -> gcd snaps it to 1 (the reference);
+        # 0 = full python unroll (no lax.map at all)
+        for rb in (4, 2, 3, 0):
             st, stats = run(dense_mode=mode, records_batch=rb)
             assert st.keys() == ref_state.keys()
             for k in ref_state:
